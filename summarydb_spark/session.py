@@ -1,0 +1,41 @@
+"""SparkSession factory with engine-appropriate defaults.
+
+Local testing runs on local[$SPARK_GRAFT_CPUS]; the same configuration
+scales to a real cluster — nothing here assumes single-node execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "summarydb-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession tuned for the engine.
+
+    - UTC session timezone: keeps timestamp arithmetic and Arrow/pandas
+      round-trips consistent with external oracles (DuckDB reads parquet
+      timestamps as naive-UTC).
+    - AQE on: runtime coalescing + skew-join handling at scale.
+    - Arrow on: vectorized exchange for the few pandas-UDF code paths.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

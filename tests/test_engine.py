@@ -1,0 +1,129 @@
+"""End-to-end engine tests with closed-form oracles, ported from
+core/db_test.go (the reference's DB-level test suite)."""
+
+import pytest
+
+from summarydb_spark.engine import QueryParams, SummaryDB
+from summarydb_spark.windowing import ExpWindowing, PowerWindowing
+
+PARAMS = QueryParams(confidence=0.95, sd_multiplier=1.0)
+
+
+# core/db_test.go:11-59 (TestBasicDB)
+def test_basic_db(spark, tmp_path):
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(ops=["count", "sum"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(100)])
+    db.close()
+
+    db2 = SummaryDB.open(spark, str(tmp_path / "db"))
+    s2 = db2.get_stream(s.stream_id)
+    r = s2.query("count", 0, 99, PARAMS)
+    assert r.value == 100.0 and r.error == 0.0
+    r = s2.query("sum", 0, 99, PARAMS)
+    assert r.value == 99.0 * 100 / 2 and r.error == 0.0
+    wins = db2.summary_windows().where("stream_id = %d" % s.stream_id)
+    assert wins.count() == 9
+
+
+# core/db_test.go:61-115 (TestDBWithLambda — landmarks)
+def test_db_with_landmark(spark, tmp_path):
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(ops=["count", "sum"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(90)])
+    s.start_landmark(90)
+    s.append_pairs([(i, float(i)) for i in range(90, 100)])
+    s.end_landmark(99)
+    db.close()
+
+    db2 = SummaryDB.open(spark, str(tmp_path / "db"))
+    s2 = db2.get_stream(s.stream_id)
+    r = s2.query("count", 0, 99, PARAMS)
+    assert r.value == 100.0 and r.error == 0.0
+    r = s2.query("sum", 0, 99, PARAMS)
+    assert r.value == 4950.0 and r.error == 0.0
+    # 10 decayed windows over the 90 non-landmark elements
+    assert db2.summary_windows().where("stream_id = %d" % s.stream_id).count() == 10
+
+
+# core/db_test.go:120-198 (append after reopen)
+def test_append_after_reopen(spark, tmp_path):
+    path = str(tmp_path / "db")
+    db = SummaryDB(spark, path)
+    s = db.new_stream(ops=["count", "sum", "max"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(50)])
+    db.close()
+
+    db2 = SummaryDB.open(spark, path)
+    s2 = db2.get_stream(s.stream_id)
+    r = s2.query("count", 0, 49, PARAMS)
+    assert r.value == 50.0 and r.error == 0.0
+    s2.append_pairs([(i, float(i)) for i in range(50, 100)])
+    db2.close()
+
+    db3 = SummaryDB.open(spark, path)
+    s3 = db3.get_stream(s.stream_id)
+    r = s3.query("count", 0, 99, PARAMS)
+    assert r.value == 100.0 and r.error == 0.0
+    r = s3.query("sum", 0, 99, PARAMS)
+    assert r.value == 4950.0 and r.error == 0.0
+    r = s3.query("max", 0, 99, PARAMS)
+    assert r.value == 99.0
+    assert db3.summary_windows().where("stream_id = %d" % s.stream_id).count() == 9
+
+
+# core/db_test.go:200-340 (testStub scenarios) — buffered, value = 2*ts.
+@pytest.mark.parametrize(
+    "windowing,n,expected_windows",
+    [
+        (ExpWindowing(2.0), 5000, 16),
+        (PowerWindowing(1, 1, 10, 1), 5000, 442),
+    ],
+)
+def test_scenarios_buffered(spark, tmp_path, windowing, n, expected_windows):
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(
+        ops=["count", "sum", "max"], windowing=windowing, buffer_size=32
+    )
+    s.append_pairs([(i, 2.0 * i) for i in range(n)])
+    s.flush()
+
+    r = s.query("count", 0, n - 1, PARAMS)
+    assert r.value == float(n) and r.error == 0.0
+    r = s.query("sum", 0, n - 1, PARAMS)
+    assert r.value == float((n - 1) * n) and r.error == 0.0
+    r = s.query("max", 0, n - 1, PARAMS)
+    assert r.value == 2.0 * (n - 1)
+    assert (
+        db.summary_windows().where("stream_id = %d" % s.stream_id).count()
+        == expected_windows
+    )
+
+
+def test_partial_range_query_bounds(spark, tmp_path):
+    """The proration *bounds* are hard (core/sum_estimator.go:107-112): they
+    always bracket the exact answer.  (The z-interval CI is statistical and
+    can exclude it when value mass is skewed within an edge window.)"""
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(ops=["count", "sum"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(200)])
+    s.flush()
+    for t0, t1 in [(0, 99), (13, 57), (100, 199), (150, 160), (0, 0), (199, 199)]:
+        exact_count = t1 - t0 + 1
+        exact_sum = sum(range(t0, t1 + 1))
+        r = s.query("count", t0, t1, PARAMS)
+        assert r.lower_bound <= exact_count <= r.upper_bound, (t0, t1, r)
+        # count mass is uniform in time, so the CI also brackets it
+        assert r.lower_ci <= exact_count <= r.upper_ci, (t0, t1, r)
+        r = s.query("sum", t0, t1, PARAMS)
+        assert r.lower_bound <= exact_sum <= r.upper_bound, (t0, t1, r)
+
+
+def test_out_of_order_clamp(spark, tmp_path):
+    """core/pipeline.go:80-84: out-of-order ts clamps to last+1."""
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(ops=["count", "sum"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(5, 1.0), (3, 1.0), (3, 1.0), (9, 1.0)])
+    s.flush()
+    ev = db.events().orderBy("seq").collect()
+    assert [r["ts"] for r in ev] == [5, 6, 7, 9]
