@@ -1,38 +1,94 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship decayed-summary build through the
+engine's DataFrame path; ``queries()``/``oracle_sql()`` expose every
+implemented operator from SURVEY.md §2 (plus the beyond-reference set)
+as Spark-vs-DuckDB comparable pairs.  Query definitions live in
+``summarydb_spark.plans.portable_sql`` — one template, two dialects.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _configure(spark: SparkSession) -> None:
+    # testdata parquet uses TIMESTAMP(NANOS); read as LONG nanos
+    # (normalized to epoch micros inside the queries).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    _configure(spark)
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: canonical time-decayed summary windows over the events
+    stream (exp base 2), built through the engine's DataFrame path."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.operators.summary import build_summary_windows
+    from summarydb_spark.windowing import ExpWindowing
+
+    _configure(spark)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = events.select(
+        F.col("user_id").alias("stream_id"),
+        F.expr("ts div 1000").alias("ts"),  # LONG nanos -> epoch micros
+        F.col("value"),
+        F.col("event_id"),
+    )
+    return build_summary_windows(
+        ev, ExpWindowing(2.0), order_cols=("event_id",)
+    )
+
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from summarydb_spark.plans.portable_sql import render
+
+        _register(spark, sf_dir)
+        return spark.sql(render(name, "spark"))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from summarydb_spark.plans.portable_sql import CORE_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in CORE_QUERIES:
+        out[name] = _sql_query(name)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from summarydb_spark.plans.portable_sql import CORE_QUERIES, render
+
+    return {name: render(name, "duckdb") for name in CORE_QUERIES}

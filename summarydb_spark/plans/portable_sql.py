@@ -1,0 +1,324 @@
+"""Portable SQL plans: one logical query, two dialects (Spark SQL + DuckDB).
+
+Every core-engine query the driver verifies is defined here ONCE as a
+template and rendered for both engines; the DuckDB rendering *is* the
+correctness oracle, the Spark rendering is executed by ``queries()`` in
+``__spark_entry__.py``.  Rules that keep results bit-comparable:
+
+- double aggregation is order-dependent, so every SUM/AVG goes through
+  DECIMAL(38,10) (exact, associative) and is cast back to DOUBLE;
+- scalar expression trees are written identically, so IEEE arithmetic
+  produces identical doubles in both engines;
+- double -> BIGINT casts round differently (Spark truncates, DuckDB rounds),
+  so they are always written CAST(floor(x) AS BIGINT);
+- timestamps surface as epoch micros (unix_micros / epoch_us) or DATE.
+
+The decayed-window queries compile the closed-form exp(2) canonical bucket
+(summarydb_spark.windowing.exp2_bucket_sql — same string in both dialects,
+pure integer/bit arithmetic).
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.windowing import exp2_bucket_sql
+
+Z_95 = 1.959963984540054  # z = InvCDF((1+0.95)/2), embedded as a literal
+
+DIALECTS = ("spark", "duckdb")
+
+
+def epoch_us(col: str, dialect: str) -> str:
+    """Timestamp column -> epoch micros (BIGINT).
+
+    The testdata parquet stores TIMESTAMP(NANOS): Spark reads it as LONG
+    nanos (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    summarydb_spark.session and __spark_entry__), DuckDB truncates to
+    micro-precision TIMESTAMP.  Integer division keeps full precision
+    (epoch nanos ~1.7e18 exceed double's 2^53)."""
+    return f"({col} div 1000)" if dialect == "spark" else f"epoch_us({col})"
+
+
+def to_timestamp_col(col: str, dialect: str) -> str:
+    """Micro-precision timestamp column -> dialect-native TIMESTAMP.
+
+    Unlike events.ts (nanos), the TPC-H date columns are micro-precision and
+    arrive as TIMESTAMP_NTZ in Spark / TIMESTAMP in DuckDB — usable as-is."""
+    return col
+
+
+def dsum(expr: str, scale: int = 4) -> str:
+    """Order-independent double sum via exact decimal accumulation.
+
+    The final round-to-``scale`` keeps the integer mantissa below 2^53 before
+    the DOUBLE cast: DuckDB converts int128-scaled decimals through double
+    division, which differs from Spark's correctly-rounded BigDecimal cast by
+    1 ulp once the scaled value exceeds 2^53."""
+    return f"CAST(round(sum(CAST(({expr}) AS DECIMAL(38,10))), {scale}) AS DOUBLE)"
+
+
+def _events_base(dialect: str, stream_col: str = "user_id") -> str:
+    """Per-stream insertion index + size over the events table.
+
+    The reference's stream is (stream_id, ts, value) with ts monotone
+    (core/stream.go:104-119); event_id breaks timestamp ties
+    deterministically.
+    """
+    t = epoch_us("ts", dialect)
+    return f"""
+  SELECT {stream_col} AS stream_id,
+         {t} AS t,
+         value AS v,
+         row_number() OVER (PARTITION BY {stream_col} ORDER BY {t}, event_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY {stream_col}) AS n
+  FROM events"""
+
+
+def _bucketed(dialect: str) -> str:
+    bucket = exp2_bucket_sql("(n - 1 - idx)", "n")
+    return f"""
+WITH ev AS ({_events_base(dialect)}),
+b AS (SELECT *, {bucket} AS bucket FROM ev)"""
+
+
+def q_decay_summary_exp2(dialect: str) -> str:
+    """The canonical decayed summary_windows table (exp base 2, unbuffered),
+    one row per window per stream — the engine's core data product."""
+    return f"""{_bucketed(dialect)}
+SELECT stream_id,
+       min(idx) AS window_id,
+       min(t)   AS time_start,
+       max(t)   AS time_end,
+       min(idx) AS count_start,
+       max(idx) AS count_end,
+       count(*) AS cnt,
+       {dsum('v')} AS sum_v,
+       max(v) AS max_v,
+       min(v) AS min_v
+FROM b
+GROUP BY stream_id, bucket"""
+
+
+def q_compaction_exp2(dialect: str) -> str:
+    """Compaction ratio: raw rows vs canonical summary windows per stream
+    (the reference's headline storage metric, core/db_test.go:55-57)."""
+    return f"""{_bucketed(dialect)}
+SELECT stream_id,
+       max(n) AS raw_rows,
+       count(DISTINCT bucket) AS summary_windows,
+       CAST(max(n) AS DOUBLE) / count(DISTINCT bucket) AS compaction_ratio
+FROM b
+GROUP BY stream_id"""
+
+
+def _query_ranges() -> str:
+    """Four deterministic time ranges per stream over [tmin, tmax]:
+    full, middle half, newest tenth (decayed-fine region), oldest third
+    (decayed-coarse region)."""
+    f = "CAST(floor((tmax - tmin) * {frac}) AS BIGINT)"
+    return f"""
+qr AS (
+  SELECT stream_id, 1 AS qid, tmin AS t0, tmax AS t1 FROM sb
+  UNION ALL
+  SELECT stream_id, 2, tmin + {f.format(frac=0.25)}, tmin + {f.format(frac=0.75)} FROM sb
+  UNION ALL
+  SELECT stream_id, 3, tmax - {f.format(frac=0.10)}, tmax FROM sb
+  UNION ALL
+  SELECT stream_id, 4, tmin, tmin + {f.format(frac=0.33)} FROM sb
+)"""
+
+
+def q_approx_range(dialect: str, op: str) -> str:
+    """Time-range approximate aggregate with proration bounds + CI.
+
+    Implements GetSumStats (core/sum_estimator.go:34-118) and
+    ConvertStatsBoundsToCI (stats/utils.go:40-56) as relational algebra:
+    summary windows overlapping [t0, t1]; first/last windows prorated by
+    time overlap, middle windows counted fully; z-interval clamped to the
+    hard bounds.  ``op`` is "count" or "sum".  (No landmarks in the oracle
+    tables, so landmark corrections are exercised by the pytest layer.)
+    """
+    val = "CAST(cnt AS DOUBLE)" if op == "count" else "sum_v"
+    return f"""{_bucketed(dialect)},
+sw AS (
+  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
+         count(*) AS cnt, {dsum('v')} AS sum_v
+  FROM b GROUP BY stream_id, bucket
+),
+sb AS (SELECT stream_id, min(time_start) AS tmin, max(time_end) AS tmax
+       FROM sw GROUP BY stream_id),
+{_query_ranges()},
+sel AS (
+  SELECT q.stream_id, q.qid, q.t0, q.t1,
+         s.time_start, s.time_end, {val} AS val
+  FROM qr q JOIN sw s
+    ON s.stream_id = q.stream_id AND s.time_end >= q.t0 AND s.time_start <= q.t1
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY stream_id, qid ORDER BY time_start) AS rn,
+         count(*) OVER (PARTITION BY stream_id, qid) AS nw
+  FROM sel
+),
+parts AS (
+  SELECT stream_id, qid, t0, t1, max(nw) AS nw,
+         max(CASE WHEN rn = 1 THEN val END) AS first_sum,
+         max(CASE WHEN rn = 1 THEN time_start END) AS first_start,
+         max(CASE WHEN rn = 1 THEN time_end END) AS first_end,
+         max(CASE WHEN rn = nw THEN val END) AS last_sum_raw,
+         max(CASE WHEN rn = nw THEN time_start END) AS last_start,
+         max(CASE WHEN rn = nw THEN time_end END) AS last_end,
+         {dsum('CASE WHEN rn > 1 AND rn < nw THEN val ELSE 0 END')} AS middle_sum
+  FROM ranked GROUP BY stream_id, qid, t0, t1
+),
+est AS (
+  SELECT stream_id, qid, t0, t1,
+         first_sum, middle_sum,
+         CASE WHEN nw = 1 THEN 0.0 ELSE last_sum_raw END AS last_sum,
+         (first_end - first_start + 1) AS first_len,
+         greatest(least(first_end, t1) - greatest(first_start, t0) + 1, CAST(0 AS BIGINT)) AS first_ov,
+         (last_end - last_start + 1) AS last_len,
+         greatest(least(last_end, t1) - greatest(last_start, t0) + 1, CAST(0 AS BIGINT)) AS last_ov
+  FROM parts
+),
+acc AS (
+  SELECT stream_id, qid, t0, t1,
+         first_sum + middle_sum + last_sum AS upper_bound,
+         middle_sum
+           + CASE WHEN first_ov = first_len THEN first_sum ELSE 0.0 END
+           + CASE WHEN last_ov = last_len THEN last_sum ELSE 0.0 END AS lower_bound,
+         middle_sum
+           + CASE WHEN first_ov > 0 THEN first_sum * (CAST(first_ov AS DOUBLE) / first_len) ELSE 0.0 END
+           + CASE WHEN last_ov > 0 THEN last_sum * (CAST(last_ov AS DOUBLE) / last_len) ELSE 0.0 END AS mean,
+         CASE WHEN first_ov > 0 THEN first_sum * (CAST(first_ov AS DOUBLE) / first_len) * (1.0 - CAST(first_ov AS DOUBLE) / first_len) ELSE 0.0 END
+           + CASE WHEN last_ov > 0 THEN last_sum * (CAST(last_ov AS DOUBLE) / last_len) * (1.0 - CAST(last_ov AS DOUBLE) / last_len) ELSE 0.0 END AS var
+  FROM est
+)
+SELECT stream_id, qid, t0, t1,
+       round(mean, 6) AS estimate,
+       round(greatest(mean - {Z_95} * sqrt(var), lower_bound), 6) AS lower_ci,
+       round(least(mean + {Z_95} * sqrt(var), upper_bound), 6) AS upper_ci,
+       round(lower_bound, 6) AS lower_bound,
+       round(upper_bound, 6) AS upper_bound
+FROM acc"""
+
+
+def q_approx_minmax_range(dialect: str, op: str) -> str:
+    """Max/min over the overlapping canonical windows (core/max_op.go:39-63;
+    min is the README-promised symmetric op the reference never built)."""
+    agg = "max" if op == "max" else "min"
+    return f"""{_bucketed(dialect)},
+sw AS (
+  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
+         max(v) AS max_v, min(v) AS min_v
+  FROM b GROUP BY stream_id, bucket
+),
+sb AS (SELECT stream_id, min(time_start) AS tmin, max(time_end) AS tmax
+       FROM sw GROUP BY stream_id),
+{_query_ranges()}
+SELECT q.stream_id, q.qid, q.t0, q.t1, {agg}({agg}_v) AS {agg}_value
+FROM qr q JOIN sw s
+  ON s.stream_id = q.stream_id AND s.time_end >= q.t0 AND s.time_start <= q.t1
+GROUP BY q.stream_id, q.qid, q.t0, q.t1"""
+
+
+def q_stream_stats(dialect: str) -> str:
+    """Welford-style stream statistics (values + inter-arrival gaps) the
+    reference declares but never wires (stats/stream_statistics.go:21-33) —
+    implemented exactly, from order-independent decimal moments."""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id AS stream_id, {t} AS t, value AS v,
+         lag({t}) OVER (PARTITION BY user_id ORDER BY {t}, event_id) AS prev_t
+  FROM events
+),
+g AS (
+  SELECT stream_id, v,
+         CASE WHEN prev_t IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(t - prev_t AS DOUBLE) / 3600000000.0 END AS gap_h
+  FROM ev
+),
+m AS (
+  SELECT stream_id,
+         count(*) AS n,
+         {dsum('v')} AS sum_v,
+         {dsum('v * v')} AS sum_v2,
+         {dsum('coalesce(gap_h, 0.0)', 6)} AS sum_gap,
+         {dsum('coalesce(gap_h * gap_h, 0.0)', 6)} AS sum_gap2
+  FROM g GROUP BY stream_id
+)
+SELECT stream_id, n,
+       round(sum_v / n, 6) AS value_mean,
+       round((sum_v2 - sum_v * sum_v / n) / (n - 1), 6) AS value_var,
+       round(sum_gap / (n - 1), 6) AS gap_mean_h,
+       round((sum_gap2 - sum_gap * sum_gap / (n - 1)) / greatest(n - 2, 1), 6) AS gap_var_h
+FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (absent from the reference — §2.6 — but table stakes
+# for an analytics engine; all built-in Spark SQL).
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1_like(dialect: str) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity')} AS sum_qty,
+       {dsum('l_extendedprice')} AS sum_base_price,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       round({dsum('l_quantity')} / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_join_enrich(dialect: str) -> str:
+    """Star join: revenue by region/month (broadcast-able dims)."""
+    od = to_timestamp_col("o.o_orderdate", dialect)
+    return f"""
+SELECT r.r_name AS region, CAST(date_trunc('month', {od}) AS DATE) AS order_month,
+       {dsum('o.o_totalprice')} AS revenue,
+       count(*) AS orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, CAST(date_trunc('month', {od}) AS DATE)"""
+
+
+def q_topk_per_group(dialect: str) -> str:
+    """Top-3 parts by revenue per brand (window-function top-k)."""
+    return f"""
+WITH pr AS (
+  SELECT p.p_brand, p.p_partkey,
+         {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, p.p_partkey
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+  FROM pr
+)
+SELECT p_brand, p_partkey, round(revenue, 6) AS revenue, rk
+FROM rk WHERE rk <= 3"""
+
+
+CORE_QUERIES = {
+    "decay_summary_exp2": q_decay_summary_exp2,
+    "decay_compaction_exp2": q_compaction_exp2,
+    "approx_count_range": lambda d: q_approx_range(d, "count"),
+    "approx_sum_range": lambda d: q_approx_range(d, "sum"),
+    "approx_max_range": lambda d: q_approx_minmax_range(d, "max"),
+    "approx_min_range": lambda d: q_approx_minmax_range(d, "min"),
+    "stream_stats": q_stream_stats,
+    "tpch_q1_like": q_tpch_q1_like,
+    "join_enrich_region_month": q_join_enrich,
+    "topk_parts_per_brand": q_topk_per_group,
+}
+
+
+def render(name: str, dialect: str) -> str:
+    assert dialect in DIALECTS
+    return CORE_QUERIES[name](dialect)

@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet, then
+compare row count, schema, and values (order-insensitive).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> bool:
+    ok = True
+    if len(spark_df) != len(duck_df):
+        print(f"  ROWS MISMATCH: spark={len(spark_df)} duckdb={len(duck_df)}")
+        ok = False
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        print(f"  SCHEMA MISMATCH: {list(s.columns)} vs {list(d.columns)}")
+        return False
+    if not ok:
+        return False
+    for c in s.columns:
+        a, b = s[c], d[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            aa, bb = a.astype(float).to_numpy(), b.astype(float).to_numpy()
+            both_nan = np.isnan(aa) & np.isnan(bb)
+            diff = np.where(both_nan, 0.0, np.abs(aa - bb))
+            if diff.max(initial=0.0) > 0:
+                bad = int(np.argmax(diff))
+                print(
+                    f"  VALUE DIFF col={c}: max abs diff {diff.max():.3e} "
+                    f"(row {bad}: {aa[bad]!r} vs {bb[bad]!r})"
+                )
+                ok = False
+        else:
+            eq = a.astype(str).to_numpy() == b.astype(str).to_numpy()
+            if not eq.all():
+                bad = int(np.argmin(eq))
+                print(f"  VALUE DIFF col={c} (row {bad}: {a.iloc[bad]!r} vs {b.iloc[bad]!r})")
+                ok = False
+    return ok
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from summarydb_spark.session import get_spark
+
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"[{name}] SPARK ERROR: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"[{name}] rows-only: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"[{name}] DUCKDB ERROR: {e}")
+            failures.append(name)
+            continue
+        print(f"[{name}] spark={len(sdf)} duckdb={len(ddf)} rows ({time.time()-t0:.1f}s)")
+        if not compare(name, sdf, ddf):
+            failures.append(name)
+        else:
+            print("  MATCH")
+    if failures:
+        print("\nFAILED:", ", ".join(failures))
+        return 1
+    print("\nALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
