@@ -71,24 +71,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from summarydb_spark.plans.portable_sql import render
-
         _register(spark, sf_dir)
-        return spark.sql(render(name, "spark"))
+        return spark.sql(_all_queries()[name]("spark"))
 
     return run
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_queries() -> dict:
+    from summarydb_spark.plans.llm_sql import LLM_QUERIES
     from summarydb_spark.plans.portable_sql import CORE_QUERIES
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in CORE_QUERIES:
-        out[name] = _sql_query(name)
-    return out
+    return {**CORE_QUERIES, **LLM_QUERIES}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _sql_query(name) for name in _all_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from summarydb_spark.plans.portable_sql import CORE_QUERIES, render
-
-    return {name: render(name, "duckdb") for name in CORE_QUERIES}
+    return {name: fn("duckdb") for name, fn in _all_queries().items()}

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns.
+
+Two tiers, both shaped for 100 TB / billion-vector corpora:
+
+- ``brute_force_topk``: exact cosine top-k.  The query set is broadcast
+  (it is small by definition), the corpus streams through one scan — no
+  shuffle of the corpus at all; per-row work is JVM column math.  This is
+  the correctness baseline and perfectly adequate up to ~10^7 x 10^3.
+- ``lsh_topk``: random-hyperplane bucketed ANN.  Corpus is signed into
+  2^n_planes buckets once (linear scan); each query probes its own bucket
+  plus Hamming<=probe buckets, so per-query candidate sets are
+  corpus/2^planes-sized.  Recall tunable via n_planes/probe.
+
+An IVF (k-means coarse quantizer) variant can reuse the same
+bucket-join shape with pyspark.ml KMeans centroids as the bucketer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from summarydb_spark.functions.dedup import _hyperplanes, cosine
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Plan shape: broadcast(queries) nested-loop join over one corpus scan,
+    then a per-query top-k window.  Returns (query_id, neighbor_id, cosine,
+    rnk).
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def _signature(col: Column, planes: np.ndarray) -> Column:
+    """Packed sign-bit signature of an array<double> column against fixed
+    hyperplanes (literals baked into the plan; codegen-friendly)."""
+    n_planes, dim = planes.shape
+    return sum(
+        (
+            F.when(
+                sum(
+                    (F.element_at(col, j + 1) * float(planes[i, j]) for j in range(1, dim)),
+                    F.element_at(col, 1) * float(planes[i, 0]),
+                )
+                > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(1, n_planes)
+        ),
+        F.when(
+            sum(
+                (F.element_at(col, j + 1) * float(planes[0, j]) for j in range(1, dim)),
+                F.element_at(col, 1) * float(planes[0, 0]),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent signatures (different hyperplane sets) are the
+    classic recall lever: a true neighbor missed by one table is caught by
+    another (recall ~ 1-(1-p)^L).  The corpus is bucketed once per table in
+    a single linear pass (explode over table structs); queries additionally
+    multi-probe buckets within Hamming ``probe_hamming`` of their own.
+    Exact cosine is computed only on in-bucket candidates, once per distinct
+    (query, neighbor).  Returns (query_id, neighbor_id, cosine, rnk).
+    """
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def sig_structs(col: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"), _signature(col, tables[t]).alias("sig")
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("cv")
+        )
+        .withColumn("ts", F.explode(sig_structs(F.col("cv"))))
+        .select("neighbor_id", "cv", "ts.tbl", "ts.sig")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
+    ).withColumn("tsig", sig_structs(F.col("qv")))
+
+    def probes_of(sig: Column) -> list:
+        out = [sig]
+        if probe_hamming >= 1:
+            out += [
+                sig.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                for i in range(n_planes)
+            ]
+        if probe_hamming >= 2:
+            out += [
+                sig.bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        return out
+
+    qp = (
+        q.withColumn("ts", F.explode("tsig"))
+        .withColumn(
+            "probe", F.explode(F.array(*probes_of(F.col("ts.sig"))))
+        )
+        .select("query_id", "qv", F.col("ts.tbl").alias("tbl"), "probe")
+    )
+
+    scored = (
+        qp.alias("q")
+        .join(
+            c.alias("c"),
+            (F.col("q.tbl") == F.col("c.tbl"))
+            & (F.col("q.probe") == F.col("c.sig"))
+            & (F.col("q.query_id") != F.col("c.neighbor_id")),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

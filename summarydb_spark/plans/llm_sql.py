@@ -1,0 +1,261 @@
+"""Portable SQL for the large-scale data-pipeline operators (text analysis,
+dedup, similarity) — same one-template-two-dialects scheme as portable_sql.
+
+These go beyond the reference's own surface (SURVEY §2.6 lists the absences)
+but are first-class components of this engine: a 100 TB training-data
+pipeline needs language ID, quality scoring, token accounting, fingerprints,
+dedup and similarity search over exactly these shapes.
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_sql import dsum
+
+
+def rx(pattern: str, dialect: str) -> str:
+    """Regex pattern -> dialect SQL string literal (Spark processes escape
+    sequences in literals, DuckDB does not)."""
+    esc = pattern.replace("\\", "\\\\") if dialect == "spark" else pattern
+    return "'" + esc + "'"
+
+
+def rx_count(expr: str, pattern: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"regexp_count({expr}, {rx(pattern, dialect)})"
+    return f"len(regexp_extract_all({expr}, {rx(pattern, dialect)}))"
+
+
+def rx_replace(expr: str, pattern: str, repl: str, dialect: str) -> str:
+    flags = ", 'g'" if dialect == "duckdb" else ""
+    return f"regexp_replace({expr}, {rx(pattern, dialect)}, '{repl}'{flags})"
+
+
+def n_distinct_tokens(expr: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"size(array_distinct(split({expr}, ' ')))"
+    return f"len(list_distinct(string_split({expr}, ' ')))"
+
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "les", "et", "est", "pas", "une", "pour", "dans"],
+    "es": ["el", "los", "y", "es", "no", "una", "por", "como"],
+    "zh": ["de", "shi", "bu", "wo", "ni", "zai", "he", "you"],
+}
+
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break
+
+
+def _stop_pattern(words) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(dialect: str) -> str:
+    """Token accounting: whitespace tokens, BPE-ish subword pieces (GPT-style
+    split of letter-runs/digit-runs/punctuation), distinct tokens, TTR."""
+    ntok = rx_count("text", r"\S+", dialect)
+    bpe = rx_count("text", r"[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]", dialect)
+    ndis = n_distinct_tokens("text", dialect)
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       {ntok} AS n_tokens,
+       {bpe} AS n_bpe_pieces,
+       {ndis} AS n_distinct_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / {ntok}, 6) AS avg_token_len,
+       round(CAST({ndis} AS DOUBLE) / {ntok}, 6) AS type_token_ratio
+FROM documents"""
+
+
+def q_text_quality(dialect: str) -> str:
+    """Heuristic document quality: length, stopword ratio, alpha ratio,
+    repetition — the standard pre-training corpus filters."""
+    ntok = rx_count("text", r"\S+", dialect)
+    nstop = rx_count("lower(text)", _stop_pattern(STOPWORDS["en"]), dialect)
+    nalpha = rx_count("text", r"[A-Za-z]", dialect)
+    ndis = n_distinct_tokens("text", dialect)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST({ntok} AS DOUBLE) AS n_tokens,
+         CAST({nstop} AS DOUBLE) AS n_stop,
+         CAST({nalpha} AS DOUBLE) AS n_alpha,
+         CAST({ndis} AS DOUBLE) AS n_distinct
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round(n_stop / n_tokens, 6) AS stopword_ratio,
+         round(n_alpha / n_chars, 6) AS alpha_ratio,
+         round(n_distinct / n_tokens, 6) AS distinct_ratio,
+         round(least(n_tokens / 100.0, 1.0), 6) AS length_score
+  FROM f
+)
+SELECT doc_id, n_chars, n_tokens, stopword_ratio, alpha_ratio, distinct_ratio,
+       -- floor-scaling instead of round(): engines disagree on half-boundary
+       -- rounding of doubles, but floor of identical doubles is identical
+       CAST(floor((0.35 * length_score + 0.25 * least(stopword_ratio * 5.0, 1.0)
+             + 0.2 * alpha_ratio + 0.2 * distinct_ratio) * 1000000) AS BIGINT) / 1000000.0 AS quality_score,
+       CASE WHEN 0.35 * length_score + 0.25 * least(stopword_ratio * 5.0, 1.0)
+                 + 0.2 * alpha_ratio + 0.2 * distinct_ratio >= 0.75 THEN 'high'
+            WHEN 0.35 * length_score + 0.25 * least(stopword_ratio * 5.0, 1.0)
+                 + 0.2 * alpha_ratio + 0.2 * distinct_ratio >= 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM s"""
+
+
+def q_text_lang_id(dialect: str) -> str:
+    """Stopword-profile language ID with deterministic argmax tie-break."""
+    scores = {
+        lang: rx_count("lower(text)", _stop_pattern(words), dialect)
+        for lang, words in STOPWORDS.items()
+    }
+    score_cols = ",\n         ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    # argmax with LANG_ORDER preference
+    conds = []
+    for i, lang in enumerate(LANG_ORDER[:-1]):
+        later = LANG_ORDER[i + 1 :]
+        cond = " AND ".join(f"s_{lang} >= s_{l2}" for l2 in later)
+        prior = " AND ".join(f"s_{lang} > s_{l0}" for l0 in LANG_ORDER[:i]) or "TRUE"
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(conds) + f" ELSE '{LANG_ORDER[-1]}' END"
+    total = " + ".join(f"s_{lang}" for lang in LANG_ORDER)
+    return f"""
+WITH sc AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {score_cols}
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       {case} AS predicted_lang,
+       round(CAST(greatest(s_en, s_de, s_fr, s_es, s_zh) AS DOUBLE)
+             / ({total} + 1), 6) AS confidence
+FROM sc"""
+
+
+def q_text_fingerprint(dialect: str) -> str:
+    """Deterministic document fingerprint over normalized text (md5), with
+    a band prefix for bucket-joining near-dup candidates at scale."""
+    norm = rx_replace("lower(trim(text))", r"\s+", " ", dialect)
+    return f"""
+SELECT doc_id,
+       md5({norm}) AS fingerprint,
+       substr(md5({norm}), 1, 8) AS band,
+       length({norm}) AS norm_len
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(dialect: str) -> str:
+    """Exact dedup by normalized-content hash: keep the smallest doc_id per
+    group, report group sizes (hash-groupBy; the 100 TB-scalable baseline)."""
+    norm = rx_replace("lower(trim(text))", r"\s+", " ", dialect)
+    return f"""
+WITH h AS (SELECT doc_id, md5({norm}) AS content_hash FROM documents)
+SELECT content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS group_size,
+       count(*) - 1 AS n_duplicates
+FROM h
+GROUP BY content_hash"""
+
+
+def q_dedup_ngram_jaccard(dialect: str) -> str:
+    """Pairwise 3-gram (token-shingle) Jaccard similarity over same-band
+    candidate pairs: the verify stage of a banded near-dup pipeline.
+
+    Blocking key = (lang, n_tokens bucket) keeps the pair space bounded —
+    the same block-then-verify structure used at scale; Jaccard is computed
+    with portable set algebra on shingle arrays.
+    """
+    if dialect == "spark":
+        shingles = (
+            "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+            "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))) "
+            "ELSE array(text) END"
+        )
+        inter = "size(array_intersect(a.sh, b.sh))"
+        uni = "size(array_union(a.sh, b.sh))"
+    else:
+        shingles = (
+            "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+            "list_distinct([array_to_string(string_split(text, ' ')[i+1:i+3], ' ') "
+            "for i in range(0, len(string_split(text, ' ')) - 2)]) "
+            "ELSE [text] END"
+        )
+        inter = "len(list_intersect(a.sh, b.sh))"
+        uni = "len(list_distinct(list_concat(a.sh, b.sh)))"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(floor(length(text) / 100.0) AS BIGINT) AS len_bucket,
+         {shingles} AS sh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST({inter} AS DOUBLE) / {uni}, 6) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST({inter} AS DOUBLE) / {uni} >= 0.2"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_brute_cosine(dialect: str) -> str:
+    """Brute-force cosine top-k: for each of 5 deterministic probe vectors
+    (vec_id 0..4), the 5 nearest neighbors by cosine similarity.
+
+    Spark: zip_with/aggregate dot products (JVM columnar, no UDF);
+    DuckDB: list_cosine_similarity.  Ties broken by vec_id.
+    """
+    if dialect == "spark":
+        dot = "aggregate(zip_with(q.embedding, c.embedding, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        nrm = (
+            "sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)) * "
+            "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+        )
+        cos = f"({dot}) / ({nrm})"
+        emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    else:
+        cos = "list_cosine_similarity(q.embedding, c.embedding)"
+        emb = "CAST(embedding AS DOUBLE[])"
+    return f"""
+WITH e AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cosine
+  FROM q JOIN e c ON c.vec_id != q.vec_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM rk WHERE rnk <= 5"""
+
+
+LLM_QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "knn_brute_cosine": q_knn_brute_cosine,
+}

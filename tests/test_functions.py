@@ -1,0 +1,151 @@
+"""Tests for the LLM-pipeline operator library (text / dedup / similarity)
+against the driver's synthetic documents + embeddings tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from summarydb_spark.functions import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, request):
+    sf = "/root/testdata/sf0.001"
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    sf = "/root/testdata/sf0.001"
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_token_stats(docs):
+    out = text.with_token_stats(docs).limit(50).collect()
+    for r in out:
+        assert r["n_tokens"] >= 1
+        assert 1 <= r["n_distinct_tokens"] <= r["n_tokens"]
+        assert r["n_bpe_pieces"] >= r["n_tokens"]  # pieces split words further
+        assert 0 < r["type_token_ratio"] <= 1.0
+
+
+def test_quality(docs):
+    out = text.with_quality(docs).collect()
+    for r in out:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["quality_bucket"] in ("high", "medium", "low")
+
+
+def test_lang_id_deterministic(docs):
+    a = text.with_lang_id(docs).select("doc_id", "predicted_lang").collect()
+    b = text.with_lang_id(docs).select("doc_id", "predicted_lang").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    langs = {r["predicted_lang"] for r in a}
+    assert langs <= {"en", "de", "fr", "es", "zh"}
+
+
+def test_fingerprint_exact_dedup(spark, docs):
+    # plant an exact duplicate (different doc_id, same text modulo case/space)
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    d2 = docs.unionByName(dup)
+    out = dedup.exact_dedup(d2)
+    dups = out.where("is_duplicate").collect()
+    assert len(dups) == 1
+    assert dups[0]["doc_id"] == 100000 + docs.first()["doc_id"]
+
+
+def _perturbed(docs, n=5, token="zzperturbzz"):
+    """Copies of n docs with one token replaced -> high-Jaccard near-dups."""
+    return docs.limit(n).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 30), F.lit(f" {token} "), F.expr("substring(text, 36)")
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    d2 = docs.unionByName(_perturbed(docs, 5))
+    pairs = dedup.minhash_lsh_pairs(
+        d2, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 200000) for r in docs.limit(5).collect()
+    }
+    assert planted <= found, f"missing {planted - found}"
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_lsh_no_false_positives_after_verify(docs):
+    # the synthetic corpus contains genuine near-dups; the verify stage must
+    # emit only pairs whose true shingle Jaccard clears the threshold, and
+    # each pair exactly once (a < b)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.9
+    ).collect()
+    assert len(pairs) > 0  # driver data plants near-dups
+    seen = set()
+    for r in pairs:
+        assert r["jaccard"] >= 0.9
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+
+
+def test_simhash_pairs_planted(docs):
+    d2 = docs.unionByName(_perturbed(docs, 3))
+    pairs = dedup.simhash_pairs(d2, max_hamming=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 200000) for r in docs.limit(3).collect()
+    }
+    assert planted <= found
+
+
+def test_embedding_near_dups_planted(spark, embs):
+    # plant a near-identical copy of vec 0 (tiny perturbation on one coord)
+    v0 = embs.where("vec_id = 0").select(
+        F.lit(900000).cast("long").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 1.001).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    e2 = embs.unionByName(v0)
+    out = dedup.embedding_near_dups(e2, threshold=0.99).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 900000 for r in out)
+
+
+def test_brute_force_topk(embs):
+    out = similarity.brute_force_topk(embs, embs.where("vec_id < 3"), k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        cs = [r["cosine"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_topk_recall(embs):
+    queries = embs.where("vec_id < 20")
+    exact = similarity.brute_force_topk(embs, queries, k=5).collect()
+    approx = similarity.lsh_topk(
+        embs, queries, k=5, n_planes=8, n_tables=6, probe_hamming=2
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
