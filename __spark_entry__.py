@@ -41,11 +41,13 @@ def _configure(spark: SparkSession) -> None:
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    from summarydb_spark.sources.tables import load_table
+
     _configure(spark)
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(t)
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -84,9 +86,34 @@ def _all_queries() -> dict:
     return {**CORE_QUERIES, **LLM_QUERIES}
 
 
+def _df_query(builder) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _configure(spark)
+        return builder(spark, sf_dir)
+
+    return run
+
+
+def _df_queries() -> dict:
+    """DataFrame-built queries: (builder, oracle_sql | None).  None marks
+    genuinely non-SQL-expressible ops (LSH band collisions) — the driver
+    records the weaker rows-only check for those."""
+    from summarydb_spark.plans.dataframe_queries import DF_QUERIES
+    from summarydb_spark.plans.sketch_queries import SKETCH_QUERIES
+
+    return {**SKETCH_QUERIES, **DF_QUERIES}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _sql_query(name) for name in _all_queries()}
+    out = {name: _sql_query(name) for name in _all_queries()}
+    for name, (builder, _oracle) in _df_queries().items():
+        out[name] = _df_query(builder)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: fn("duckdb") for name, fn in _all_queries().items()}
+    out = {name: fn("duckdb") for name, fn in _all_queries().items()}
+    for name, (_builder, oracle) in _df_queries().items():
+        if oracle is not None:
+            out[name] = oracle
+    return out

@@ -64,28 +64,39 @@ def brute_force_topk(
 
 def _signature(col: Column, planes: np.ndarray) -> Column:
     """Packed sign-bit signature of an array<double> column against fixed
-    hyperplanes (literals baked into the plan; codegen-friendly)."""
+    hyperplanes.
+
+    The plane matrix is a literal array<array<double>> and the dot products
+    run through higher-order functions (zip_with/aggregate), which evaluate
+    as runtime loops: the generated code stays small and compilable.  A
+    fully unrolled sum-of-products (planes x dim multiply terms inline)
+    blows past the JVM 64KB method limit and drops the whole stage to
+    interpreted mode.
+    """
     n_planes, dim = planes.shape
-    return sum(
-        (
-            F.when(
-                sum(
-                    (F.element_at(col, j + 1) * float(planes[i, j]) for j in range(1, dim)),
-                    F.element_at(col, 1) * float(planes[i, 0]),
-                )
-                > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(1, n_planes)
+    mat = F.array(
+        *[
+            F.array(*[F.lit(float(planes[i, j])) for j in range(dim)])
+            for i in range(n_planes)
+        ]
+    )
+    dots = F.transform(
+        mat,
+        lambda p: F.aggregate(
+            F.zip_with(col, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         ),
-        F.when(
-            sum(
-                (F.element_at(col, j + 1) * float(planes[0, j]) for j in range(1, dim)),
-                F.element_at(col, 1) * float(planes[0, 0]),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    )
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            pow2,
+            lambda d, b: F.when(d > 0, b).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 

@@ -179,30 +179,44 @@ def q_dedup_ngram_jaccard(dialect: str) -> str:
     the same block-then-verify structure used at scale; Jaccard is computed
     with portable set algebra on shingle arrays.
     """
+    # Two deliberate perf moves, neither changing the answer:
+    # 1. tokenize ONCE in a sub-select — referencing split(text) inside the
+    #    per-shingle lambda would re-split the whole document per shingle
+    #    index (O(tokens^2) string work per row, on both join sides);
+    # 2. hash each shingle to int64 — Jaccard is invariant under any
+    #    injective-in-practice hash of the set elements, so each engine can
+    #    use its own 64-bit hash and int64 set-intersections replace string
+    #    set-intersections in the quadratic verify stage.
     if dialect == "spark":
+        toks = "split(text, ' ')"
         shingles = (
-            "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-            "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))) "
-            "ELSE array(text) END"
+            "CASE WHEN size(toks) >= 3 THEN "
+            "array_distinct(transform(sequence(0, size(toks) - 3), "
+            "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))) "
+            "ELSE array(xxhash64(concat_ws(' ', toks))) END"
         )
         inter = "size(array_intersect(a.sh, b.sh))"
         uni = "size(array_union(a.sh, b.sh))"
     else:
+        toks = "string_split(text, ' ')"
         shingles = (
-            "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
-            "list_distinct([array_to_string(string_split(text, ' ')[i+1:i+3], ' ') "
-            "for i in range(0, len(string_split(text, ' ')) - 2)]) "
-            "ELSE [text] END"
+            "CASE WHEN len(toks) >= 3 THEN "
+            "list_distinct([hash(array_to_string(toks[i+1:i+3], ' ')) "
+            "for i in range(0, len(toks) - 2)]) "
+            "ELSE [hash(array_to_string(toks, ' '))] END"
         )
         inter = "len(list_intersect(a.sh, b.sh))"
         uni = "len(list_distinct(list_concat(a.sh, b.sh)))"
     return f"""
-WITH d AS (
-  SELECT doc_id, lang,
-         CAST(floor(length(text) / 100.0) AS BIGINT) AS len_bucket,
-         {shingles} AS sh
+WITH t AS (
+  SELECT doc_id, lang, length(text) AS n_chars_t, {toks} AS toks
   FROM documents
+),
+d AS (
+  SELECT doc_id, lang,
+         CAST(floor(n_chars_t / 100.0) AS BIGINT) AS len_bucket,
+         {shingles} AS sh
+  FROM t
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST({inter} AS DOUBLE) / {uni}, 6) AS jaccard

@@ -1,0 +1,187 @@
+"""Driver-facing sketch queries (DataFrame-built Spark side + exact-SQL
+DuckDB oracle).
+
+Approximate answers can't hash-match an exact oracle directly, so each
+query is phrased as something deterministic the oracle CAN reproduce:
+
+- ``bloom_membership``: membership booleans for a fixed probe set.  The
+  bloom is sized so the (deterministic) false-positive count at the gate's
+  scale is zero, making the result identical to SQL ``EXISTS``.
+- ``sketch_cms_heavy_hitters``: top-k keys with a boolean asserting the CMS
+  estimate sits in [true_count, true_count + eps*N] — the CMS guarantee.
+- ``sketch_hll_distinct_bound`` / ``sketch_kll_quantile_bound``: exact value
+  plus a boolean asserting the sketch estimate is within tolerance.
+
+So a hash-match here *is* a verified error bound, not a vacuous compare.
+These run the real mergeable-sketch path: per-window sketches merged at
+query time (mirroring how count/sum/max merge in the reference's
+``core/op_set.go:44-60``; the reference only *declares* these sketch ops in
+``protos/summarydb.capnp:6-13``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from summarydb_spark.functions import sketch
+
+N_PROBES = 400
+BLOOM_M = 1 << 16
+BLOOM_K = 5
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # widen=True: sketch updates are per-row-heavy and every sketch output
+    # here is reorder-safe (exact ints, booleans with slack)
+    from summarydb_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "events", widen=True).select(
+        "user_id", "event_type", "value"
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    blooms = sketch.bloom_aggregate(
+        ev, ["event_type"], "user_id", m_bits=BLOOM_M, k=BLOOM_K
+    )
+    probes = spark.range(N_PROBES).select(F.col("id").alias("probe"))
+    return (
+        blooms.crossJoin(F.broadcast(probes))
+        .select(
+            "event_type",
+            "probe",
+            sketch.bloom_contains(
+                F.col("bloom"), F.col("probe"), m_bits=BLOOM_M, k=BLOOM_K
+            ).alias("present"),
+        )
+    )
+
+
+ORACLE_BLOOM = f"""
+WITH et AS (SELECT DISTINCT event_type FROM events),
+p AS (SELECT range AS probe FROM range({N_PROBES}))
+SELECT et.event_type, p.probe,
+       EXISTS(SELECT 1 FROM events e
+              WHERE e.event_type = et.event_type AND e.user_id = p.probe) AS present
+FROM et CROSS JOIN p"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("g", F.lit(1))
+    counters = sketch.cms_aggregate(
+        ev, ["g"], "user_id", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    exact = ev.groupBy("g", "user_id").count()
+    topk = (
+        exact.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(
+                    F.col("count").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .where("rnk <= 20")
+    )
+    probes = topk.select("g", F.col("user_id").alias("probe"))
+    est = sketch.cms_estimate(
+        counters, probes, ["g"], depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    n_total = ev.count()
+    bound = int(2.718281828 * n_total / CMS_WIDTH) + 1
+    t2 = topk.select(
+        F.col("user_id").alias("uid"), F.col("count").alias("true_count"), "rnk"
+    )
+    return (
+        est.join(t2, est["_probe"] == t2["uid"])
+        .select(
+            F.col("uid").alias("user_id"),
+            "true_count",
+            "rnk",
+            (
+                (F.col("estimate") >= F.col("true_count"))
+                & (F.col("estimate") <= F.col("true_count") + F.lit(bound))
+            ).alias("within_cms_bound"),
+        )
+    )
+
+
+ORACLE_CMS = """
+WITH c AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id),
+rk AS (SELECT user_id, true_count,
+              row_number() OVER (ORDER BY true_count DESC, user_id) AS rnk
+       FROM c)
+SELECT user_id, true_count, rnk, TRUE AS within_cms_bound
+FROM rk WHERE rnk <= 20"""
+
+
+def q_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # per-(event_type, value-decile) window sketches merged up to event_type:
+    # the decayed-window range-query shape
+    wnd = sketch.hll_window_sketches(
+        ev.withColumn("w", (F.col("value") / 10).cast("int")),
+        ["event_type", "w"],
+        "user_id",
+    )
+    est = sketch.hll_estimate_over(wnd, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "nd_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("nd_exact"))
+            / F.col("nd_exact")
+            < 0.05
+        ).alias("within_5pct"),
+    )
+
+
+ORACLE_HLL = """
+SELECT event_type, count(DISTINCT user_id) AS nd_exact, TRUE AS within_5pct
+FROM events GROUP BY event_type"""
+
+
+def q_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    wnd = sketch.kll_window_sketches(
+        ev.withColumn("w", F.pmod("user_id", F.lit(8)).cast("int")),
+        ["event_type", "w"],
+        "value",
+    )
+    q = sketch.kll_quantiles_over(wnd, ["event_type"], quantiles=(0.5, 0.9))
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.percentile("value", F.lit(0.9)).alias("e90"),
+    )
+    return q.join(exact, "event_type").select(
+        "event_type",
+        (F.abs(F.col("q0_5") - F.col("e50")) / F.abs(F.col("e50")) < 0.1).alias(
+            "q50_within_10pct"
+        ),
+        (F.abs(F.col("q0_9") - F.col("e90")) / F.abs(F.col("e90")) < 0.1).alias(
+            "q90_within_10pct"
+        ),
+    )
+
+
+ORACLE_KLL = """
+SELECT event_type, TRUE AS q50_within_10pct, TRUE AS q90_within_10pct
+FROM events GROUP BY event_type"""
+
+
+# name -> (spark_builder, oracle_sql | None)
+SKETCH_QUERIES = {
+    "bloom_membership": (q_bloom_membership, ORACLE_BLOOM),
+    "sketch_cms_heavy_hitters": (q_cms_heavy_hitters, ORACLE_CMS),
+    "sketch_hll_distinct_bound": (q_hll_distinct_bound, ORACLE_HLL),
+    "sketch_kll_quantile_bound": (q_kll_quantile_bound, ORACLE_KLL),
+}

@@ -1,0 +1,131 @@
+"""Sketch aggregate tests: no-false-negative / overestimate / merge laws
+and error bounds, on the driver's synthetic events table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from summarydb_spark.functions import sketch
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_type", "value"
+    )
+
+
+def test_bloom_no_false_negatives(spark, events):
+    blooms = sketch.bloom_aggregate(events, ["event_type"], "user_id")
+    present = events.select("event_type", F.col("user_id").alias("probe")).distinct()
+    probed = present.join(blooms, "event_type").select(
+        "event_type",
+        "probe",
+        sketch.bloom_contains(F.col("bloom"), F.col("probe")).alias("hit"),
+    )
+    assert probed.where(~F.col("hit")).count() == 0
+
+
+def test_bloom_false_positive_rate(spark, events):
+    blooms = sketch.bloom_aggregate(events, ["event_type"], "user_id")
+    # absent probes: user ids far outside the domain
+    absent = spark.range(1_000_000, 1_002_000).crossJoin(
+        blooms.select("event_type", "bloom")
+    )
+    fp = (
+        absent.select(
+            sketch.bloom_contains(F.col("bloom"), F.col("id")).alias("hit")
+        )
+        .where("hit")
+        .count()
+    )
+    total = absent.count()
+    assert fp / total < 0.05, f"bloom FP rate {fp}/{total}"
+
+
+def test_bloom_merge_law(spark, events):
+    """bloom(A ∪ B) == merge(bloom(A), bloom(B)) — per-window sketches can
+    answer range queries by OR-merging."""
+    a = events.where("user_id % 2 = 0")
+    b = events.where("user_id % 2 = 1")
+    whole = sketch.bloom_aggregate(events.withColumn("g", F.lit(1)), ["g"], "user_id")
+    pa = sketch.bloom_aggregate(a.withColumn("g", F.lit(1)), ["g"], "user_id")
+    pb = sketch.bloom_aggregate(b.withColumn("g", F.lit(1)), ["g"], "user_id")
+    merged = (
+        pa.select(F.col("bloom").alias("ba"))
+        .crossJoin(pb.select(F.col("bloom").alias("bb")))
+        .select(sketch.bloom_merge(F.col("ba"), F.col("bb")).alias("bloom"))
+    )
+    assert merged.first()["bloom"] == whole.first()["bloom"]
+
+
+def test_cms_overestimates_and_is_tight_when_wide(spark, events):
+    exact = events.groupBy("event_type", "user_id").count()
+    counters = sketch.cms_aggregate(events, ["event_type"], "user_id", width=4096)
+    probes = exact.select("event_type", F.col("user_id").alias("probe"))
+    est = sketch.cms_estimate(counters, probes, ["event_type"], width=4096)
+    exact2 = exact.select(
+        F.col("event_type").alias("et"),
+        F.col("user_id").alias("uid"),
+        F.col("count"),
+    )
+    joined = est.join(
+        exact2,
+        (F.col("event_type") == F.col("et")) & (F.col("_probe") == F.col("uid")),
+    ).select("event_type", "uid", "estimate", "count")
+    rows = joined.collect()
+    assert all(r["estimate"] >= r["count"] for r in rows)
+    # wide sketch on a small domain: the vast majority should be exact
+    exact_frac = sum(r["estimate"] == r["count"] for r in rows) / len(rows)
+    assert exact_frac > 0.9, f"CMS too loose: {exact_frac}"
+
+
+def test_cms_merge_is_union_all_reagg(spark, events):
+    a = events.where("value < 50")
+    b = events.where("value >= 50")
+    whole = sketch.cms_aggregate(events, ["event_type"], "user_id")
+    pa = sketch.cms_aggregate(a, ["event_type"], "user_id")
+    pb = sketch.cms_aggregate(b, ["event_type"], "user_id")
+    merged = (
+        pa.unionAll(pb)
+        .groupBy("event_type", "_depth", "_col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0
+
+
+def test_hll_within_tolerance_and_merge(spark, events):
+    exact = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    )
+    exact_map = {r["event_type"]: r["nd"] for r in exact}
+    # per-(event_type, value-bucket) window sketches, merged up to event_type
+    wnd = sketch.hll_window_sketches(
+        events.withColumn("w", (F.col("value") / 10).cast("int")),
+        ["event_type", "w"],
+        "user_id",
+    )
+    est = sketch.hll_estimate_over(wnd, ["event_type"]).collect()
+    for r in est:
+        nd = exact_map[r["event_type"]]
+        assert abs(r["approx_distinct"] - nd) / nd < 0.05
+
+
+def test_kll_quantiles_bounded_rank_error(spark, events):
+    wnd = sketch.kll_window_sketches(
+        events.withColumn("w", F.pmod("user_id", F.lit(8)).cast("int")),
+        ["event_type", "w"],
+        "value",
+    )
+    q = sketch.kll_quantiles_over(wnd, ["event_type"], quantiles=(0.5, 0.9))
+    exact = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.percentile("value", F.lit(0.9)).alias("e90"),
+    )
+    rows = q.join(exact, "event_type").collect()
+    for r in rows:
+        # KLL(k=200) rank error ~1.3%; translate via local value spread
+        assert abs(r["q0_5"] - r["e50"]) / max(abs(r["e50"]), 1e-9) < 0.15
+        assert abs(r["q0_9"] - r["e90"]) / max(abs(r["e90"]), 1e-9) < 0.15
