@@ -1,0 +1,211 @@
+"""Structured Streaming ingest: events stream -> decayed summary state.
+
+Replaces the reference's four-actor pipeline + WAL (core/pipeline.go,
+core/ingester.go, core/writer.go, core/merger.go, storage/wal.go) with the
+standard Spark recovery contract:
+
+- **source**: any streaming DataFrame (file source, Kafka, rate...); tests
+  use a parquet directory source, the replayable-source analogue of the WAL.
+- **batching/back-pressure**: micro-batch trigger (``availableNow`` or
+  processing-time) instead of the bounded buffer pool
+  (core/allocator.go:26-48).
+- **summarize+merge**: each micro-batch folds into the canonical summary
+  via ``merge_summary_increment`` — O(streams * log N) state, no history
+  rescan (see operators/incremental.py).
+- **durability / exactly-once**: the streaming checkpoint tracks source
+  offsets; summary state is written as a versioned snapshot directory
+  ``state_dir/v=<batch_id>`` with a ``_COMMIT`` marker written last.  A
+  replayed batch (crash between state write and offset commit) sees its
+  version already committed and skips — idempotent foreachBatch, the same
+  contract the reference builds by persisting (count, timestamp) markers
+  in one Badger txn (storage/badger_backend.go:210-224).
+- **recovery**: restart with the same checkpoint dir; Spark replays only
+  unprocessed source data and the pipeline resumes from the latest
+  committed state version (the reference's WAL-replay PrimeUp,
+  core/pipeline.go:294-335, collapses into this).
+
+State layout under ``state_dir``::
+
+    v=<batch_id>/summary.parquet     canonical summary windows
+    v=<batch_id>/meta.json           {"counts": {stream: N}, "batch_id": ...}
+    v=<batch_id>/_COMMIT             empty marker, written last
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from summarydb_spark.operators.incremental import merge_summary_increment
+from summarydb_spark.operators.summary import SUMMARY_COLS
+
+
+def _versions(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("v=") and os.path.exists(
+            os.path.join(state_dir, d, "_COMMIT")
+        ):
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
+def latest_version(state_dir: str) -> Optional[int]:
+    vs = _versions(state_dir)
+    return vs[-1] if vs else None
+
+
+def load_state(
+    spark: SparkSession, state_dir: str, version: Optional[int] = None
+) -> tuple[Optional[DataFrame], dict, dict]:
+    """Return (summary_df | None, counts, last_ts) for the given/latest
+    committed version."""
+    v = version if version is not None else latest_version(state_dir)
+    if v is None:
+        return None, {}, {}
+    vdir = os.path.join(state_dir, f"v={v}")
+    with open(os.path.join(vdir, "meta.json")) as f:
+        meta = json.load(f)
+    counts = {int(k): int(n) for k, n in meta["counts"].items()}
+    last_ts = {int(k): int(n) for k, n in meta.get("last_ts", {}).items()}
+    df = spark.read.parquet(os.path.join(vdir, "summary.parquet"))
+    return df, counts, last_ts
+
+
+class StreamingSummarizer:
+    """foreachBatch sink folding an events stream into decayed summaries.
+
+    Parameters mirror the batch builder; ``windowing`` is an
+    ExpWindowing/PowerWindowing policy shared by all streams in the source
+    (per-stream policies = one summarizer per policy, filtered source).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        windowing,
+        state_dir: str,
+        *,
+        stream_col: str = "stream_id",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        order_cols: tuple = (),
+        buffer_size: int = 0,
+        clamp_order_col: Optional[str] = None,
+    ) -> None:
+        self.spark = spark
+        self.windowing = windowing
+        self.state_dir = state_dir
+        self.stream_col = stream_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.order_cols = order_cols
+        self.buffer_size = buffer_size
+        # when set, reproduce the reference's out-of-order clamp
+        # ts' = max(ts, prev_ts + 1) across batches (core/pipeline.go:80-84),
+        # ordering each stream's batch rows by this column
+        self.clamp_order_col = clamp_order_col
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- batch step --------------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        vdir = os.path.join(self.state_dir, f"v={batch_id}")
+        if os.path.exists(os.path.join(vdir, "_COMMIT")):
+            return  # replayed batch after crash: already folded in
+        if batch.isEmpty():
+            return
+        old_summary, counts, last_ts = load_state(self.spark, self.state_dir)
+        if self.clamp_order_col is not None:
+            from summarydb_spark.operators.summary import clamp_monotonic
+
+            batch = clamp_monotonic(
+                batch,
+                stream_col=self.stream_col,
+                ts_col=self.ts_col,
+                order_col=self.clamp_order_col,
+                last_ts=last_ts or None,
+            )
+        new_summary = merge_summary_increment(
+            old_summary,
+            batch,
+            self.windowing,
+            base_counts=counts,
+            stream_col=self.stream_col,
+            ts_col=self.ts_col,
+            value_col=self.value_col,
+            order_cols=self.order_cols,
+            buffer_size=self.buffer_size,
+        )
+        batch_counts = {
+            int(r["stream_id"]): int(r["c"])
+            for r in batch.groupBy(F.col(self.stream_col).alias("stream_id"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        new_counts = dict(counts)
+        for sid, c in batch_counts.items():
+            new_counts[sid] = new_counts.get(sid, 0) + c
+
+        # write snapshot into the version dir, commit marker LAST: an
+        # uncommitted version dir is ignored by readers and overwritten by
+        # a replay (object-store friendly — no renames required)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        os.makedirs(vdir)
+        new_summary.write.mode("overwrite").parquet(
+            os.path.join(vdir, "summary.parquet")
+        )
+        new_last_ts = {
+            int(r["stream_id"]): int(r["t"])
+            for r in self.spark.read.parquet(os.path.join(vdir, "summary.parquet"))
+            .groupBy("stream_id")
+            .agg(F.max("time_end").alias("t"))
+            .collect()
+        }
+        with open(os.path.join(vdir, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "counts": new_counts,
+                    "last_ts": new_last_ts,
+                },
+                f,
+            )
+        with open(os.path.join(vdir, "_COMMIT"), "w"):
+            pass
+
+    # -- stream wiring -----------------------------------------------------
+
+    def start(
+        self,
+        source: DataFrame,
+        checkpoint_dir: str,
+        *,
+        available_now: bool = True,
+        processing_time: Optional[str] = None,
+    ):
+        """Attach to a streaming DataFrame and start the query."""
+        writer = (
+            source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def summary(self) -> Optional[DataFrame]:
+        df, _counts, _last = load_state(self.spark, self.state_dir)
+        if df is not None:
+            return df.select(*SUMMARY_COLS)
+        return None

@@ -1,0 +1,167 @@
+"""Streaming ingest tests: incremental-merge == batch-rebuild equivalence,
+file-source end-to-end, checkpoint restart/recovery, idempotent replay,
+cross-batch clamp — the Spark equivalents of the reference's pipeline &
+recovery test layers (core/pipeline_test.go, core/db_test.go:120-198)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from summarydb_spark.operators.incremental import merge_summary_increment
+from summarydb_spark.operators.summary import SUMMARY_COLS, build_summary_windows
+from summarydb_spark.streaming.ingest import StreamingSummarizer, load_state
+from summarydb_spark.windowing import ExpWindowing, PowerWindowing
+
+EVENT_SCHEMA = "stream_id long, ts long, value double, seq long"
+
+
+def _events(n_per_stream, streams=(0, 1, 2)):
+    rows = []
+    for sid in streams:
+        for i in range(n_per_stream):
+            # halves: float sums are exact, so incremental (sum of partial
+            # sums) and batch (sum of raw values) agree bit-for-bit
+            rows.append(Row(stream_id=sid, ts=i * 10 + sid, value=i * 0.5, seq=i))
+    return rows
+
+
+def _canon(df):
+    return sorted(
+        tuple(r[c] for c in SUMMARY_COLS) for r in df.select(*SUMMARY_COLS).collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "windowing",
+    [ExpWindowing(2.0), ExpWindowing(1.5), PowerWindowing(1, 1, 10, 1)],
+    ids=["exp2", "exp1.5", "power"],
+)
+def test_incremental_equals_batch(spark, windowing):
+    rows = _events(137)
+    all_df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    batch_result = build_summary_windows(all_df, windowing, order_cols=("seq",))
+
+    chunks = [37, 50, 1, 49]  # uneven micro-batches summing to 137
+    state, counts, start = None, {}, 0
+    for size in chunks:
+        part = [r for r in rows if start <= r.seq < start + size]
+        bdf = spark.createDataFrame(part, EVENT_SCHEMA)
+        state = merge_summary_increment(
+            state, bdf, windowing, base_counts=counts, order_cols=("seq",)
+        )
+        # materialize state (streaming writes parquet here) and roll counts
+        state = spark.createDataFrame(state.collect(), state.schema)
+        counts = {
+            r["stream_id"]: r["n"]
+            for r in state.groupBy("stream_id")
+            .agg((F.max("count_end") + 1).alias("n"))
+            .collect()
+        }
+        start += size
+
+    assert _canon(state) == _canon(batch_result)
+
+
+def _write_chunk(spark, dirpath, rows, name):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirpath)
+
+
+def test_file_stream_end_to_end_and_golden_shape(spark, tmp_path):
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    rows = _events(31, streams=(0,))
+    for lo, hi in ((0, 10), (10, 24), (24, 31)):
+        _write_chunk(spark, src, [r for r in rows if lo <= r.seq < hi], f"{lo}")
+
+    source = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    summ = StreamingSummarizer(spark, ExpWindowing(2.0), state, order_cols=("seq",))
+    q = summ.start(source, cp, available_now=True)
+    q.awaitTermination(120)
+
+    got = summ.summary()
+    batch = build_summary_windows(
+        spark.createDataFrame(rows, EVENT_SCHEMA), ExpWindowing(2.0), order_cols=("seq",)
+    )
+    assert _canon(got) == _canon(batch)
+    # golden decay shape at N=31, exp(2): oldest->newest {16,8,4,2,1}
+    # (reference core/pipeline_test.go:13-45 final state)
+    sizes = [
+        r["count"]
+        for r in got.orderBy("count_start").select("count").collect()
+    ]
+    assert sizes == [16, 8, 4, 2, 1]
+
+
+def test_restart_recovery_processes_only_new_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    rows = _events(100, streams=(0, 1))
+
+    _write_chunk(spark, src, [r for r in rows if r.seq < 60], "a")
+    summ = StreamingSummarizer(spark, ExpWindowing(2.0), state, order_cols=("seq",))
+    source = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = summ.start(source, cp, available_now=True)
+    q.awaitTermination(120)
+    _df, counts, _ = load_state(spark, state)
+    assert counts == {0: 60, 1: 60}
+
+    # new data lands while "down"; restart with the same checkpoint
+    _write_chunk(spark, src, [r for r in rows if r.seq >= 60], "b")
+    summ2 = StreamingSummarizer(spark, ExpWindowing(2.0), state, order_cols=("seq",))
+    source2 = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q2 = summ2.start(source2, cp, available_now=True)
+    q2.awaitTermination(120)
+
+    got = summ2.summary()
+    batch = build_summary_windows(
+        spark.createDataFrame(rows, EVENT_SCHEMA), ExpWindowing(2.0), order_cols=("seq",)
+    )
+    assert _canon(got) == _canon(batch)
+
+
+def test_idempotent_batch_replay(spark, tmp_path):
+    state = str(tmp_path / "state")
+    summ = StreamingSummarizer(spark, ExpWindowing(2.0), state, order_cols=("seq",))
+    bdf = spark.createDataFrame(_events(20, streams=(0,)), EVENT_SCHEMA)
+    summ.process_batch(bdf, 0)
+    _df, counts, _ = load_state(spark, state)
+    summ.process_batch(bdf, 0)  # crash-replay of the same batch id
+    _df2, counts2, _ = load_state(spark, state)
+    assert counts == counts2 == {0: 20}
+
+
+def test_clamp_across_batches(spark, tmp_path):
+    """Out-of-order input is clamped to ts' = max(ts, prev+1) across batch
+    boundaries (reference core/pipeline.go:80-84)."""
+    state = str(tmp_path / "state")
+    summ = StreamingSummarizer(
+        spark,
+        ExpWindowing(2.0),
+        state,
+        order_cols=("seq",),
+        clamp_order_col="seq",
+    )
+    b1 = [Row(stream_id=0, ts=100, value=1.0, seq=0), Row(stream_id=0, ts=5, value=2.0, seq=1)]
+    b2 = [Row(stream_id=0, ts=50, value=3.0, seq=2), Row(stream_id=0, ts=200, value=4.0, seq=3)]
+    summ.process_batch(spark.createDataFrame(b1, EVENT_SCHEMA), 0)
+    summ.process_batch(spark.createDataFrame(b2, EVENT_SCHEMA), 1)
+    got = summ.summary().orderBy("count_start").collect()
+    # reference clamp: 100, 101, 102, 200
+    all_ts = []
+    for r in got:
+        all_ts.append((r["time_start"], r["time_end"]))
+    assert got[-1]["time_end"] == 200
+    flat = sorted(t for pair in all_ts for t in pair)
+    assert flat[0] == 100
+    total = sum(r["count"] for r in got)
+    assert total == 4
