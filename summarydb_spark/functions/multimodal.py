@@ -1,0 +1,235 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Media travel as opaque ``binary`` columns plus typed metadata — the only
+sane layout at 100 TB: Spark never interprets the bytes until an operator
+asks, partitioning/shuffling treat them as fixed-cost blobs, and column
+pruning keeps scans narrow when a query needs only metadata.
+
+Operator tiers:
+- **metadata** (`media_metadata`): pure column math over the binary —
+  byte length, container sniffing from magic prefixes (PNG/JPEG/GIF/RIFF/
+  MP4/...), chunk accounting.  JVM-side, no UDF.
+- **feature extraction** (`byte_histogram_features`, `media_embedding`):
+  Arrow-batched ``mapInPandas`` over the raw bytes — vectorized numpy per
+  batch, the shape every real decoder plugs into.  Byte histograms and the
+  derived pseudo-embedding are *real* computations (useful for corrupt-file
+  triage and exact-dup detection) and double as deterministic stand-ins for
+  CNN/CLIP embeddings in tests.
+- **frame sampling** (`sample_frames`): splits a payload into n evenly
+  spaced byte-range "frames" (real video frame extraction swaps the slicer
+  for a demuxer; the explode/one-row-per-frame plumbing is identical).
+- **decoding** (`decode_image`): STUB — the container has no PIL/ffmpeg.
+  Gated behind an import; raises NotImplementedError with the integration
+  contract documented, so the Spark-side schema and batch shape are
+  test-covered while the codec is a deployment concern.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# magic-prefix -> container format (hex prefix, format name)
+_MAGICS = [
+    ("89504e47", "png"),
+    ("ffd8ff", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # wav/avi/webp share the RIFF envelope
+    ("66747970", "mp4_ftyp_at_4"),  # 'ftyp' usually at offset 4
+    ("494433", "mp3_id3"),
+    ("4f676753", "ogg"),
+]
+
+
+def sniff_format(data: Column) -> Column:
+    """Container sniffing from magic prefixes — column math only."""
+    head = F.lower(F.hex(F.substring(data, 1, 8)))
+    expr = F.lit("unknown")
+    for magic, name in reversed(_MAGICS):
+        if name == "mp4_ftyp_at_4":
+            cond = F.substring(head, 9, 8).startswith(magic)
+            name = "mp4"
+        else:
+            cond = head.startswith(magic)
+        expr = F.when(cond, name).otherwise(expr)
+    return expr
+
+
+def media_metadata(
+    df: DataFrame, data_col: str = "data", chunk_bytes: int = 256
+) -> DataFrame:
+    """Attach ``n_bytes``, ``format``, ``n_chunks``, ``head_byte`` —
+    metadata without touching Python."""
+    d = F.col(data_col)
+    return (
+        df.withColumn("n_bytes", F.length(d).cast("long"))
+        .withColumn("format", sniff_format(d))
+        .withColumn(
+            "n_chunks",
+            F.ceil(F.length(d) / F.lit(chunk_bytes)).cast("long"),
+        )
+        .withColumn(
+            "head_byte",
+            F.coalesce(
+                F.conv(F.hex(F.substring(d, 1, 1)), 16, 10).cast("long"), F.lit(-1)
+            ),
+        )
+    )
+
+
+def byte_histogram_features(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    bins: int = 16,
+) -> DataFrame:
+    """Per-payload normalized byte histogram as ``features array<double>``.
+
+    Arrow-batched mapInPandas: each batch converts its binary column to
+    numpy uint8 buffers and histograms them vectorized — the exact plumbing
+    (schema in, iterator of pandas frames out) a real decoder/featurizer
+    uses.  Output partitioning follows the input; no shuffle.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+    edges = np.linspace(0, 256, bins + 1)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, feats = [], [], []
+            for i, buf in zip(pdf[id_col], pdf[data_col]):
+                arr = np.frombuffer(buf or b"", dtype=np.uint8)
+                h, _ = np.histogram(arr, bins=edges)
+                total = max(len(arr), 1)
+                ids.append(i)
+                sizes.append(len(arr))
+                feats.append((h / total).tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": sizes, "features": feats}
+            )
+
+    return df.select(id_col, data_col).mapInPandas(extract, out_schema)
+
+
+def media_embedding(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    bins: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic pseudo-embedding: byte histogram projected through a
+    fixed random matrix, L2-normalized — a drop-in stand-in for a CLIP-style
+    encoder that exercises the full downstream ANN/near-dup machinery."""
+    hist = byte_histogram_features(df, data_col, id_col, bins=bins)
+    rng = np.random.RandomState(seed)
+    proj = rng.standard_normal((bins, dim))
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf["features"].tolist(), dtype=np.float64)
+            if len(mat) == 0:
+                yield pd.DataFrame({id_col: [], "embedding": []})
+                continue
+            emb = mat @ proj
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.where(norms == 0, 1.0, norms)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].tolist(), "embedding": list(map(list, emb))}
+            )
+
+    return hist.mapInPandas(project, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Evenly spaced byte-range "frames" from each payload, one output row
+    per frame: ``(id, frame_idx, frame_offset, frame)``.
+
+    This is the video-frame-sampling plumbing (explode to one row per
+    frame, preserve provenance offsets); a real demuxer replaces the byte
+    slicer.  Implemented as column math: substring offsets are computed
+    with a literal index array — no Python in the path.
+    """
+    d = F.col(data_col)
+    n = F.length(d)
+    idxs = F.array(*[F.lit(i) for i in range(n_frames)])
+    frames = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            (i * F.greatest((n - frame_bytes), F.lit(0)) / F.lit(max(n_frames - 1, 1)))
+            .cast("long")
+            .alias("frame_offset"),
+        ),
+    )
+    return df.select(id_col, data_col, F.explode(frames).alias("fr")).select(
+        id_col,
+        F.col("fr.frame_idx").alias("frame_idx"),
+        F.col("fr.frame_offset").alias("frame_offset"),
+        F.expr(
+            f"substring({data_col}, fr.frame_offset + 1, {frame_bytes})"
+        ).alias("frame"),
+    )
+
+
+def decode_image(df: DataFrame, data_col: str = "data"):
+    """STUB: raster decoding needs a codec library not present in this
+    environment.  Contract: mapInPandas (binary -> struct<width:int,
+    height:int, pixels:array<array<array<double>>>>) mirroring
+    byte_histogram_features' batch shape.  Install PIL and swap the body.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "decode_image requires an image codec (PIL/pillow) not present "
+            "in this environment; byte-level operators (media_metadata, "
+            "byte_histogram_features, sample_frames) cover the Spark "
+            "plumbing without it"
+        )
+    raise NotImplementedError("codec present but decoder not wired yet")
+
+
+def fake_media_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic binary payloads derived from text (UTF-8 bytes with a
+    sniffable PNG header for every 7th id) — the test/fixture source for
+    the media operators, clearly not a real media store."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    png = F.to_binary(F.lit("89504e470d0a1a0a"), F.lit("hex"))
+    data = F.when(
+        F.col(id_col) % 7 == 0, F.concat(png, payload)
+    ).otherwise(payload)
+    return df.select(id_col, data.alias("data"))

@@ -68,10 +68,83 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (size, container sniff, chunk accounting)
+    over deterministic fake media payloads derived from documents.  The
+    DuckDB oracle reproduces the byte arithmetic on encode(text)."""
+    from summarydb_spark.functions import multimodal
+
+    media = multimodal.fake_media_from_text(_docs(spark, sf_dir))
+    return multimodal.media_metadata(media).select(
+        "doc_id", "n_bytes", "format", "n_chunks"
+    )
+
+
+ORACLE_MEDIA_META = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) + CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END AS n_bytes,
+         CASE WHEN doc_id % 7 = 0 THEN 'png' ELSE 'unknown' END AS format
+  FROM documents
+)
+SELECT doc_id, n_bytes, format,
+       CAST(ceil(n_bytes / 256.0) AS BIGINT) AS n_chunks
+FROM m"""
+
+
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling accounting: per payload, frame count and summed frame
+    bytes (offset arithmetic reproduced exactly by the oracle)."""
+    from summarydb_spark.functions import multimodal
+
+    media = multimodal.fake_media_from_text(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("frame_bytes_total"),
+    )
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) + CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n, i,
+         CAST(floor(i * greatest(n - 64, 0) / 3.0) AS BIGINT) AS off
+  FROM m CROSS JOIN (SELECT range AS i FROM range(4)) idx
+)
+SELECT doc_id, count(*) AS n_frames,
+       sum(least(64, n - off)) AS frame_bytes_total
+FROM fr GROUP BY doc_id"""
+
+
+def q_media_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-histogram featurization (mapInPandas path);
+    rows-only — the histogram itself isn't portable SQL."""
+    from summarydb_spark.functions import multimodal
+
+    media = multimodal.fake_media_from_text(_docs(spark, sf_dir))
+    feats = multimodal.byte_histogram_features(media, bins=16)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("bin0"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("mass"),
+    ).orderBy("doc_id")
+
+
 # name -> (spark_builder, oracle_sql | None)
 DF_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "embedding_near_dups": (q_embedding_near_dups, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
+    "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),
+    "media_byte_histogram": (q_media_histogram, None),
 }

@@ -1,0 +1,101 @@
+"""Multimodal column plumbing tests: metadata sniffing, Arrow-batched
+feature extraction, frame sampling, pseudo-embedding integration with the
+similarity operators, and the decode stub contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from summarydb_spark.functions import multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return multimodal.fake_media_from_text(docs).cache()
+
+
+def test_metadata_sniffing_and_sizes(spark, media):
+    out = multimodal.media_metadata(media).collect()
+    assert len(out) > 0
+    for r in out:
+        if r["doc_id"] % 7 == 0:
+            assert r["format"] == "png"
+            assert r["head_byte"] == 0x89
+        else:
+            assert r["format"] == "unknown"
+        assert r["n_bytes"] == len(r["data"])
+        assert r["n_chunks"] == -(-r["n_bytes"] // 256)
+
+
+def test_magic_sniffing_planted(spark):
+    rows = [
+        (1, bytes.fromhex("ffd8ffe000104a46494600") + b"x" * 10, "jpeg"),
+        (2, bytes.fromhex("474946383961") + b"x" * 10, "gif"),
+        (3, b"RIFF" + b"\x00" * 8 + b"WAVE", "riff"),
+        (4, b"\x00\x00\x00\x18ftypmp42more", "mp4"),
+        (5, b"ID3\x04rest", "mp3_id3"),
+        (6, b"OggS\x00rest", "ogg"),
+        (7, b"plain bytes", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d, _ in rows], "doc_id long, data binary"
+    )
+    got = {
+        r["doc_id"]: r["format"]
+        for r in multimodal.media_metadata(df).collect()
+    }
+    for i, _, fmt in rows:
+        assert got[i] == fmt, (i, got[i], fmt)
+
+
+def test_byte_histogram_features(spark, media):
+    out = multimodal.byte_histogram_features(media, bins=16).collect()
+    for r in out:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-9  # normalized
+    # deterministic across runs
+    out2 = multimodal.byte_histogram_features(media, bins=16).collect()
+    a = {r["doc_id"]: r["features"] for r in out}
+    b = {r["doc_id"]: r["features"] for r in out2}
+    assert a == b
+
+
+def test_frame_sampling_shape(spark, media):
+    n_frames, frame_bytes = 4, 64
+    out = multimodal.sample_frames(
+        media, n_frames=n_frames, frame_bytes=frame_bytes
+    )
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r)
+    for i, frames in per.items():
+        assert len(frames) == n_frames
+        offs = [f["frame_offset"] for f in sorted(frames, key=lambda f: f["frame_idx"])]
+        assert offs == sorted(offs)
+        assert offs[0] == 0
+        for f in frames:
+            assert 0 < len(f["frame"]) <= frame_bytes
+    assert len(ids) == media.count()
+
+
+def test_media_embedding_drives_similarity(spark, media):
+    emb = multimodal.media_embedding(media, dim=32, bins=64)
+    rows = emb.limit(5).collect()
+    for r in rows:
+        v = np.array(r["embedding"])
+        assert len(v) == 32
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    # plug straight into the ANN operator (vec_id/embedding contract)
+    e = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    topk = similarity.brute_force_topk(e, e.limit(3), k=3)
+    got = topk.collect()
+    assert len(got) == 9
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in got)
+
+
+def test_decode_stub_contract(spark, media):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media)
