@@ -36,7 +36,18 @@ from summarydb_spark.operators.estimator import (
     select_landmark_windows,
     select_summary_windows,
 )
-from summarydb_spark.operators.summary import build_summary_windows
+from summarydb_spark.operators.sketch_windows import (
+    SKETCH_OPS,
+    build_sketch_windows,
+    query_distinct,
+    query_membership,
+    query_quantile,
+)
+from summarydb_spark.operators.summary import (
+    bucketed_events,
+    build_summary_windows,
+    summarize_bucketed,
+)
 from summarydb_spark.windowing import windowing_from_params
 
 EVENT_SCHEMA = T.StructType(
@@ -177,6 +188,57 @@ class Stream:
     def flush(self) -> None:
         self._db.flush(stream_ids=[self.meta.stream_id])
 
+    # -- sketch queries (the reference's declared-but-unbuilt surface:
+    # protos/summarydb.capnp:6-13, README.md:27-28) ----------------------
+
+    def _sketch_df(self) -> DataFrame:
+        if not os.path.isdir(self._db._sketches_path):
+            raise ValueError(
+                f"stream {self.meta.stream_id} has no sketch state; declare "
+                f"sketch ops {SKETCH_OPS} at new_stream()"
+            )
+        return self._db.spark.read.parquet(self._db._sketches_path)
+
+    def _landmark_points(self, t0: int, t1: int) -> list:
+        if not os.path.isdir(self._db._landmarks_path):
+            return []
+        rows = (
+            self._db.spark.read.parquet(self._db._landmarks_path)
+            .where(
+                (F.col("stream_id") == self.meta.stream_id)
+                & F.col("ts").isNotNull()
+                & F.col("ts").between(t0, t1)
+            )
+            .collect()
+        )
+        return [(r["ts"], r["value"]) for r in rows]
+
+    def query_membership(self, member: float, t0: int, t1: int) -> AggResult:
+        """Bloom membership of ``member`` among values in [t0, t1];
+        error = false-positive probability (0 on landmark-exact hits)."""
+        if self.meta.dirty:
+            self.flush()
+        return query_membership(
+            self._sketch_df(),
+            self.meta.stream_id,
+            member,
+            t0,
+            t1,
+            landmark_points=self._landmark_points(t0, t1),
+        )
+
+    def query_distinct(self, t0: int, t1: int) -> AggResult:
+        """Approx distinct values over the covering windows (HLL)."""
+        if self.meta.dirty:
+            self.flush()
+        return query_distinct(self._sketch_df(), self.meta.stream_id, t0, t1)
+
+    def query_quantile(self, q: float, t0: int, t1: int) -> AggResult:
+        """Approx value quantile over the covering windows (KLL)."""
+        if self.meta.dirty:
+            self.flush()
+        return query_quantile(self._sketch_df(), self.meta.stream_id, q, t0, t1)
+
     def query(
         self, op: str, t0: int, t1: int, params: Optional[QueryParams] = None
     ) -> AggResult:
@@ -242,6 +304,7 @@ class SummaryDB:
         self._events_path = os.path.join(path, "events")
         self._summary_path = os.path.join(path, "summary")
         self._landmarks_path = os.path.join(path, "landmarks")
+        self._sketches_path = os.path.join(path, "sketches")
         if os.path.exists(self._registry_path):
             with open(self._registry_path) as f:
                 data = json.load(f)
@@ -343,14 +406,24 @@ class SummaryDB:
             key = (s.meta.window_kind, json.dumps(s.meta.window_params), s.meta.buffer_size)
             by_cfg.setdefault(key, []).append(s)
         parts = []
+        sketch_parts = []
         for (kind, params_json, buf), streams in by_cfg.items():
             win = windowing_from_params(kind, json.loads(params_json))
             sub = ev.where(F.col("stream_id").isin([s.meta.stream_id for s in streams]))
-            parts.append(
-                build_summary_windows(
-                    sub, win, order_cols=("seq",), buffer_size=buf
+            bucketed = bucketed_events(sub, win, order_cols=("seq",), buffer_size=buf)
+            parts.append(summarize_bucketed(bucketed))
+            # streams declaring sketch ops get per-window sketch state too
+            sk_streams = [
+                s for s in streams if set(s.meta.ops) & set(SKETCH_OPS)
+            ]
+            if sk_streams:
+                sk_ops = set()
+                for s in sk_streams:
+                    sk_ops |= set(s.meta.ops) & set(SKETCH_OPS)
+                sk_ev = bucketed.where(
+                    F.col("stream_id").isin([s.meta.stream_id for s in sk_streams])
                 )
-            )
+                sketch_parts.append(build_sketch_windows(sk_ev, sk_ops))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -358,6 +431,13 @@ class SummaryDB:
         out.withColumn("sid", F.col("stream_id")).write.mode("overwrite").partitionBy(
             "sid"
         ).parquet(self._summary_path)
+        if sketch_parts:
+            sk = sketch_parts[0]
+            for p in sketch_parts[1:]:
+                sk = sk.unionByName(p, allowMissingColumns=True)
+            sk.withColumn("sid", F.col("stream_id")).write.mode(
+                "overwrite"
+            ).partitionBy("sid").parquet(self._sketches_path)
         for s in targets:
             s.meta.dirty = False
         self._save_registry()

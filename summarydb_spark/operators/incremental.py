@@ -32,11 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from summarydb_spark.operators.summary import SUMMARY_COLS
-from summarydb_spark.windowing import (
-    ExpWindowing,
-    canonical_boundaries,
-    exp2_bucket_sql,
-)
+from summarydb_spark.windowing import ExpWindowing, canonical_boundaries
 
 _UNIT_COLS = [
     "stream_id",
@@ -178,8 +174,9 @@ def merge_summary_increment(
     if exp2:
         # bucket of the unit's newest element; the coarsening invariant
         # guarantees the whole [count_start, count_end] interval shares it
-        rank = "((_n) - 1 - (count_end))"
-        units = units.withColumn("bucket", F.expr(exp2_bucket_sql(rank, "_n")))
+        from summarydb_spark.operators.summary import with_exp2_bucket
+
+        units = with_exp2_bucket(units, "count_end", "_n", "bucket")
     else:
         udf = _general_bucket_udf(windowing, new_counts, buffer_size)
         units = units.withColumn(

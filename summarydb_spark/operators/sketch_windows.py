@@ -1,0 +1,184 @@
+"""Per-window sketch state + range-query evaluation for the engine.
+
+The reference *declares* bloom / count-min / frequency operators
+(protos/summarydb.capnp:6-13, README.md:27-28) but implements none.  Here
+they are engine features: each canonical decay window carries mergeable
+sketches next to its count/sum/max/min, and a time-range query merges the
+sketches of the overlapping windows — the same query shape as the
+estimator (core/max_op.go:39-63) with sketch-merge instead of max-merge.
+
+Window sketches (one row per canonical window):
+- ``bloom``: map<long,long> word->bits (functions.sketch.bloom_aggregate)
+  over xxhash64 of the value — membership with no false negatives.
+- ``hll``:  Spark DataSketches HLL over the value — approx distinct.
+- ``kll``:  Spark DataSketches KLL over the value — approx quantiles.
+
+Range queries (evaluated as one tiny Spark job over O(log N) rows):
+- membership(member): OR-merge blooms; landmark points overlapping the
+  range answer exactly (mirrors max's landmark exactness,
+  core/max_op.go:52-58).
+- distinct(): hll_union_agg + estimate; rse ~ 1.04/sqrt(2^lgk).
+- quantile(q): fold kll_sketch_merge_double; rank error ~ 1.65% at k=200.
+
+Because sketches summarize whole windows they answer over the *covering*
+span of the overlapping windows (edge windows cannot be prorated the way
+the count/sum estimator prorates, core/sum_estimator.go:34-105); the
+returned ``AggResult.error`` carries the sketch's own error figure.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from summarydb_spark.functions import sketch
+from summarydb_spark.operators.estimator import AggResult
+
+BLOOM_M = 1 << 13
+BLOOM_K = 5
+HLL_LGK = 12
+KLL_K = 200
+
+SKETCH_OPS = ("bloom", "hll", "kll")
+
+
+def build_sketch_windows(ev_bucketed: DataFrame, ops) -> DataFrame:
+    """Per-(stream, canonical-window) sketch rows from bucketed events.
+
+    One hash aggregation for the scalar sketches (hll/kll + window bounds);
+    blooms need an explode so they aggregate separately and join back on
+    the (tiny) window key space.
+    """
+    ops = set(ops)
+    # Pre-shuffle on the group keys: the canonical exp2 bucket expression is
+    # a very large CASE tree, and whole-stage codegen cannot split methods
+    # inside TypedImperativeAggregate (hll/kll) update loops — fusing the
+    # two blows the JVM method limit and drops the stage to interpreted
+    # mode.  Repartitioning on the keys satisfies the aggregate's required
+    # distribution, so the bucket projection compiles in its own stage and
+    # the aggregate stage sees plain column refs.
+    ev_bucketed = ev_bucketed.repartition("stream_id", "bucket")
+    # The bloom join below would emit isnotnull(bucket), and predicate
+    # pushdown substitutes the whole (large) bucket expression into that
+    # filter — overflowing the codegen constant pool.  coalesce with a
+    # literal makes the key provably non-nullable, so the null filter is
+    # optimized away instead of pushed down.
+    ev_bucketed = ev_bucketed.withColumn(
+        "bucket", F.coalesce(F.col("bucket"), F.lit(-1).cast("long"))
+    )
+    aggs = [
+        F.min("ts").alias("time_start"),
+        F.max("ts").alias("time_end"),
+        F.min("idx").alias("window_id"),
+        F.count(F.lit(1)).alias("count"),
+    ]
+    if "hll" in ops:
+        aggs.append(
+            F.hll_sketch_agg(F.col("value").cast("string"), F.lit(HLL_LGK)).alias(
+                "hll"
+            )
+        )
+    if "kll" in ops:
+        aggs.append(F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("kll"))
+    base = ev_bucketed.groupBy("stream_id", "bucket").agg(*aggs)
+
+    if "bloom" in ops:
+        blooms = sketch.bloom_aggregate(
+            ev_bucketed, ["stream_id", "bucket"], "value", m_bits=BLOOM_M, k=BLOOM_K
+        )
+        base = base.join(blooms, ["stream_id", "bucket"])
+    return base.drop("bucket")
+
+
+def _overlap(df: DataFrame, stream_id: int, t0: int, t1: int) -> DataFrame:
+    return df.where(
+        (F.col("stream_id") == stream_id)
+        & (F.col("time_end") >= t0)
+        & (F.col("time_start") <= t1)
+    )
+
+
+def query_membership(
+    sketches: DataFrame,
+    stream_id: int,
+    member: float,
+    t0: int,
+    t1: int,
+    landmark_points: Optional[list] = None,
+) -> AggResult:
+    """Bloom membership over the windows covering [t0, t1].
+
+    Returns AggResult(value=1.0/0.0, error=false-positive probability).
+    Landmark points inside the range answer their sub-range exactly.
+    """
+    if landmark_points:
+        for ts, v in landmark_points:
+            if t0 <= ts <= t1 and v == member:
+                return AggResult(value=1.0, error=0.0)
+    rows = (
+        _overlap(sketches, stream_id, t0, t1)
+        .select("bloom", "count")
+        .collect()
+    )
+    if not rows:
+        return AggResult(value=0.0, error=0.0)
+    n_items = sum(r["count"] for r in rows)
+    # OR-merge the word maps driver-side (O(log N) tiny maps), then one
+    # JVM probe so the hash matches the build-side xxhash64 exactly
+    merged: dict = {}
+    for r in rows:
+        for w, bits in (r["bloom"] or {}).items():
+            merged[w] = merged.get(w, 0) | bits
+    spark = sketches.sparkSession
+    probe = spark.createDataFrame(
+        [(list(merged.keys()), list(merged.values()))],
+        "ks array<long>, vs array<long>",
+    ).select(F.map_from_arrays("ks", "vs").alias("bloom"))
+    hit = probe.select(
+        sketch.bloom_contains(
+            F.col("bloom"), F.lit(float(member)), m_bits=BLOOM_M, k=BLOOM_K
+        ).alias("hit")
+    ).first()["hit"]
+    fp = (1.0 - math.exp(-BLOOM_K * n_items / BLOOM_M)) ** BLOOM_K
+    return AggResult(value=1.0 if hit else 0.0, error=fp if hit else 0.0)
+
+
+def query_distinct(
+    sketches: DataFrame, stream_id: int, t0: int, t1: int
+) -> AggResult:
+    """Approx distinct values over the covering windows (HLL union)."""
+    row = (
+        _overlap(sketches, stream_id, t0, t1)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("nd"))
+        .first()
+    )
+    nd = float(row["nd"]) if row and row["nd"] is not None else 0.0
+    rse = 1.04 / math.sqrt(1 << HLL_LGK)
+    return AggResult(value=nd, error=rse * nd)
+
+
+def query_quantile(
+    sketches: DataFrame, stream_id: int, q: float, t0: int, t1: int
+) -> AggResult:
+    """Approx value quantile over the covering windows (KLL merge)."""
+    merged = (
+        _overlap(sketches, stream_id, t0, t1)
+        .agg(F.collect_list("kll").alias("ks"))
+        .select(
+            F.reduce(
+                F.slice("ks", 2, F.greatest(F.size("ks") - 1, F.lit(0))),
+                F.element_at("ks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("kll")
+        )
+    )
+    row = merged.select(
+        F.kll_sketch_get_quantile_double("kll", F.lit(float(q))).alias("v")
+    ).first()
+    if row is None or row["v"] is None:
+        return AggResult(value=float("nan"), error=float("nan"))
+    # normalized rank error for KLL with k=200 is ~1.65% (DataSketches)
+    return AggResult(value=float(row["v"]), error=0.0165)

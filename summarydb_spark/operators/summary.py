@@ -108,6 +108,64 @@ def bucket_expr_exp2(idx: Column | str = "idx", n: Column | str = "n") -> Column
     return F.expr(exp2_bucket_sql(rank, str(n)))
 
 
+def with_exp2_bucket(
+    df: DataFrame,
+    idx_col: str = "idx",
+    n_col: str = "n",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Staged-column version of the exp(2) closed form.
+
+    The single-expression form (exp2_bucket_sql) macro-expands to ~22KB of
+    SQL with 600+ casts: inlined into a whole-stage-codegen'd
+    filter/aggregate it overflows the JVM constant pool and drops the stage
+    to interpreted mode.  Staging each sub-term as a named column that is
+    referenced more than once keeps CollapseProject from re-inlining
+    (multiply-used non-cheap aliases are preserved), so every generated
+    method stays small.  Semantics identical to bucket_expr_exp2 —
+    the golden-parity tests cover both paths.
+    """
+    rank = (F.col(n_col) - 1 - F.col(idx_col)).alias("_rank")
+    n1 = (F.col(n_col) + 1).cast("double")
+    t0 = F.floor(F.log2(n1)).cast("long")
+    df = df.withColumn("_rank", rank).withColumn("_t0", t0)
+    # off-by-one fixup: Spark computes log2 as ln/ln, 1 ulp off at powers of 2
+    p = lambda k: F.pow(F.lit(2.0), k.cast("double")).cast("long")  # noqa: E731
+    t = (
+        F.when(p(F.col("_t0") + 1) <= F.col(n_col) + 1, F.col("_t0") + 1)
+        .when(p(F.col("_t0")) > F.col(n_col) + 1, F.col("_t0") - 1)
+        .otherwise(F.col("_t0"))
+    )
+    df = df.withColumn("_t", t)
+    df = df.withColumn("_m", F.col(n_col) - p(F.col("_t")) + 1)
+
+    def c(k: Column) -> Column:  # C_k cumulative count; C_(-1) = 0
+        mask = p(k + 1) - 1
+        return mask + F.col("_m").bitwiseAND(mask)
+
+    a = F.greatest(
+        F.ceil(F.log2((F.col("_rank") + 2).cast("double"))).cast("long") - 3,
+        F.lit(0).cast("long"),
+    )
+    df = df.withColumn("_a", a)
+    k = F.when(F.col("_rank") < c(F.col("_a")), F.col("_a"))
+    for i in range(1, 4):
+        k = k.when(F.col("_rank") < c(F.col("_a") + i), F.col("_a") + i)
+    k = k.otherwise(F.col("_a") + 4)
+    df = df.withColumn("_k", k)
+    c_prev = F.when(F.col("_k") == 0, F.lit(0).cast("long")).otherwise(
+        c(F.col("_k") - 1)
+    )
+    below = F.col("_k") + F.bit_count(
+        F.col("_m").bitwiseAND(p(F.col("_k")) - 1)
+    ).cast("long")
+    within = F.floor(
+        (F.col("_rank") - c_prev).cast("double") / p(F.col("_k")).cast("double")
+    ).cast("long")
+    df = df.withColumn(out_col, below + within)
+    return df.drop("_rank", "_t0", "_t", "_m", "_a", "_k")
+
+
 def _bucket_udf_general(windowing, buffer_size: int, counts: dict):
     """Vectorized searchsorted binning against driver-simulated canonical
     boundaries (one tiny array per stream)."""
@@ -131,6 +189,62 @@ def _bucket_udf_general(windowing, buffer_size: int, counts: dict):
     return bucket_of
 
 
+def bucketed_events(
+    events: DataFrame,
+    windowing,
+    *,
+    stream_col: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple = (),
+    buffer_size: int = 0,
+) -> DataFrame:
+    """Events annotated with per-stream insertion index ``idx``, stream
+    size ``n`` and canonical decay ``bucket`` — the shared first stage of
+    the summary build and any per-window sketch build."""
+    ev = _with_index(
+        events.select(
+            F.col(stream_col).alias("stream_id"),
+            F.col(ts_col).cast("long").alias("ts"),
+            F.col(value_col).cast("double").alias("value"),
+            *[F.col(c) for c in order_cols],
+        ),
+        "stream_id",
+        "ts",
+        order_cols,
+    )
+
+    if isinstance(windowing, ExpWindowing) and windowing.base == 2.0 and buffer_size <= 0:
+        return with_exp2_bucket(ev, "idx", "n", "bucket")
+    counts = {
+        r["stream_id"]: r["cnt"]
+        for r in events.groupBy(F.col(stream_col).alias("stream_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    udf = _bucket_udf_general(windowing, buffer_size, counts)
+    return ev.withColumn("bucket", udf(F.col("stream_id"), F.col("idx")))
+
+
+def summarize_bucketed(ev: DataFrame) -> DataFrame:
+    """groupBy monoid merge of bucketed events into ``SUMMARY_COLS``."""
+    return (
+        ev.groupBy("stream_id", "bucket")
+        .agg(
+            F.min("ts").alias("time_start"),
+            F.max("ts").alias("time_end"),
+            F.min("idx").alias("count_start"),
+            F.max("idx").alias("count_end"),
+            F.count(F.lit(1)).alias("count"),
+            F.sum("value").alias("sum"),
+            F.max("value").alias("max"),
+            F.min("value").alias("min"),
+        )
+        .withColumn("window_id", F.col("count_start"))
+        .select(*SUMMARY_COLS)
+    )
+
+
 def build_summary_windows(
     events: DataFrame,
     windowing,
@@ -148,42 +262,14 @@ def build_summary_windows(
     the reference's SummaryWindow + DataTable (core/summary_window.go:13-19,
     core/data.go:9-21) with the promised-but-unbuilt ``min`` included.
     """
-    ev = _with_index(
-        events.select(
-            F.col(stream_col).alias("stream_id"),
-            F.col(ts_col).cast("long").alias("ts"),
-            F.col(value_col).cast("double").alias("value"),
-            *[F.col(c) for c in order_cols],
-        ),
-        "stream_id",
-        "ts",
-        order_cols,
-    )
-
-    if isinstance(windowing, ExpWindowing) and windowing.base == 2.0 and buffer_size <= 0:
-        ev = ev.withColumn("bucket", bucket_expr_exp2("idx", "n"))
-    else:
-        counts = {
-            r["stream_id"]: r["cnt"]
-            for r in events.groupBy(F.col(stream_col).alias("stream_id"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        udf = _bucket_udf_general(windowing, buffer_size, counts)
-        ev = ev.withColumn("bucket", udf(F.col("stream_id"), F.col("idx")))
-
-    return (
-        ev.groupBy("stream_id", "bucket")
-        .agg(
-            F.min("ts").alias("time_start"),
-            F.max("ts").alias("time_end"),
-            F.min("idx").alias("count_start"),
-            F.max("idx").alias("count_end"),
-            F.count(F.lit(1)).alias("count"),
-            F.sum("value").alias("sum"),
-            F.max("value").alias("max"),
-            F.min("value").alias("min"),
+    return summarize_bucketed(
+        bucketed_events(
+            events,
+            windowing,
+            stream_col=stream_col,
+            ts_col=ts_col,
+            value_col=value_col,
+            order_cols=order_cols,
+            buffer_size=buffer_size,
         )
-        .withColumn("window_id", F.col("count_start"))
-        .select(*SUMMARY_COLS)
     )

@@ -1,0 +1,95 @@
+"""Engine-level sketch queries: bloom membership, HLL distinct, KLL
+quantile over decayed windows — the reference's declared-but-unbuilt
+operator surface (protos/summarydb.capnp:6-13) made real."""
+
+import pytest
+
+from summarydb_spark.engine import SummaryDB
+from summarydb_spark.windowing import ExpWindowing
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sketchdb")
+    db = SummaryDB(spark, str(d))
+    s = db.new_stream(
+        ops=["count", "sum", "max", "min", "bloom", "hll", "kll"],
+        windowing=ExpWindowing(2.0),
+    )
+    # values 0..499 at ts=i; value v at ts=v (membership is checkable)
+    s.append_pairs([(i, float(i)) for i in range(500)])
+    s.flush()
+    return db
+
+
+def test_membership_present(db):
+    s = db.get_stream(0)
+    for v in (0.0, 17.0, 250.0, 499.0):
+        r = s.query_membership(v, 0, 499)
+        assert r.value == 1.0, v
+        assert 0 <= r.error < 0.25  # windows are small -> low fp
+    # range-restricted: probe a value outside the queried time range;
+    # sketches answer over covering windows, so restrict to an exactly
+    # covered old span [0, 255] (a canonical boundary at N=500... use a
+    # narrow recent range instead)
+    r = s.query_membership(499.0, 490, 499)
+    assert r.value == 1.0
+
+
+def test_membership_absent(db):
+    s = db.get_stream(0)
+    misses = 0
+    for v in (1000.5, 2000.25, 777.125, 12345.0):
+        r = s.query_membership(v, 0, 499)
+        misses += r.value == 0.0
+        if r.value == 0.0:
+            assert r.error == 0.0
+    assert misses >= 3  # bloom fp possible but rare at this fill rate
+
+
+def test_membership_landmark_exact(spark, tmp_path):
+    db = SummaryDB(spark, str(tmp_path / "lm"))
+    s = db.new_stream(ops=["count", "sum", "bloom"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(10)])
+    s.start_landmark(10)
+    s.append_pairs([(10, 123.5), (11, 124.5)])
+    s.end_landmark(12)
+    s.flush()
+    r = s.query_membership(123.5, 9, 12)
+    assert r.value == 1.0
+    assert r.error == 0.0  # landmark answers exactly
+
+
+def test_distinct(db):
+    s = db.get_stream(0)
+    r = s.query_distinct(0, 499)
+    assert abs(r.value - 500) / 500 < 0.05
+    assert r.error > 0
+    r2 = s.query_distinct(450, 499)
+    # covering windows of the newest span: between 50 and ~128+ items
+    assert 40 <= r2.value <= 200
+
+
+def test_quantile(db):
+    s = db.get_stream(0)
+    r = s.query_quantile(0.5, 0, 499)
+    assert abs(r.value - 249.5) / 249.5 < 0.05
+    r9 = s.query_quantile(0.9, 0, 499)
+    assert abs(r9.value - 449.0) / 449.0 < 0.05
+    assert r.error == pytest.approx(0.0165)
+
+
+def test_sketchless_stream_raises(spark, tmp_path):
+    db = SummaryDB(spark, str(tmp_path / "nosketch"))
+    s = db.new_stream(ops=["count", "sum"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(10)])
+    s.flush()
+    with pytest.raises(ValueError):
+        s.query_membership(1.0, 0, 9)
+
+
+def test_reopen_preserves_sketches(spark, db):
+    db2 = SummaryDB.open(spark, db.path)
+    s = db2.get_stream(0)
+    r = s.query_membership(42.0, 0, 499)
+    assert r.value == 1.0
