@@ -305,6 +305,95 @@ SELECT p_brand, p_partkey, round(revenue, 6) AS revenue, rk
 FROM rk WHERE rk <= 3"""
 
 
+def q_asof_join(dialect: str) -> str:
+    """As-of join (events to most recent order at-or-before the event, per
+    user) — an operator Spark has no native primitive for.
+
+    Implementation: union both sides tagged by kind, one running-max window
+    per user recovers the as-of order timestamp (max ignores the NULLs from
+    event rows), then an equi-join pins the order row.  This shape scales:
+    one shuffle on user, no range-join blowup; DuckDB runs the identical
+    SQL (its native ASOF JOIN would also work but the portable plan is the
+    point).
+    """
+    et = epoch_us("ts", dialect)
+    # o_orderdate is micro-precision: a real TIMESTAMP in both dialects
+    # (unlike events.ts which Spark reads as LONG nanos)
+    # NTZ -> LTZ cast is value-preserving under the UTC session timezone,
+    # matching DuckDB's epoch_us of the naive timestamp
+    ot = (
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+        if dialect == "spark"
+        else "epoch_us(o_orderdate)"
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id, {et} AS t, 1 AS kind, event_id, CAST(NULL AS BIGINT) AS o_t
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS user_id, {ot} AS t, 0 AS kind, CAST(NULL AS BIGINT) AS event_id, {ot} AS o_t
+  FROM orders
+),
+w AS (
+  SELECT user_id, t, kind, event_id,
+         max(o_t) OVER (PARTITION BY user_id ORDER BY t, kind
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_t
+  FROM u
+),
+ev AS (SELECT user_id, t AS event_t, event_id, asof_t FROM w WHERE kind = 1),
+ob AS (
+  SELECT o_custkey, {ot} AS o_t, max(o_totalprice) AS best_price
+  FROM orders GROUP BY o_custkey, {ot}
+)
+SELECT ev.event_id, ev.user_id, ev.event_t, ev.asof_t,
+       ob.best_price AS asof_totalprice
+FROM ev LEFT JOIN ob ON ob.o_custkey = ev.user_id AND ob.o_t = ev.asof_t"""
+
+
+def q_sessionize(dialect: str) -> str:
+    """Gap-based sessionization (1h inactivity) of the events stream via
+    lag + running sum — per-session rows with bounds and sizes."""
+    et = epoch_us("ts", dialect)
+    gap = 3_600_000_000  # 1h in micros
+    return f"""
+WITH e AS (SELECT user_id, event_id, {et} AS t FROM events),
+d AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > {gap}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM d
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(t) AS t_start,
+       max(t) AS t_end,
+       max(t) - min(t) AS duration_us
+FROM s
+GROUP BY user_id, session_id"""
+
+
+def q_tpch_q5_like(dialect: str) -> str:
+    """Multi-join revenue rollup (lineitem-orders-customer-nation-region):
+    the deep-join shape; small dims broadcast on the Spark side."""
+    return f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name"""
+
+
 CORE_QUERIES = {
     "decay_summary_exp2": q_decay_summary_exp2,
     "decay_compaction_exp2": q_compaction_exp2,
@@ -316,6 +405,9 @@ CORE_QUERIES = {
     "tpch_q1_like": q_tpch_q1_like,
     "join_enrich_region_month": q_join_enrich,
     "topk_parts_per_brand": q_topk_per_group,
+    "asof_join_events_orders": q_asof_join,
+    "sessionize_events": q_sessionize,
+    "tpch_q5_like_revenue": q_tpch_q5_like,
 }
 
 
