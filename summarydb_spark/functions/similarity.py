@@ -100,6 +100,117 @@ def _signature(col: Column, planes: np.ndarray) -> Column:
     )
 
 
+def _centroid_dots(col: Column, centroids: np.ndarray) -> Column:
+    """Array of dot products of ``col`` with each centroid (literal matrix
+    + HOF loops — compact codegen, same pattern as _signature)."""
+    n_c, dim = centroids.shape
+    mat = F.array(
+        *[
+            F.array(*[F.lit(float(centroids[i, j])) for j in range(dim)])
+            for i in range(n_c)
+        ]
+    )
+    return F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(col, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_fraction: float = 1.0,
+    max_iter: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) coarse quantizer.
+
+    KMeans centroids are trained driver-side on a corpus sample (at 100 TB
+    you fit on ~1M sampled rows — centroid quality converges long before
+    that), then both sides use pure column math: every corpus vector is
+    assigned to its nearest centroid (one linear scan, no shuffle), queries
+    probe their ``n_probe`` nearest centroid lists, and exact cosine runs
+    only inside probed lists.  Candidate volume per query ~
+    corpus * n_probe / n_centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # L2-normalize so max-dot == max-cosine and KMeans partitions by angle
+    def norm(col):
+        nrm = F.sqrt(
+            F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v)
+        )
+        return F.transform(col, lambda x: x / nrm)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        norm(_as_double(F.col(emb_col))).alias("cv"),
+    )
+    train = c.sample(sample_fraction, seed=seed) if sample_fraction < 1.0 else c
+    # coarse bucketing converges in a handful of iterations; full
+    # convergence buys no recall
+    km = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_f",
+        predictionCol="_p",
+    )
+    model = km.fit(train.select(array_to_vector("cv").alias("_f")))
+    centroids = np.vstack([np.asarray(ct) for ct in model.clusterCenters()])
+
+    def argmax_idx(dots: Column) -> Column:
+        return F.array_position(dots, F.array_max(dots)).cast("int") - 1
+
+    c = c.withColumn("list_id", argmax_idx(_centroid_dots(F.col("cv"), centroids)))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        norm(_as_double(F.col(emb_col))).alias("qv"),
+    ).withColumn("_dots", _centroid_dots(F.col("qv"), centroids))
+    # top-n_probe centroid ids: sort (dot, idx) structs descending
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    F.col("_dots"),
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    qp = q.withColumn("probe", F.explode(ranked)).select(
+        "query_id", "qv", F.col("probe.i").alias("list_id")
+    )
+
+    scored = (
+        qp.join(c, ["list_id"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -68,6 +68,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer) approximate top-5 for 20 probe
+    vectors.  Rows-only check."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where("vec_id < 20")
+    return similarity.ivf_topk(
+        embs, queries, k=5, n_centroids=8, n_probe=4
+    ).orderBy("query_id", "rnk")
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (size, container sniff, chunk accounting)
     over deterministic fake media payloads derived from documents.  The
@@ -144,6 +154,7 @@ DF_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, None),
     "embedding_near_dups": (q_embedding_near_dups, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),
     "media_byte_histogram": (q_media_histogram, None),

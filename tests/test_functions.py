@@ -139,6 +139,38 @@ def test_brute_force_topk(embs):
         assert all(r["neighbor_id"] != q for r in rs)
 
 
+def test_ivf_topk_finds_planted_neighbors(spark, embs):
+    # planted near-copies: each query's true top-1 is its source vector,
+    # which shares the IVF list with near-certainty
+    import pyspark.sql.functions as F
+
+    planted = embs.where("vec_id < 5").select(
+        (F.col("vec_id") + 700000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.01).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    out = similarity.ivf_topk(
+        embs.unionByName(planted), planted, k=3, n_centroids=8, n_probe=2
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rnk"] == 1}
+    for qid in range(700000, 700005):
+        assert top1[qid] == qid - 700000
+
+
+def test_ivf_topk_recall_vs_exact(embs):
+    queries = embs.where("vec_id < 20")
+    exact = similarity.brute_force_topk(embs, queries, k=5).collect()
+    approx = similarity.ivf_topk(
+        embs, queries, k=5, n_centroids=8, n_probe=4
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_lsh_topk_recall(embs):
     queries = embs.where("vec_id < 20")
     exact = similarity.brute_force_topk(embs, queries, k=5).collect()
