@@ -134,16 +134,15 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) coarse quantizer.
 
-    KMeans centroids are trained driver-side on a corpus sample (at 100 TB
-    you fit on ~1M sampled rows — centroid quality converges long before
-    that), then both sides use pure column math: every corpus vector is
-    assigned to its nearest centroid (one linear scan, no shuffle), queries
-    probe their ``n_probe`` nearest centroid lists, and exact cosine runs
-    only inside probed lists.  Candidate volume per query ~
-    corpus * n_probe / n_centroids.
+    Centroids are trained driver-side with a few numpy Lloyd iterations on
+    a collected corpus sample (at 100 TB you sample ~1M rows — centroid
+    quality for coarse *bucketing* converges long before that, and the
+    sample fits comfortably on the driver).  Everything distributed is pure
+    column math: every corpus vector is assigned to its nearest centroid
+    (one linear scan, no shuffle), queries probe their ``n_probe`` nearest
+    centroid lists, and exact cosine runs only inside probed lists.
+    Candidate volume per query ~ corpus * n_probe / n_centroids.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     # L2-normalize so max-dot == max-cosine and KMeans partitions by angle
     def norm(col):
@@ -157,17 +156,20 @@ def ivf_topk(
         norm(_as_double(F.col(emb_col))).alias("cv"),
     )
     train = c.sample(sample_fraction, seed=seed) if sample_fraction < 1.0 else c
-    # coarse bucketing converges in a handful of iterations; full
-    # convergence buys no recall
-    km = KMeans(
-        k=n_centroids,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="_f",
-        predictionCol="_p",
+    sample = np.array(
+        [r["cv"] for r in train.select("cv").limit(1_000_000).collect()]
     )
-    model = km.fit(train.select(array_to_vector("cv").alias("_f")))
-    centroids = np.vstack([np.asarray(ct) for ct in model.clusterCenters()])
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(max_iter):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for j in range(n_centroids):
+            pts = sample[assign == j]
+            if len(pts):
+                m = pts.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    centroids[j] = m / nm
 
     def argmax_idx(dots: Column) -> Column:
         return F.array_position(dots, F.array_max(dots)).cast("int") - 1
