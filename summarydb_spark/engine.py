@@ -40,6 +40,7 @@ from summarydb_spark.operators.sketch_windows import (
     SKETCH_OPS,
     build_sketch_windows,
     query_distinct,
+    query_frequency,
     query_membership,
     query_quantile,
 )
@@ -225,6 +226,15 @@ class Stream:
             t0,
             t1,
             landmark_points=self._landmark_points(t0, t1),
+        )
+
+    def query_frequency(self, member: float, t0: int, t1: int) -> AggResult:
+        """Count-min frequency estimate of ``member`` among values in
+        [t0, t1]; error = the eps*N overcount bound (estimate >= truth)."""
+        if self.meta.dirty:
+            self.flush()
+        return query_frequency(
+            self._sketch_df(), self.meta.stream_id, member, t0, t1
         )
 
     def query_distinct(self, t0: int, t1: int) -> AggResult:

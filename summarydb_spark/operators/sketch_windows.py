@@ -41,8 +41,10 @@ BLOOM_M = 1 << 13
 BLOOM_K = 5
 HLL_LGK = 12
 KLL_K = 200
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
 
-SKETCH_OPS = ("bloom", "hll", "kll")
+SKETCH_OPS = ("bloom", "hll", "kll", "cms", "freq")
 
 
 def build_sketch_windows(ev_bucketed: DataFrame, ops) -> DataFrame:
@@ -52,7 +54,8 @@ def build_sketch_windows(ev_bucketed: DataFrame, ops) -> DataFrame:
     blooms need an explode so they aggregate separately and join back on
     the (tiny) window key space.
     """
-    ops = set(ops)
+    # "freq" (frequency queries) is answered by the same count-min state
+    ops = {"cms" if o == "freq" else o for o in ops}
     # Pre-shuffle on the group keys: the canonical exp2 bucket expression is
     # a very large CASE tree, and whole-stage codegen cannot split methods
     # inside TypedImperativeAggregate (hll/kll) update loops — fusing the
@@ -90,6 +93,28 @@ def build_sketch_windows(ev_bucketed: DataFrame, ops) -> DataFrame:
             ev_bucketed, ["stream_id", "bucket"], "value", m_bits=BLOOM_M, k=BLOOM_K
         )
         base = base.join(blooms, ["stream_id", "bucket"])
+    if "cms" in ops:
+        # count-min as one map<long,long> per window, key = depth*width+col;
+        # merging windows = keywise sum (the count/sum monoid shape again)
+        counters = sketch.cms_aggregate(
+            ev_bucketed,
+            ["stream_id", "bucket"],
+            "value",
+            depth=CMS_DEPTH,
+            width=CMS_WIDTH,
+        )
+        cms_maps = (
+            counters.withColumn(
+                "_key", F.col("_depth") * CMS_WIDTH + F.col("_col")
+            )
+            .groupBy("stream_id", "bucket")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_key", "cnt"))
+                ).alias("cms")
+            )
+        )
+        base = base.join(cms_maps, ["stream_id", "bucket"])
     return base.drop("bucket")
 
 
@@ -144,6 +169,49 @@ def query_membership(
     ).first()["hit"]
     fp = (1.0 - math.exp(-BLOOM_K * n_items / BLOOM_M)) ** BLOOM_K
     return AggResult(value=1.0 if hit else 0.0, error=fp if hit else 0.0)
+
+
+def query_frequency(
+    sketches: DataFrame,
+    stream_id: int,
+    member: float,
+    t0: int,
+    t1: int,
+) -> AggResult:
+    """Count-min frequency estimate of ``member`` over the covering
+    windows.  Returns AggResult(value=estimate, error=eps*N overcount
+    bound) — estimate >= true count always (the CMS guarantee)."""
+    rows = _overlap(sketches, stream_id, t0, t1).select("cms", "count").collect()
+    if not rows:
+        return AggResult(value=0.0, error=0.0)
+    n_items = sum(r["count"] for r in rows)
+    merged: dict = {}
+    for r in rows:
+        for k, v in (r["cms"] or {}).items():
+            merged[k] = merged.get(k, 0) + v
+    # probe JVM-side so the hash matches the build-side xxhash64
+    spark = sketches.sparkSession
+    probe = spark.createDataFrame(
+        [(list(merged.keys()), list(merged.values()))],
+        "ks array<long>, vs array<long>",
+    ).select(F.map_from_arrays("ks", "vs").alias("cms"))
+    cols = [
+        F.coalesce(
+            F.element_at(
+                "cms",
+                F.lit(i * CMS_WIDTH)
+                + F.pmod(
+                    F.xxhash64(F.lit(float(member)), F.lit(1000 + i)),
+                    F.lit(CMS_WIDTH),
+                ),
+            ),
+            F.lit(0).cast("long"),
+        )
+        for i in range(CMS_DEPTH)
+    ]
+    est = probe.select(F.least(*cols).alias("est")).first()["est"]
+    eps_bound = math.e * n_items / CMS_WIDTH
+    return AggResult(value=float(est), error=eps_bound)
 
 
 def query_distinct(

@@ -13,13 +13,25 @@ def db(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("sketchdb")
     db = SummaryDB(spark, str(d))
     s = db.new_stream(
-        ops=["count", "sum", "max", "min", "bloom", "hll", "kll"],
+        ops=["count", "sum", "max", "min", "bloom", "hll", "kll", "freq"],
         windowing=ExpWindowing(2.0),
     )
     # values 0..499 at ts=i; value v at ts=v (membership is checkable)
     s.append_pairs([(i, float(i)) for i in range(500)])
     s.flush()
     return db
+
+
+def test_frequency(db):
+    s = db.get_stream(0)
+    # every value occurs exactly once; CMS estimate >= 1, tightly 1 for a
+    # wide sketch on a 500-item domain
+    for v in (0.0, 250.0, 499.0):
+        r = s.query_frequency(v, 0, 499)
+        assert r.value >= 1.0
+        assert r.value <= 1.0 + r.error
+    absent = s.query_frequency(90210.5, 0, 499)
+    assert absent.value <= absent.error  # at most the overcount bound
 
 
 def test_membership_present(db):
