@@ -20,7 +20,6 @@ pure integer/bit arithmetic).
 
 from __future__ import annotations
 
-from summarydb_spark.windowing import exp2_bucket_sql
 
 Z_95 = 1.959963984540054  # z = InvCDF((1+0.95)/2), embedded as a literal
 
@@ -74,10 +73,57 @@ def _events_base(dialect: str, stream_col: str = "user_id") -> str:
 
 
 def _bucketed(dialect: str) -> str:
-    bucket = exp2_bucket_sql("(n - 1 - idx)", "n")
+    """events + canonical exp(2) bucket, staged as a CTE chain.
+
+    The single-expression closed form (windowing.exp2_bucket_sql)
+    macro-expands to ~22KB of SQL; both engines then pay seconds just
+    *optimizing* that tree per query, and Spark's codegen can overflow on
+    it.  Staging each sub-term (rank/t/m/a/k) as a named CTE column keeps
+    every expression level small — the alias is multiply-referenced and
+    non-trivial, so neither optimizer re-inlines the full tree.  Logic is
+    identical to the one-expression form (and to
+    operators/summary.with_exp2_bucket); the oracle runs this verbatim.
+    """
+    p2 = "CAST(pow(2, {k}) AS BIGINT)"
+
+    def cume(k: str) -> str:  # C_k using the staged m_ column
+        return f"(({p2.format(k=f'({k}) + 1')} - 1) + (m_ & ({p2.format(k=f'({k}) + 1')} - 1)))"
+
+    k_case = f"""CASE WHEN rank_ < {cume('a_')} THEN a_
+              WHEN rank_ < {cume('a_ + 1')} THEN a_ + 1
+              WHEN rank_ < {cume('a_ + 2')} THEN a_ + 2
+              WHEN rank_ < {cume('a_ + 3')} THEN a_ + 3
+              ELSE a_ + 4 END"""
     return f"""
 WITH ev AS ({_events_base(dialect)}),
-b AS (SELECT *, {bucket} AS bucket FROM ev)"""
+s1 AS (
+  SELECT *, (n - 1 - idx) AS rank_,
+         CAST(floor(log2(CAST(n + 1 AS DOUBLE))) AS BIGINT) AS t0_
+  FROM ev
+),
+s2 AS (  -- log2-at-power-of-two off-by-one fixup
+  SELECT *, CASE WHEN {p2.format(k='t0_ + 1')} <= n + 1 THEN t0_ + 1
+                 WHEN {p2.format(k='t0_')} > n + 1 THEN t0_ - 1
+                 ELSE t0_ END AS t_
+  FROM s1
+),
+s3 AS (
+  SELECT *, (n - {p2.format(k='t_')} + 1) AS m_,
+         greatest(CAST(ceil(log2(CAST(rank_ + 2 AS DOUBLE))) AS BIGINT) - 3,
+                  CAST(0 AS BIGINT)) AS a_
+  FROM s2
+),
+s4 AS (SELECT *, {k_case} AS k_ FROM s3),
+s5 AS (
+  SELECT *, CASE WHEN k_ = 0 THEN 0 ELSE {cume('k_ - 1')} END AS cprev_
+  FROM s4
+),
+b AS (
+  SELECT stream_id, t, v, idx, n,
+         (k_ + bit_count(m_ & ({p2.format(k='k_')} - 1))
+          + CAST(floor((rank_ - cprev_) / CAST({p2.format(k='k_')} AS DOUBLE)) AS BIGINT)) AS bucket
+  FROM s5
+)"""
 
 
 def q_decay_summary_exp2(dialect: str) -> str:
