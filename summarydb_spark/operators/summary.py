@@ -91,14 +91,91 @@ def clamp_monotonic(
     return df.withColumn(ts_col, clamped).drop("_i")
 
 
-def _with_index(df: DataFrame, stream_col: str, ts_col: str, order_cols) -> DataFrame:
+def _with_index(
+    df: DataFrame,
+    stream_col: str,
+    ts_col: str,
+    order_cols,
+    index_mode: str = "window",
+) -> DataFrame:
     """Add per-stream insertion index ``idx`` (0-based, oldest first) and
-    stream size ``n``."""
-    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
-    w = Window.partitionBy(stream_col).orderBy(*order)
-    wn = Window.partitionBy(stream_col)
-    return df.withColumn("idx", F.row_number().over(w).cast("long") - 1).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    stream size ``n``.
+
+    ``index_mode="window"`` (default): one row_number window per stream —
+    right for the reference's many-streams layout (parallelism = #streams).
+
+    ``index_mode="range"``: for few-giant-streams layouts, where a single
+    window partition would mean one task sorting (and possibly spilling)
+    billions of rows.  Three bounded steps instead:
+
+    1. range-repartition + sort *within* partitions on (stream, ts, ...) —
+       Spark's sampled range partitioner splits even one stream across
+       many ordered partitions;
+    2. partition-local running index per stream via mapInPandas (no
+       shuffle; a per-partition counter across Arrow batches);
+    3. per-(partition, stream) row counts (tiny aggregate) -> driver
+       computes global offsets -> broadcast map fixes the local indexes up.
+
+    Both modes produce identical (idx, n); tests assert it.
+    """
+    if index_mode == "window":
+        order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+        w = Window.partitionBy(stream_col).orderBy(*order)
+        wn = Window.partitionBy(stream_col)
+        return df.withColumn(
+            "idx", F.row_number().over(w).cast("long") - 1
+        ).withColumn("n", F.count(F.lit(1)).over(wn))
+    if index_mode != "range":
+        raise ValueError(f"unknown index_mode {index_mode!r}")
+
+    order = [F.col(stream_col), F.col(ts_col)] + [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(*order).sortWithinPartitions(*order)
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema_out = StructType(
+        list(d.schema.fields)
+        + [StructField("_pid", IntegerType()), StructField("_li", LongType())]
+    )
+
+    def local_index(it):
+        import pandas as pd  # noqa: F401
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counters: dict = {}
+        for pdf in it:
+            lis = []
+            for sid in pdf[stream_col]:
+                c = counters.get(sid, 0)
+                lis.append(c)
+                counters[sid] = c + 1
+            pdf = pdf.assign(_pid=pid, _li=lis)
+            yield pdf
+
+    d = d.mapInPandas(local_index, schema_out)
+    counts = d.groupBy("_pid", stream_col).agg(F.count(F.lit(1)).alias("_c")).collect()
+    offsets: dict = {}
+    totals: dict = {}
+    for r in sorted(counts, key=lambda r: (r[stream_col], r["_pid"])):
+        sid = r[stream_col]
+        offsets[(r["_pid"], sid)] = totals.get(sid, 0)
+        totals[sid] = totals.get(sid, 0) + r["_c"]
+    off_map = F.create_map(
+        *[
+            F.lit(x)
+            for (pid, sid), off in offsets.items()
+            for x in (f"{pid}:{sid}", off)
+        ]
+    )
+    n_map = F.create_map(
+        *[F.lit(x) for sid, n in totals.items() for x in (sid, n)]
+    )
+    key = F.concat_ws(":", F.col("_pid"), F.col(stream_col))
+    return (
+        d.withColumn("idx", (F.col("_li") + off_map[key]).cast("long"))
+        .withColumn("n", n_map[F.col(stream_col)].cast("long"))
+        .drop("_pid", "_li")
     )
 
 
@@ -198,6 +275,7 @@ def bucketed_events(
     value_col: str = "value",
     order_cols: tuple = (),
     buffer_size: int = 0,
+    index_mode: str = "window",
 ) -> DataFrame:
     """Events annotated with per-stream insertion index ``idx``, stream
     size ``n`` and canonical decay ``bucket`` — the shared first stage of
@@ -212,6 +290,7 @@ def bucketed_events(
         "stream_id",
         "ts",
         order_cols,
+        index_mode=index_mode,
     )
 
     if isinstance(windowing, ExpWindowing) and windowing.base == 2.0 and buffer_size <= 0:
@@ -254,6 +333,7 @@ def build_summary_windows(
     value_col: str = "value",
     order_cols: tuple = (),
     buffer_size: int = 0,
+    index_mode: str = "window",
 ) -> DataFrame:
     """Build the canonical decayed ``summary_windows`` table for a batch.
 
@@ -271,5 +351,6 @@ def build_summary_windows(
             value_col=value_col,
             order_cols=order_cols,
             buffer_size=buffer_size,
+            index_mode=index_mode,
         )
     )
