@@ -156,8 +156,10 @@ def ivf_topk(
         norm(_as_double(F.col(emb_col))).alias("cv"),
     )
     train = c.sample(sample_fraction, seed=seed) if sample_fraction < 1.0 else c
+    # Arrow-path transfer (toPandas) is ~10x cheaper than Row collect for
+    # wide array columns
     sample = np.array(
-        [r["cv"] for r in train.select("cv").limit(1_000_000).collect()]
+        train.select("cv").limit(1_000_000).toPandas()["cv"].tolist()
     )
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]

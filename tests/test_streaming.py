@@ -140,6 +140,54 @@ def test_idempotent_batch_replay(spark, tmp_path):
     assert counts == counts2 == {0: 20}
 
 
+def test_streaming_session_window_with_watermark(spark, tmp_path):
+    """Spark-native event-time operators the reference lacks entirely
+    (SURVEY §2.6: no watermarks/session windows; late rows are clamped):
+    a streaming session-window aggregation with a watermark over the same
+    file-source events, as the engine's late-data-capable mode."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    out: dict = {}
+    rows = []
+    # two sessions per user: a burst at t=0..4 min, a burst at t=60..62 min
+    for u in (1, 2):
+        for m in range(5):
+            rows.append((u, m))
+        for m in (60, 61, 62):
+            rows.append((u, m))
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00") for u, m in rows],
+        "user_id long, ts_str string",
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"))
+    df.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def sink(batch, bid):
+        for r in batch.collect():
+            out.setdefault(r["user_id"], []).append(r["n"])
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # watermark has passed the first session, so it is finalized: 5 events;
+    # the second session (3 events) is still open and unemitted
+    assert out == {1: [5], 2: [5]}
+
+
 def test_clamp_across_batches(spark, tmp_path):
     """Out-of-order input is clamped to ts' = max(ts, prev+1) across batch
     boundaries (reference core/pipeline.go:80-84)."""
