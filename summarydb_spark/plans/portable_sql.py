@@ -440,6 +440,153 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name"""
 
 
+def q_tpch_q6_like(dialect: str) -> str:
+    """Pure scan-filter-aggregate (TPC-H Q6 shape): the predicate-pushdown /
+    column-pruning showcase — at scale the parquet scan should read only the
+    four referenced columns and skip row groups on l_shipdate min/max."""
+    return f"""
+SELECT {dsum('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= CAST(DATE '1996-01-01' AS TIMESTAMP)
+  AND l_shipdate <  CAST(DATE '1997-01-01' AS TIMESTAMP)
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+def q_rollup_revenue(dialect: str) -> str:
+    """Hierarchical ROLLUP (region -> nation -> grand total) — grouping-sets
+    coverage (absent from the reference, SURVEY §2.6).  GROUPING() makes the
+    subtotal rows deterministic labels instead of bare NULLs."""
+    return f"""
+SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS region,
+       CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+       GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS grouping_level,
+       {dsum('o.o_totalprice')} AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)"""
+
+
+def q_distinct_agg(dialect: str) -> str:
+    """Distinct aggregation per group (partial-agg + expand under the hood):
+    distinct customers and ship-months per order priority."""
+    return f"""
+SELECT o.o_orderpriority,
+       count(DISTINCT o.o_custkey) AS n_customers,
+       count(DISTINCT CAST(date_trunc('month', l.l_shipdate) AS DATE)) AS n_ship_months,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority"""
+
+
+def q_percentiles(dialect: str) -> str:
+    """Exact interpolated percentiles per group (median + p95 of quantity,
+    median extended price).  Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both compute the linear-interpolated continuous
+    quantile, so values agree to rounding."""
+    q = "percentile" if dialect == "spark" else "quantile_cont"
+    return f"""
+SELECT l_returnflag,
+       round({q}(l_quantity, 0.5), 6) AS median_qty,
+       round({q}(l_quantity, 0.95), 6) AS p95_qty,
+       round({q}(l_extendedprice, 0.5), 6) AS median_price,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag"""
+
+
+def q_set_ops_daily(dialect: str) -> str:
+    """Set operation (EXCEPT) at (user, day) grain: days on which a user
+    clicked but never purchased — classic funnel-leak set difference."""
+    t = epoch_us("ts", dialect)
+    day = f"CAST(floor({t} / 86400000000) AS BIGINT)"
+    return f"""
+WITH e AS (SELECT user_id, {day} AS day, event_type FROM events)
+SELECT user_id, day FROM e WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, day FROM e WHERE event_type = 'purchase'"""
+
+
+def q_tumbling_window(dialect: str) -> str:
+    """Fixed tumbling event-time windows (1 day) per stream — the uniform
+    special case of the decayed windowing, and the Structured Streaming
+    window-agg shape run as batch."""
+    t = epoch_us("ts", dialect)
+    return f"""
+SELECT user_id AS stream_id,
+       CAST(floor({t} / 86400000000) AS BIGINT) AS window_day,
+       count(*) AS cnt,
+       {dsum('value')} AS sum_v,
+       max(value) AS max_v,
+       min(value) AS min_v
+FROM events
+GROUP BY user_id, CAST(floor({t} / 86400000000) AS BIGINT)"""
+
+
+def q_hopping_window(dialect: str) -> str:
+    """Hopping (sliding) event-time windows — size 2 days, hop 1 day: each
+    event contributes to exactly two overlapping windows, materialized by
+    exploding per-event hop ids (the scalable pattern: expansion factor =
+    size/hop, no self-join)."""
+    t = epoch_us("ts", dialect)
+    day = f"CAST(floor({t} / 86400000000) AS BIGINT)"
+    if dialect == "spark":
+        src = f"""
+  SELECT user_id, value, hop
+  FROM events LATERAL VIEW explode(sequence({day} - 1, {day})) x AS hop"""
+    else:
+        src = f"""
+  SELECT user_id, value, hop
+  FROM events, unnest(generate_series({day} - 1, {day})) AS x(hop)"""
+    return f"""
+WITH h AS ({src})
+SELECT user_id AS stream_id,
+       hop AS window_start_day,
+       count(*) AS cnt,
+       {dsum('value')} AS sum_v,
+       max(value) AS max_v
+FROM h
+GROUP BY user_id, hop"""
+
+
+def q_range_join_events(dialect: str) -> str:
+    """Bounded range join: for every click, aggregate the same user's events
+    in the following 6 hours.  Implemented bucket-wise (bucket width = range
+    width, probe side explodes to 2 adjacent buckets, equi-join on
+    (user, bucket), then the exact range filter) — the shape that avoids the
+    O(n^2) interval-join blowup and shuffles once on (user, bucket)."""
+    t = epoch_us("ts", dialect)
+    w = 21_600_000_000  # 6h in micros
+    bkt = f"CAST(floor({t} / {w}) AS BIGINT)"
+    if dialect == "spark":
+        probe = f"""
+  SELECT user_id, event_id, {t} AS t0, b
+  FROM events LATERAL VIEW explode(sequence({bkt}, {bkt} + 1)) x AS b
+  WHERE event_type = 'click'"""
+    else:
+        probe = f"""
+  SELECT user_id, event_id, {t} AS t0, b
+  FROM events, unnest(generate_series({bkt}, {bkt} + 1)) AS x(b)
+  WHERE event_type = 'click'"""
+    return f"""
+WITH probe AS ({probe}),
+build AS (
+  SELECT user_id, {t} AS t, value, {bkt} AS b FROM events
+)
+SELECT p.event_id, p.user_id, p.t0,
+       count(*) AS n_follow,
+       {dsum('e.value')} AS sum_follow,
+       max(e.value) AS max_follow
+FROM probe p JOIN build e
+  ON e.user_id = p.user_id AND e.b = p.b
+ AND e.t > p.t0 AND e.t <= p.t0 + {w}
+GROUP BY p.event_id, p.user_id, p.t0"""
+
+
 CORE_QUERIES = {
     "decay_summary_exp2": q_decay_summary_exp2,
     "decay_compaction_exp2": q_compaction_exp2,
@@ -454,6 +601,14 @@ CORE_QUERIES = {
     "asof_join_events_orders": q_asof_join,
     "sessionize_events": q_sessionize,
     "tpch_q5_like_revenue": q_tpch_q5_like,
+    "tpch_q6_like_filter": q_tpch_q6_like,
+    "rollup_revenue_region_nation": q_rollup_revenue,
+    "distinct_agg_priority": q_distinct_agg,
+    "percentiles_by_returnflag": q_percentiles,
+    "set_ops_click_no_purchase": q_set_ops_daily,
+    "tumbling_window_daily": q_tumbling_window,
+    "hopping_window_2d1d": q_hopping_window,
+    "range_join_click_follow": q_range_join_events,
 }
 
 
