@@ -20,10 +20,52 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from summarydb_spark.functions.dedup import _hyperplanes, cosine
+
+
+def _mat_dots_udf(mat: np.ndarray):
+    """Arrow-batched dot products against a fixed matrix: array<double> col
+    -> array<double> of ``mat.shape[0]`` dots.
+
+    One numpy matmul per Arrow batch replaces per-element HOF lambda
+    evaluation (runtime-interpreted, ~100x slower per row); the matrix rides
+    into executors inside the serialized UDF closure — at scale this is a
+    few KB broadcast once, not a join side."""
+    M = np.ascontiguousarray(mat.T, dtype=np.float64)  # dim x rows(mat)
+
+    @pandas_udf("array<double>")
+    def dots(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy())  # batch x dim
+        D = V @ M  # batch x n_rows
+        return pd.Series(list(D))
+
+    return dots
+
+
+def _sigs_all_tables_udf(tables: list[np.ndarray]):
+    """Arrow-batched packed sign-bit signatures for every LSH table at once:
+    array<double> col -> array<long> of ``len(tables)`` signatures (one
+    matmul across the concatenated plane sets per batch)."""
+    n_planes = tables[0].shape[0]
+    P = np.ascontiguousarray(np.vstack(tables).T, dtype=np.float64)
+    bits = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy())
+        S = (V @ P) > 0  # batch x (tables*planes)
+        out = [
+            (S[:, t * n_planes : (t + 1) * n_planes] @ bits).astype(np.int64)
+            for t in range(len(tables))
+        ]
+        return pd.Series(list(np.stack(out, axis=1)))
+
+    return sigs
 
 
 def _as_double(col) -> Column:
@@ -62,62 +104,41 @@ def brute_force_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
-def _signature(col: Column, planes: np.ndarray) -> Column:
-    """Packed sign-bit signature of an array<double> column against fixed
-    hyperplanes.
+def train_ivf_centroids(
+    corpus: DataFrame,
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_fraction: float = 1.0,
+    max_iter: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: a few numpy Lloyd iterations on a
+    driver-collected, L2-normalized corpus sample (Arrow path).
 
-    The plane matrix is a literal array<array<double>> and the dot products
-    run through higher-order functions (zip_with/aggregate), which evaluate
-    as runtime loops: the generated code stays small and compilable.  A
-    fully unrolled sum-of-products (planes x dim multiply terms inline)
-    blows past the JVM 64KB method limit and drops the whole stage to
-    interpreted mode.
-    """
-    n_planes, dim = planes.shape
-    mat = F.array(
-        *[
-            F.array(*[F.lit(float(planes[i, j])) for j in range(dim)])
-            for i in range(n_planes)
-        ]
-    )
-    dots = F.transform(
-        mat,
-        lambda p: F.aggregate(
-            F.zip_with(col, p, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
-    return F.aggregate(
-        F.zip_with(
-            dots,
-            pow2,
-            lambda d, b: F.when(d > 0, b).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    Index build and search are separate phases by design — at 100 TB you
+    train once on a ~1M-row sample, persist the centroids, and amortize
+    them over every subsequent search (the FAISS build/search split)."""
 
+    def norm(col):
+        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
+        return F.transform(col, lambda x: x / nrm)
 
-def _centroid_dots(col: Column, centroids: np.ndarray) -> Column:
-    """Array of dot products of ``col`` with each centroid (literal matrix
-    + HOF loops — compact codegen, same pattern as _signature)."""
-    n_c, dim = centroids.shape
-    mat = F.array(
-        *[
-            F.array(*[F.lit(float(centroids[i, j])) for j in range(dim)])
-            for i in range(n_c)
-        ]
-    )
-    return F.transform(
-        mat,
-        lambda c: F.aggregate(
-            F.zip_with(col, c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+    train = corpus.select(norm(_as_double(F.col(emb_col))).alias("cv"))
+    if sample_fraction < 1.0:
+        train = train.sample(sample_fraction, seed=seed)
+    sample = np.array(train.limit(1_000_000).toPandas()["cv"].tolist())
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(max_iter):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for j in range(n_centroids):
+            pts = sample[assign == j]
+            if len(pts):
+                m = pts.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    centroids[j] = m / nm
+    return centroids
 
 
 def ivf_topk(
@@ -131,57 +152,49 @@ def ivf_topk(
     sample_fraction: float = 1.0,
     max_iter: int = 8,
     seed: int = 42,
+    centroids: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) coarse quantizer.
 
-    Centroids are trained driver-side with a few numpy Lloyd iterations on
-    a collected corpus sample (at 100 TB you sample ~1M rows — centroid
-    quality for coarse *bucketing* converges long before that, and the
-    sample fits comfortably on the driver).  Everything distributed is pure
-    column math: every corpus vector is assigned to its nearest centroid
-    (one linear scan, no shuffle), queries probe their ``n_probe`` nearest
-    centroid lists, and exact cosine runs only inside probed lists.
-    Candidate volume per query ~ corpus * n_probe / n_centroids.
+    The quantizer is trained by :func:`train_ivf_centroids` (pass
+    ``centroids`` to reuse a prebuilt index — the production path).
+    Everything distributed is Arrow-batched numpy: every corpus vector is
+    assigned to its nearest centroid (one linear scan, no shuffle), queries
+    probe their ``n_probe`` nearest centroid lists, and exact cosine runs
+    only inside probed lists.  Candidate volume per query ~
+    corpus * n_probe / n_centroids.
     """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus,
+            emb_col=emb_col,
+            n_centroids=n_centroids,
+            sample_fraction=sample_fraction,
+            max_iter=max_iter,
+            seed=seed,
+        )
 
-    # L2-normalize so max-dot == max-cosine and KMeans partitions by angle
+    # L2-normalize so max-dot == max-cosine
     def norm(col):
         nrm = F.sqrt(
             F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v)
         )
         return F.transform(col, lambda x: x / nrm)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        norm(_as_double(F.col(emb_col))).alias("cv"),
-    )
-    train = c.sample(sample_fraction, seed=seed) if sample_fraction < 1.0 else c
-    # Arrow-path transfer (toPandas) is ~10x cheaper than Row collect for
-    # wide array columns
-    sample = np.array(
-        train.select("cv").limit(1_000_000).toPandas()["cv"].tolist()
-    )
-    rng = np.random.RandomState(seed)
-    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
-    for _ in range(max_iter):
-        assign = np.argmax(sample @ centroids.T, axis=1)
-        for j in range(n_centroids):
-            pts = sample[assign == j]
-            if len(pts):
-                m = pts.mean(axis=0)
-                nm = np.linalg.norm(m)
-                if nm > 0:
-                    centroids[j] = m / nm
+    cdots = _mat_dots_udf(centroids)
 
     def argmax_idx(dots: Column) -> Column:
         return F.array_position(dots, F.array_max(dots)).cast("int") - 1
 
-    c = c.withColumn("list_id", argmax_idx(_centroid_dots(F.col("cv"), centroids)))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        norm(_as_double(F.col(emb_col))).alias("cv"),
+    ).withColumn("list_id", argmax_idx(cdots(F.col("cv"))))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         norm(_as_double(F.col(emb_col))).alias("qv"),
-    ).withColumn("_dots", _centroid_dots(F.col("qv"), centroids))
+    ).withColumn("_dots", cdots(F.col("qv")))
     # top-n_probe centroid ids: sort (dot, idx) structs descending
     ranked = F.slice(
         F.reverse(
@@ -238,28 +251,23 @@ def lsh_topk(
     (query, neighbor).  Returns (query_id, neighbor_id, cosine, rnk).
     """
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-
-    def sig_structs(col: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"), _signature(col, tables[t]).alias("sig")
-                )
-                for t in range(n_tables)
-            ]
-        )
+    sigsf = _sigs_all_tables_udf(tables)
 
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("cv")
         )
-        .withColumn("ts", F.explode(sig_structs(F.col("cv"))))
-        .select("neighbor_id", "cv", "ts.tbl", "ts.sig")
+        .withColumn("sigs", sigsf(F.col("cv")))
+        .select(
+            "neighbor_id",
+            "cv",
+            F.posexplode("sigs").alias("tbl", "sig"),
+        )
     )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
-    ).withColumn("tsig", sig_structs(F.col("qv")))
+    ).withColumn("sigs", sigsf(F.col("qv")))
 
     def probes_of(sig: Column) -> list:
         out = [sig]
@@ -277,11 +285,9 @@ def lsh_topk(
         return out
 
     qp = (
-        q.withColumn("ts", F.explode("tsig"))
-        .withColumn(
-            "probe", F.explode(F.array(*probes_of(F.col("ts.sig"))))
-        )
-        .select("query_id", "qv", F.col("ts.tbl").alias("tbl"), "probe")
+        q.select("query_id", "qv", F.posexplode("sigs").alias("tbl", "sig"))
+        .withColumn("probe", F.explode(F.array(*probes_of(F.col("sig")))))
+        .select("query_id", "qv", "tbl", "probe")
     )
 
     scored = (
