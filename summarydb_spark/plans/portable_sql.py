@@ -72,8 +72,13 @@ def _events_base(dialect: str, stream_col: str = "user_id") -> str:
   FROM events"""
 
 
-def _bucketed(dialect: str) -> str:
+def _bucketed(dialect: str, ev_sql: str | None = None) -> str:
     """events + canonical exp(2) bucket, staged as a CTE chain.
+
+    ``ev_sql`` overrides the default whole-table ``ev`` CTE; it must yield
+    (stream_id, t, v, idx, n) with idx the 0-based per-stream insertion
+    index and n the stream size — used by the landmark variant, which
+    excludes bracketed rows from the summary build before indexing.
 
     The single-expression closed form (windowing.exp2_bucket_sql)
     macro-expands to ~22KB of SQL; both engines then pay seconds just
@@ -95,7 +100,7 @@ def _bucketed(dialect: str) -> str:
               WHEN rank_ < {cume('a_ + 3')} THEN a_ + 3
               ELSE a_ + 4 END"""
     return f"""
-WITH ev AS ({_events_base(dialect)}),
+WITH ev AS ({ev_sql if ev_sql is not None else _events_base(dialect)}),
 s1 AS (
   SELECT *, (n - 1 - idx) AS rank_,
          CAST(floor(log2(CAST(n + 1 AS DOUBLE))) AS BIGINT) AS t0_
@@ -233,6 +238,135 @@ acc AS (
            + CASE WHEN first_ov = first_len THEN first_sum ELSE 0.0 END
            + CASE WHEN last_ov = last_len THEN last_sum ELSE 0.0 END AS lower_bound,
          middle_sum
+           + CASE WHEN first_ov > 0 THEN first_sum * (CAST(first_ov AS DOUBLE) / first_len) ELSE 0.0 END
+           + CASE WHEN last_ov > 0 THEN last_sum * (CAST(last_ov AS DOUBLE) / last_len) ELSE 0.0 END AS mean,
+         CASE WHEN first_ov > 0 THEN first_sum * (CAST(first_ov AS DOUBLE) / first_len) * (1.0 - CAST(first_ov AS DOUBLE) / first_len) ELSE 0.0 END
+           + CASE WHEN last_ov > 0 THEN last_sum * (CAST(last_ov AS DOUBLE) / last_len) * (1.0 - CAST(last_ov AS DOUBLE) / last_len) ELSE 0.0 END AS var
+  FROM est
+)
+SELECT stream_id, qid, t0, t1,
+       round(mean, 6) AS estimate,
+       round(greatest(mean - {Z_95} * sqrt(var), lower_bound), 6) AS lower_ci,
+       round(least(mean + {Z_95} * sqrt(var), upper_bound), 6) AS upper_ci,
+       round(lower_bound, 6) AS lower_bound,
+       round(upper_bound, 6) AS upper_bound
+FROM acc"""
+
+
+def q_approx_range_landmark(dialect: str, op: str) -> str:
+    """Landmark-corrected approximate range aggregate — the reference's full
+    error model (core/sum_estimator.go:34-118): per stream, one bracketed
+    landmark interval [tmin+5%span, tmin+15%span] holds exact raw rows that
+    are EXCLUDED from the decayed summary build (core/stream.go:112-114:
+    landmark appends bypass the pipeline); at query time the landmark
+    contributes exactly (ratio 1), and the prorated edge windows subtract
+    the landmark's span from both their length and their overlap
+    (core/sum_estimator.go:66-87, guards ``first.Start < lw.End`` /
+    ``last.End > lw.Start``), with WindowOverlap/WindowLength inclusive
+    (+1) semantics (stats/utils.go:15-22).  Query ranges: full span (hits
+    the corrections) and newest tenth (landmark out of range — guard path).
+    """
+    val = "CAST(cnt AS DOUBLE)" if op == "count" else "sum_v"
+    lmv = "1.0" if op == "count" else "r.v"
+    ov = "greatest(least({r1}, {b1}) - greatest({l1}, {a1}) + 1, CAST(0 AS BIGINT))"
+    ev_sql = f"""
+  SELECT e.stream_id, e.t, e.v,
+         row_number() OVER (PARTITION BY e.stream_id ORDER BY e.t, e.event_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY e.stream_id) AS n
+  FROM ev0 e JOIN lmk ON lmk.stream_id = e.stream_id
+  WHERE e.t < lmk.l0 OR e.t > lmk.l1"""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH ev0 AS (
+  SELECT user_id AS stream_id, {t} AS t, value AS v, event_id FROM events
+),
+raw_b AS (
+  SELECT stream_id, min(t) AS tmin, max(t) AS tmax FROM ev0 GROUP BY stream_id
+),
+lmk AS (
+  SELECT stream_id,
+         tmin + CAST(floor((tmax - tmin) * 0.05) AS BIGINT) AS l0,
+         tmin + CAST(floor((tmax - tmin) * 0.15) AS BIGINT) AS l1
+  FROM raw_b
+),
+bkt AS ({_bucketed(dialect, ev_sql)}
+SELECT stream_id, t, v, bucket FROM b),
+sw AS (
+  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
+         count(*) AS cnt, {dsum('v')} AS sum_v
+  FROM bkt
+  GROUP BY stream_id, bucket
+),
+sb AS (SELECT stream_id, tmin, tmax FROM raw_b),
+qr AS (
+  SELECT stream_id, 1 AS qid, tmin AS t0, tmax AS t1 FROM sb
+  UNION ALL
+  SELECT stream_id, 3, tmax - CAST(floor((tmax - tmin) * 0.10) AS BIGINT), tmax FROM sb
+),
+sel AS (
+  SELECT q.stream_id, q.qid, q.t0, q.t1,
+         s.time_start, s.time_end, {val} AS val
+  FROM qr q JOIN sw s
+    ON s.stream_id = q.stream_id AND s.time_end >= q.t0 AND s.time_start <= q.t1
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY stream_id, qid ORDER BY time_start) AS rn,
+         count(*) OVER (PARTITION BY stream_id, qid) AS nw
+  FROM sel
+),
+parts AS (
+  SELECT stream_id, qid, t0, t1, max(nw) AS nw,
+         max(CASE WHEN rn = 1 THEN val END) AS first_sum,
+         max(CASE WHEN rn = 1 THEN time_start END) AS first_start,
+         max(CASE WHEN rn = 1 THEN time_end END) AS first_end,
+         max(CASE WHEN rn = nw THEN val END) AS last_sum_raw,
+         max(CASE WHEN rn = nw THEN time_start END) AS last_start,
+         max(CASE WHEN rn = nw THEN time_end END) AS last_end,
+         {dsum('CASE WHEN rn > 1 AND rn < nw THEN val ELSE 0 END')} AS middle_sum
+  FROM ranked GROUP BY stream_id, qid, t0, t1
+),
+lsum AS (
+  SELECT p.stream_id, p.qid,
+         {dsum(f'CASE WHEN r.t >= p.t0 AND r.t <= p.t1 THEN {lmv} ELSE 0 END')} AS lm_sum
+  FROM parts p
+  JOIN lmk ON lmk.stream_id = p.stream_id
+  JOIN ev0 r ON r.stream_id = p.stream_id AND r.t >= lmk.l0 AND r.t <= lmk.l1
+  WHERE least(lmk.l1, p.t1) >= greatest(lmk.l0, p.t0)
+  GROUP BY p.stream_id, p.qid
+),
+est AS (
+  SELECT p.stream_id, p.qid, p.t0, p.t1,
+         p.first_sum, p.middle_sum,
+         CASE WHEN p.nw = 1 THEN 0.0 ELSE p.last_sum_raw END AS last_sum,
+         coalesce(l.lm_sum, 0.0) AS lm_sum,
+         (p.first_end - p.first_start + 1)
+           - CASE WHEN least(k.l1, p.t1) >= greatest(k.l0, p.t0) AND p.first_start < k.l1
+                  THEN {ov.format(r1='k.l1', b1='p.first_end', l1='k.l0', a1='p.first_start')}
+                  ELSE 0 END AS first_len,
+         {ov.format(r1='p.first_end', b1='p.t1', l1='p.first_start', a1='p.t0')}
+           - CASE WHEN least(k.l1, p.t1) >= greatest(k.l0, p.t0) AND p.first_start < k.l1
+                  THEN {ov.format(r1='k.l1', b1='p.first_end', l1='k.l0', a1='p.t0')}
+                  ELSE 0 END AS first_ov,
+         (p.last_end - p.last_start + 1)
+           - CASE WHEN least(k.l1, p.t1) >= greatest(k.l0, p.t0) AND p.last_end > k.l0
+                  THEN {ov.format(r1='k.l1', b1='p.last_end', l1='k.l0', a1='p.last_start')}
+                  ELSE 0 END AS last_len,
+         {ov.format(r1='p.last_end', b1='p.t1', l1='p.last_start', a1='p.t0')}
+           - CASE WHEN least(k.l1, p.t1) >= greatest(k.l0, p.t0) AND p.last_end > k.l0
+                  THEN {ov.format(r1='k.l1', b1='p.t1', l1='k.l0', a1='p.last_start')}
+                  ELSE 0 END AS last_ov
+  FROM parts p
+  LEFT JOIN lsum l ON l.stream_id = p.stream_id AND l.qid = p.qid
+  JOIN lmk k ON k.stream_id = p.stream_id
+),
+acc AS (
+  SELECT stream_id, qid, t0, t1,
+         lm_sum + first_sum + middle_sum + last_sum AS upper_bound,
+         lm_sum + middle_sum
+           + CASE WHEN first_ov = first_len THEN first_sum ELSE 0.0 END
+           + CASE WHEN last_ov = last_len THEN last_sum ELSE 0.0 END AS lower_bound,
+         lm_sum + middle_sum
            + CASE WHEN first_ov > 0 THEN first_sum * (CAST(first_ov AS DOUBLE) / first_len) ELSE 0.0 END
            + CASE WHEN last_ov > 0 THEN last_sum * (CAST(last_ov AS DOUBLE) / last_len) ELSE 0.0 END AS mean,
          CASE WHEN first_ov > 0 THEN first_sum * (CAST(first_ov AS DOUBLE) / first_len) * (1.0 - CAST(first_ov AS DOUBLE) / first_len) ELSE 0.0 END
@@ -592,6 +726,8 @@ CORE_QUERIES = {
     "decay_compaction_exp2": q_compaction_exp2,
     "approx_count_range": lambda d: q_approx_range(d, "count"),
     "approx_sum_range": lambda d: q_approx_range(d, "sum"),
+    "approx_sum_range_landmark": lambda d: q_approx_range_landmark(d, "sum"),
+    "approx_count_range_landmark": lambda d: q_approx_range_landmark(d, "count"),
     "approx_max_range": lambda d: q_approx_minmax_range(d, "max"),
     "approx_min_range": lambda d: q_approx_minmax_range(d, "min"),
     "stream_stats": q_stream_stats,
