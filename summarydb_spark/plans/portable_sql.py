@@ -382,6 +382,120 @@ SELECT stream_id, qid, t0, t1,
 FROM acc"""
 
 
+def q_decay_summary_power(dialect: str) -> str:
+    """Canonical decayed summary windows under POWER windowing
+    (p=1, q=1, R=10, S=1 — the reference's second supported sequence,
+    window/window_lengths_seq.go:100-128) over the first 10k events as one
+    stream.  At n=10000 the canonical replay yields exactly 598 windows —
+    the reference's own golden count after 10k appends
+    (core/db_test.go:318-322, `testStub(..., 10000, seq, 598, 910)`).
+
+    Power sequences have no closed-form bucket, so the canonical count-space
+    boundaries are replayed driver-side (windowing.canonical_boundaries —
+    the same merge-process replay the golden evolution tests verify) and
+    shipped into the SQL as a literal inline table; bucketing is then a
+    range join of the per-stream insertion index against O(log-ish n)
+    boundary rows.  Both dialects run the identical text, so this is a full
+    hash-match oracle for the power decay path.
+    """
+    from summarydb_spark.windowing import PowerWindowing, canonical_boundaries
+
+    n = 10_000
+    bnd = canonical_boundaries(PowerWindowing(p=1, q=1, R=10, S=1), n)
+    rows = ",".join(
+        f"({k},{bnd[k]},{bnd[k + 1]})" for k in range(len(bnd) - 1)
+    )
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH pre AS (
+  SELECT {t} AS t, value AS v, event_id
+  FROM events ORDER BY 1, 3 LIMIT {n}
+),
+ev AS (
+  SELECT t, v, row_number() OVER (ORDER BY t, event_id) - 1 AS idx FROM pre
+),
+bnd AS (SELECT * FROM (VALUES {rows}) AS x(window_id, lo, hi)),
+b AS (
+  SELECT bnd.window_id, ev.t, ev.v, ev.idx
+  FROM ev JOIN bnd ON ev.idx >= bnd.lo AND ev.idx < bnd.hi
+)
+SELECT window_id,
+       min(idx) AS count_start,
+       max(idx) AS count_end,
+       min(t) AS time_start,
+       max(t) AS time_end,
+       count(*) AS cnt,
+       {dsum('v')} AS sum_v,
+       max(v) AS max_v,
+       min(v) AS min_v
+FROM b GROUP BY window_id"""
+
+
+def q_approx_minmax_range_landmark(dialect: str, op: str) -> str:
+    """Landmark-corrected max/min range query — the reference's max error
+    model (core/max_op.go:39-63): merge ALL overlapping summary windows,
+    then fold in landmark values inside [t0, t1]; any landmark hit forces
+    error to 0 (exact), otherwise error stays 1 (approximate flag).
+    Landmark rows are EXCLUDED from the decayed build (core/stream.go:112-114).
+    Ranges: full span (landmark hit -> exact) and newest tenth (no landmark
+    -> approximate path)."""
+    agg = "max" if op == "max" else "min"
+    comb = "greatest" if op == "max" else "least"
+    t = epoch_us("ts", dialect)
+    ev_sql = """
+  SELECT e.stream_id, e.t, e.v,
+         row_number() OVER (PARTITION BY e.stream_id ORDER BY e.t, e.event_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY e.stream_id) AS n
+  FROM ev0 e JOIN lmk ON lmk.stream_id = e.stream_id
+  WHERE e.t < lmk.l0 OR e.t > lmk.l1"""
+    return f"""
+WITH ev0 AS (
+  SELECT user_id AS stream_id, {t} AS t, value AS v, event_id FROM events
+),
+raw_b AS (
+  SELECT stream_id, min(t) AS tmin, max(t) AS tmax FROM ev0 GROUP BY stream_id
+),
+lmk AS (
+  SELECT stream_id,
+         tmin + CAST(floor((tmax - tmin) * 0.05) AS BIGINT) AS l0,
+         tmin + CAST(floor((tmax - tmin) * 0.15) AS BIGINT) AS l1
+  FROM raw_b
+),
+bkt AS ({_bucketed(dialect, ev_sql)}
+SELECT stream_id, t, v, bucket FROM b),
+sw AS (
+  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
+         {agg}(v) AS wv
+  FROM bkt GROUP BY stream_id, bucket
+),
+qr AS (
+  SELECT stream_id, 1 AS qid, tmin AS t0, tmax AS t1 FROM raw_b
+  UNION ALL
+  SELECT stream_id, 3, tmax - CAST(floor((tmax - tmin) * 0.10) AS BIGINT), tmax
+  FROM raw_b
+),
+wsel AS (
+  SELECT q.stream_id, q.qid, q.t0, q.t1, {agg}(s.wv) AS win_val
+  FROM qr q JOIN sw s
+    ON s.stream_id = q.stream_id AND s.time_end >= q.t0 AND s.time_start <= q.t1
+  GROUP BY q.stream_id, q.qid, q.t0, q.t1
+),
+lm AS (
+  SELECT q.stream_id, q.qid, {agg}(r.v) AS lm_val, count(*) AS lm_n
+  FROM qr q
+  JOIN lmk k ON k.stream_id = q.stream_id
+  JOIN ev0 r ON r.stream_id = q.stream_id
+   AND r.t >= k.l0 AND r.t <= k.l1
+   AND r.t >= q.t0 AND r.t <= q.t1
+  GROUP BY q.stream_id, q.qid
+)
+SELECT w.stream_id, w.qid, w.t0, w.t1,
+       CASE WHEN coalesce(l.lm_n, 0) > 0 THEN {comb}(w.win_val, l.lm_val)
+            ELSE w.win_val END AS {op}_value,
+       CASE WHEN coalesce(l.lm_n, 0) > 0 THEN 0.0 ELSE 1.0 END AS error_flag
+FROM wsel w LEFT JOIN lm l ON l.stream_id = w.stream_id AND l.qid = w.qid"""
+
+
 def q_approx_minmax_range(dialect: str, op: str) -> str:
     """Max/min over the overlapping canonical windows (core/max_op.go:39-63;
     min is the README-promised symmetric op the reference never built)."""
@@ -730,6 +844,9 @@ CORE_QUERIES = {
     "approx_count_range_landmark": lambda d: q_approx_range_landmark(d, "count"),
     "approx_max_range": lambda d: q_approx_minmax_range(d, "max"),
     "approx_min_range": lambda d: q_approx_minmax_range(d, "min"),
+    "approx_max_range_landmark": lambda d: q_approx_minmax_range_landmark(d, "max"),
+    "approx_min_range_landmark": lambda d: q_approx_minmax_range_landmark(d, "min"),
+    "decay_summary_power": q_decay_summary_power,
     "stream_stats": q_stream_stats,
     "tpch_q1_like": q_tpch_q1_like,
     "join_enrich_region_month": q_join_enrich,
