@@ -41,13 +41,10 @@ def _configure(spark: SparkSession) -> None:
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
-    from summarydb_spark.sources.tables import load_table
+    from summarydb_spark.sources.tables import register_tables
 
     _configure(spark)
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_tables(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -382,29 +382,29 @@ SELECT stream_id, qid, t0, t1,
 FROM acc"""
 
 
-def q_decay_summary_power(dialect: str) -> str:
-    """Canonical decayed summary windows under POWER windowing
-    (p=1, q=1, R=10, S=1 — the reference's second supported sequence,
-    window/window_lengths_seq.go:100-128) over the first 10k events as one
-    stream.  At n=10000 the canonical replay yields exactly 598 windows —
-    the reference's own golden count after 10k appends
-    (core/db_test.go:318-322, `testStub(..., 10000, seq, 598, 910)`).
+def _decay_summary_replayed(dialect: str, windowing) -> str:
+    """Canonical decayed summary windows for sequences WITHOUT a closed-form
+    bucket (power, non-2 exponential bases) over the first 10k events as one
+    stream.
 
-    Power sequences have no closed-form bucket, so the canonical count-space
-    boundaries are replayed driver-side (windowing.canonical_boundaries —
-    the same merge-process replay the golden evolution tests verify) and
-    shipped into the SQL as a literal inline table; bucketing is then a
-    range join of the per-stream insertion index against O(log-ish n)
-    boundary rows.  Both dialects run the identical text, so this is a full
-    hash-match oracle for the power decay path.
+    The canonical count-space boundaries are replayed driver-side
+    (windowing.canonical_boundaries — the same merge-process replay the
+    golden evolution tests verify) and shipped into the SQL as a literal
+    inline table; bucketing is then a range join of the insertion index
+    against O(log-ish n) boundary rows.  Both dialects run the identical
+    text, so this is a full hash-match oracle for the replayed decay paths.
+
+    Window counts at n=10000: power(1,1,10,1) -> 598 (equal to the
+    reference's golden count after 10k appends, core/db_test.go:318-322),
+    exp(1.5) -> 34 unbuffered (the reference's buffered run gives 33,
+    core/db_test.go:336-340 — buffering coarsens by at most one window;
+    tests/test_windowing.py pins the buffered counts exactly).
     """
-    from summarydb_spark.windowing import PowerWindowing, canonical_boundaries
+    from summarydb_spark.windowing import canonical_boundaries
 
     n = 10_000
-    bnd = canonical_boundaries(PowerWindowing(p=1, q=1, R=10, S=1), n)
-    rows = ",".join(
-        f"({k},{bnd[k]},{bnd[k + 1]})" for k in range(len(bnd) - 1)
-    )
+    bnd = canonical_boundaries(windowing, n)
+    rows = ",".join(f"({k},{bnd[k]},{bnd[k + 1]})" for k in range(len(bnd) - 1))
     t = epoch_us("ts", dialect)
     return f"""
 WITH pre AS (
@@ -429,6 +429,18 @@ SELECT window_id,
        max(v) AS max_v,
        min(v) AS min_v
 FROM b GROUP BY window_id"""
+
+
+def q_decay_summary_power(dialect: str) -> str:
+    from summarydb_spark.windowing import PowerWindowing
+
+    return _decay_summary_replayed(dialect, PowerWindowing(p=1, q=1, R=10, S=1))
+
+
+def q_decay_summary_exp15(dialect: str) -> str:
+    from summarydb_spark.windowing import ExpWindowing
+
+    return _decay_summary_replayed(dialect, ExpWindowing(1.5))
 
 
 def q_approx_minmax_range_landmark(dialect: str, op: str) -> str:
@@ -847,6 +859,7 @@ CORE_QUERIES = {
     "approx_max_range_landmark": lambda d: q_approx_minmax_range_landmark(d, "max"),
     "approx_min_range_landmark": lambda d: q_approx_minmax_range_landmark(d, "min"),
     "decay_summary_power": q_decay_summary_power,
+    "decay_summary_exp15": q_decay_summary_exp15,
     "stream_stats": q_stream_stats,
     "tpch_q1_like": q_tpch_q1_like,
     "join_enrich_region_month": q_join_enrich,

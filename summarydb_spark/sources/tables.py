@@ -10,12 +10,11 @@ downstream runs wide.  On a real deployment the sources are many splittable
 files and this exchange disappears; it is the IO-boundary fix for
 single-file inputs.
 
-Tables that feed floating-point *aggregation* queries (lineitem, orders,
-events in the core approx queries) are deliberately NOT repartitioned by
-default: keeping their natural scan order keeps float-sum results
-bit-stable against the DuckDB oracle.  The repartition-safe set is the one
-whose query outputs are order-independent (per-row values, integer ratios,
-exact counts, bound booleans).
+Reordering is safe for every registered query because float sums all go
+through exact DECIMAL(38,10) accumulation (portable_sql.dsum) — decimal
+addition is associative and commutative, so results are bit-stable against
+the DuckDB oracle under any partitioning.  Only the genuinely tiny dims
+(region, nation, supplier) skip the exchange: they broadcast anyway.
 """
 
 from __future__ import annotations
@@ -24,9 +23,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-# tables whose downstream computations are per-row-heavy and whose query
-# outputs are reorder-safe
-WIDE_TABLES = frozenset({"documents", "embeddings"})
+# tables big enough (or per-row-heavy enough) that a one-task scan would
+# serialize downstream work; tiny broadcast dims are excluded
+WIDE_TABLES = frozenset(
+    {"documents", "embeddings", "lineitem", "orders", "events", "customer", "part"}
+)
 
 
 def load_table(
@@ -43,3 +44,36 @@ def load_table(
     if widen:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+_REGISTERED: dict[int, str] = {}
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view, once per (session,
+    sf_dir).
+
+    View registration costs a file listing + parquet footer read per table
+    (~0.5-1 s for the full set); doing it on every query call would dominate
+    short queries.  The memo re-registers only when the same session switches
+    to a different scale-factor directory (view names are shared)."""
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
+    for t in ALL_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _REGISTERED[key] = sf_dir

@@ -1,0 +1,126 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference carries a dormant per-stream statistics tracker — Welford
+mean/variance over values and inter-arrival gaps (stats/welford.go:19-25,
+stats/stream_statistics.go:21-33) — that is instantiated but never wired
+into the pipeline (the TODO at core/sum_op.go:39 wanted it for the error
+model's SD multiplier).  Here it runs live on the stream: per-stream Welford
+state maintained across micro-batches with Spark's arbitrary-stateful-
+processing API, emitting an updated statistics row per stream per batch.
+
+Design notes for scale:
+
+- State is O(1) per stream (seven scalars) — the total state store is
+  O(#streams) regardless of event volume, and parallelizes on the group key
+  exactly like the reference's per-stream pipelines (core/pipeline.go:72-78).
+- Each batch's contribution is computed **vectorized** (numpy) and folded
+  into the carried state with Chan's parallel-merge formula, i.e. the same
+  partial/merge monoid contract every other operator in this engine uses —
+  per-row Python never runs.
+- Inter-arrival gaps need the previous batch's last timestamp: it is part
+  of the state, so gaps are exact across batch boundaries as long as each
+  stream's events arrive time-ordered (the engine's monotonicity clamp,
+  operators/summary.clamp_monotonic, enforces exactly that upstream — the
+  reference's core/pipeline.go:80-84 contract).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATS_OUTPUT_SCHEMA = (
+    "stream_id long, n long, value_mean double, value_m2 double, "
+    "gap_n long, gap_mean double, gap_m2 double, last_ts long"
+)
+STATS_STATE_SCHEMA = (
+    "n long, value_mean double, value_m2 double, "
+    "gap_n long, gap_mean double, gap_m2 double, last_ts long"
+)
+
+
+def _welford_merge(
+    n_a: int, mean_a: float, m2_a: float, n_b: int, mean_b: float, m2_b: float
+) -> Tuple[int, float, float]:
+    """Chan et al. parallel variance merge of two Welford partials."""
+    if n_a == 0:
+        return n_b, mean_b, m2_b
+    if n_b == 0:
+        return n_a, mean_a, m2_a
+    n = n_a + n_b
+    delta = mean_b - mean_a
+    mean = mean_a + delta * n_b / n
+    m2 = m2_a + m2_b + delta * delta * n_a * n_b / n
+    return n, mean, m2
+
+
+def _series_welford(s: pd.Series) -> Tuple[int, float, float]:
+    n = int(s.size)
+    if n == 0:
+        return 0, 0.0, 0.0
+    mean = float(s.mean())
+    m2 = float(((s - mean) ** 2).sum())
+    return n, mean, m2
+
+
+def _update_stats(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, v_mean, v_m2, g_n, g_mean, g_m2, last_ts = state.get
+    else:
+        n, v_mean, v_m2, g_n, g_mean, g_m2, last_ts = 0, 0.0, 0.0, 0, 0.0, 0.0, None
+
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts"], kind="mergesort")
+        bn, b_mean, b_m2 = _series_welford(pdf["value"])
+        n, v_mean, v_m2 = _welford_merge(n, v_mean, v_m2, bn, b_mean, b_m2)
+
+        ts = pdf["ts"]
+        gaps = ts.diff()
+        if last_ts is not None:
+            gaps.iloc[0] = ts.iloc[0] - last_ts
+        else:
+            gaps = gaps.iloc[1:]
+        gn, gp_mean, gp_m2 = _series_welford(gaps.astype("float64"))
+        g_n, g_mean, g_m2 = _welford_merge(g_n, g_mean, g_m2, gn, gp_mean, gp_m2)
+        last_ts = int(ts.iloc[-1])
+
+    state.update((n, v_mean, v_m2, g_n, g_mean, g_m2, last_ts))
+    yield pd.DataFrame(
+        {
+            "stream_id": [key[0]],
+            "n": [n],
+            "value_mean": [v_mean],
+            "value_m2": [v_m2],
+            "gap_n": [g_n],
+            "gap_mean": [g_mean],
+            "gap_m2": [g_m2],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def streaming_stream_stats(events: DataFrame) -> DataFrame:
+    """Per-stream running Welford statistics over a streaming DataFrame of
+    ``(stream_id long, ts long, value double, ...)``.
+
+    Emits one updated row per stream per micro-batch:
+    ``(stream_id, n, value_mean, value_m2, gap_n, gap_mean, gap_m2,
+    last_ts)`` — variance = m2 / (n - 1).  Works identically on a batch
+    DataFrame fed through one "batch" (tests do both)."""
+    return events.groupBy("stream_id").applyInPandasWithState(
+        _update_stats,
+        outputStructType=STATS_OUTPUT_SCHEMA,
+        stateStructType=STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

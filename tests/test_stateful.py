@@ -1,0 +1,95 @@
+"""applyInPandasWithState stream-statistics operator: cross-batch Welford
+state equals the single-pass batch computation (the reference's dormant
+stats/stream_statistics.go feature, live on streams)."""
+
+import math
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from summarydb_spark.streaming.stateful import streaming_stream_stats
+
+EVENT_SCHEMA = "idx long, stream_id long, ts long, value double"
+
+
+def _rows(n_per_stream=97, streams=(0, 1, 2)):
+    """(per-stream idx, stream_id, ts, value) with irregular deterministic
+    gaps; time-ordered within each stream."""
+    rows = []
+    for sid in streams:
+        t = 0
+        for i in range(n_per_stream):
+            t += 7 + ((i * 13 + sid) % 29)
+            rows.append((i, sid, t, ((i * 31 + sid * 17) % 101) * 0.25))
+    return rows
+
+
+def _expected(rows):
+    out = {}
+    by_stream = {}
+    for _, sid, t, v in rows:
+        by_stream.setdefault(sid, []).append((t, v))
+    for sid, evs in by_stream.items():
+        evs.sort()
+        vals = [v for _, v in evs]
+        ts = [t for t, _ in evs]
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum((x - mean) ** 2 for x in vals) / (n - 1)
+        gmean = sum(gaps) / len(gaps)
+        gvar = sum((g - gmean) ** 2 for g in gaps) / (len(gaps) - 1)
+        out[sid] = (n, mean, var, gmean, gvar)
+    return out
+
+
+def test_stateful_stats_streaming_matches_batch(spark, tmp_path):
+    rows = _rows()
+    exp = _expected(rows)
+
+    # three time-ordered micro-batch files (uneven splits)
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    cuts = (0, 30, 60, 97)
+    for b in range(3):
+        chunk = [r for r in rows if cuts[b] <= r[0] < cuts[b + 1]]
+        spark.createDataFrame(chunk, EVENT_SCHEMA).select(
+            "stream_id", "ts", "value"
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{b}"))
+
+    stream = spark.readStream.schema(
+        "stream_id long, ts long, value double"
+    ).parquet(os.path.join(src, "b*"))
+    stats = streaming_stream_stats(stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("stateful_stats")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted row per stream (largest n) = final state
+    final = (
+        spark.sql("SELECT * FROM stateful_stats")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("stream_id").orderBy(F.col("n").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    assert len(final) == len(exp)
+    for r in final:
+        n, mean, var, gmean, gvar = exp[r["stream_id"]]
+        assert r["n"] == n
+        assert math.isclose(r["value_mean"], mean, rel_tol=1e-9)
+        assert math.isclose(r["value_m2"] / (n - 1), var, rel_tol=1e-9)
+        assert r["gap_n"] == n - 1
+        assert math.isclose(r["gap_mean"], gmean, rel_tol=1e-9)
+        assert math.isclose(r["gap_m2"] / (n - 2), gvar, rel_tol=1e-9)
