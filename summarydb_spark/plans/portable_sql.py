@@ -847,6 +847,90 @@ FROM probe p JOIN build e
 GROUP BY p.event_id, p.user_id, p.t0"""
 
 
+def q_cube_events(dialect: str) -> str:
+    """Full CUBE over (event_type, day): all four grouping sets in one pass
+    (Spark expands via a single Expand node feeding one hash aggregate —
+    no per-set rescans).  GROUPING() labels keep subtotal rows
+    deterministic."""
+    t = epoch_us("ts", dialect)
+    day = f"CAST(floor({t} / 86400000000) AS BIGINT)"
+    return f"""
+WITH e AS (SELECT event_type, {day} AS day, value FROM events)
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(day) = 1 THEN CAST(-1 AS BIGINT) ELSE day END AS day,
+       GROUPING(event_type) * 2 + GROUPING(day) AS grouping_level,
+       count(*) AS cnt,
+       {dsum('value')} AS sum_v
+FROM e
+GROUP BY CUBE(event_type, day)"""
+
+
+def q_semi_anti_join(dialect: str) -> str:
+    """Correlated EXISTS / NOT EXISTS — compiled by Spark to left-semi and
+    left-anti hash joins (no subquery re-execution): customers who ordered
+    in 1995 but never placed a high-priority order."""
+    return """
+SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= CAST(DATE '1995-01-01' AS TIMESTAMP)
+    AND o.o_orderdate <  CAST(DATE '1996-01-01' AS TIMESTAMP)
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)"""
+
+
+def q_json_props(dialect: str) -> str:
+    """JSON scalar-function coverage: extract the numeric field from the
+    events ``props`` JSON payload and aggregate it per event type.  At scale
+    the extraction is a codegen'd row expression — no UDF, full pushdown of
+    the surrounding scan."""
+    if dialect == "spark":
+        k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    return f"""
+SELECT event_type,
+       count(*) AS cnt,
+       sum({k}) AS sum_k,
+       min({k}) AS min_k,
+       max({k}) AS max_k,
+       count(DISTINCT {k}) AS distinct_k
+FROM events
+GROUP BY event_type"""
+
+
+def q_array_embedding_stats(dialect: str) -> str:
+    """Array scalar-function coverage over the embedding column: dimension,
+    L2 norm, max component — per-row higher-order-function math, no UDF.
+    Both dialects fold the squared components left-to-right in list order,
+    so the IEEE double sums are bit-identical."""
+    if dialect == "spark":
+        dim = "cardinality(embedding)"
+        l2sq = (
+            "aggregate(embedding, CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        mx = "CAST(array_max(embedding) AS DOUBLE)"
+    else:
+        dim = "len(embedding)"
+        l2sq = (
+            "list_reduce(list_prepend(0.0, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)"
+        )
+        mx = "CAST(list_max(embedding) AS DOUBLE)"
+    return f"""
+SELECT vec_id, label,
+       {dim} AS dim,
+       round(sqrt({l2sq}), 6) AS l2_norm,
+       round({mx}, 6) AS max_component
+FROM embeddings"""
+
+
 CORE_QUERIES = {
     "decay_summary_exp2": q_decay_summary_exp2,
     "decay_compaction_exp2": q_compaction_exp2,
@@ -875,6 +959,10 @@ CORE_QUERIES = {
     "tumbling_window_daily": q_tumbling_window,
     "hopping_window_2d1d": q_hopping_window,
     "range_join_click_follow": q_range_join_events,
+    "cube_events_type_day": q_cube_events,
+    "semi_anti_join_customers": q_semi_anti_join,
+    "json_props_extract": q_json_props,
+    "array_embedding_stats": q_array_embedding_stats,
 }
 
 
