@@ -847,6 +847,48 @@ FROM probe p JOIN build e
 GROUP BY p.event_id, p.user_id, p.t0"""
 
 
+def q_ingest_synthetic_10m(dialect: str) -> str:
+    """Ingest-throughput probe: the full decayed-summary build over 10M
+    synthetic events (64 interleaved streams), generated identically in both
+    engines by ``range()`` — independent of sf_dir, so the oracle
+    hash-checks the build at ~100x the sf0.1 events volume.
+
+    The interleaving (stream = id mod 64, global time = id) makes the
+    per-stream insertion index a closed form (id div 64), so the probe
+    measures exactly the scan -> bucket math -> partial/final aggregation
+    pipeline — the engine's ingest hot path (the Spark analogue of the
+    reference's append benchmark, core/db_test.go:402-502) — with no
+    window-function preprocessing.  Output is 64 streams x O(log 156k)
+    windows = ~1.2k rows."""
+    n = 10_000_000
+    streams = 64
+    per = n // streams
+    if dialect == "spark":
+        src = f"SELECT id FROM range({n})"
+        idiv = "div"
+    else:
+        src = f"SELECT range AS id FROM range({n})"
+        idiv = "//"
+    ev_sql = f"""
+  SELECT (id % {streams}) AS stream_id,
+         id AS t,
+         ((id % 1000) * 0.5) AS v,
+         (id {idiv} {streams}) AS idx,
+         CAST({per} AS BIGINT) AS n
+  FROM ({src})"""
+    return f"""{_bucketed(dialect, ev_sql)}
+SELECT stream_id,
+       min(idx) AS window_id,
+       min(t) AS time_start,
+       max(t) AS time_end,
+       count(*) AS cnt,
+       {dsum('v')} AS sum_v,
+       max(v) AS max_v,
+       min(v) AS min_v
+FROM b
+GROUP BY stream_id, bucket"""
+
+
 def q_cube_events(dialect: str) -> str:
     """Full CUBE over (event_type, day): all four grouping sets in one pass
     (Spark expands via a single Expand node feeding one hash aggregate —
@@ -959,6 +1001,7 @@ CORE_QUERIES = {
     "tumbling_window_daily": q_tumbling_window,
     "hopping_window_2d1d": q_hopping_window,
     "range_join_click_follow": q_range_join_events,
+    "ingest_synthetic_10m": q_ingest_synthetic_10m,
     "cube_events_type_day": q_cube_events,
     "semi_anti_join_customers": q_semi_anti_join,
     "json_props_extract": q_json_props,

@@ -23,11 +23,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-# tables big enough (or per-row-heavy enough) that a one-task scan would
-# serialize downstream work; tiny broadcast dims are excluded
-WIDE_TABLES = frozenset(
-    {"documents", "embeddings", "lineitem", "orders", "events", "customer", "part"}
-)
+# Tables where the post-scan exchange pays for itself: lineitem feeds
+# decimal-heavy partial aggregation (the one-task scan would serialize it),
+# documents/embeddings feed per-row-heavy signature/vector pipelines.
+# Everything else is small enough that the repartition costs more than the
+# single-task stage it parallelizes (measured at sf0.1: events-widening
+# DOUBLED the window-function queries — their first op shuffles on
+# stream_id anyway, so the extra exchange is pure overhead).
+WIDE_TABLES = frozenset({"documents", "embeddings", "lineitem"})
 
 
 def load_table(
