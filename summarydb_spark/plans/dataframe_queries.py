@@ -151,7 +151,7 @@ fr AS (
   FROM m CROSS JOIN (SELECT range AS i FROM range(4)) idx
 )
 SELECT doc_id, count(*) AS n_frames,
-       sum(least(64, n - off)) AS frame_bytes_total
+       CAST(sum(least(64, n - off)) AS BIGINT) AS frame_bytes_total
 FROM fr GROUP BY doc_id"""
 
 

@@ -101,8 +101,9 @@ s AS (
 SELECT doc_id, n_chars, n_tokens, stopword_ratio, alpha_ratio, distinct_ratio,
        -- floor-scaling instead of round(): engines disagree on half-boundary
        -- rounding of doubles, but floor of identical doubles is identical
-       CAST(floor((0.35 * length_score + 0.25 * least(stopword_ratio * 5.0, 1.0)
-             + 0.2 * alpha_ratio + 0.2 * distinct_ratio) * 1000000) AS BIGINT) / 1000000.0 AS quality_score,
+       CAST(CAST(floor((0.35 * length_score + 0.25 * least(stopword_ratio * 5.0, 1.0)
+             + 0.2 * alpha_ratio + 0.2 * distinct_ratio) * 1000000) AS BIGINT)
+            AS DOUBLE) / CAST(1000000 AS DOUBLE) AS quality_score,
        CASE WHEN 0.35 * length_score + 0.25 * least(stopword_ratio * 5.0, 1.0)
                  + 0.2 * alpha_ratio + 0.2 * distinct_ratio >= 0.75 THEN 'high'
             WHEN 0.35 * length_score + 0.25 * least(stopword_ratio * 5.0, 1.0)

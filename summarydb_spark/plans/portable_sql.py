@@ -504,7 +504,8 @@ lm AS (
 SELECT w.stream_id, w.qid, w.t0, w.t1,
        CASE WHEN coalesce(l.lm_n, 0) > 0 THEN {comb}(w.win_val, l.lm_val)
             ELSE w.win_val END AS {op}_value,
-       CASE WHEN coalesce(l.lm_n, 0) > 0 THEN 0.0 ELSE 1.0 END AS error_flag
+       CASE WHEN coalesce(l.lm_n, 0) > 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) END AS error_flag
 FROM wsel w LEFT JOIN lm l ON l.stream_id = w.stream_id AND l.qid = w.qid"""
 
 
@@ -672,8 +673,8 @@ d AS (
 ),
 s AS (
   SELECT user_id, t,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM d
 )
 SELECT user_id, session_id,
@@ -872,7 +873,7 @@ def q_ingest_synthetic_10m(dialect: str) -> str:
     ev_sql = f"""
   SELECT (id % {streams}) AS stream_id,
          id AS t,
-         ((id % 1000) * 0.5) AS v,
+         ((id % 1000) * CAST(0.5 AS DOUBLE)) AS v,
          (id {idiv} {streams}) AS idx,
          CAST({per} AS BIGINT) AS n
   FROM ({src})"""
@@ -938,7 +939,7 @@ def q_json_props(dialect: str) -> str:
     return f"""
 SELECT event_type,
        count(*) AS cnt,
-       sum({k}) AS sum_k,
+       CAST(sum({k}) AS BIGINT) AS sum_k,
        min({k}) AS min_k,
        max({k}) AS max_k,
        count(DISTINCT {k}) AS distinct_k

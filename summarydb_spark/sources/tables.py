@@ -49,7 +49,10 @@ def load_table(
     return df
 
 
-_REGISTERED: dict[int, str] = {}
+# Memo key lives ON the session object (not an id(spark)-keyed dict): ids
+# are reused after garbage collection, which would silently skip
+# registration for a brand-new session and fail with TABLE_OR_VIEW_NOT_FOUND.
+_REGISTERED_ATTR = "_summarydb_registered_sf_dir"
 
 ALL_TABLES = (
     "region",
@@ -73,10 +76,9 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     (~0.5-1 s for the full set); doing it on every query call would dominate
     short queries.  The memo re-registers only when the same session switches
     to a different scale-factor directory (view names are shared)."""
-    key = id(spark)
-    if _REGISTERED.get(key) == sf_dir:
+    if getattr(spark, _REGISTERED_ATTR, None) == sf_dir:
         return
     for t in ALL_TABLES:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    _REGISTERED[key] = sf_dir
+    setattr(spark, _REGISTERED_ATTR, sf_dir)

@@ -77,9 +77,14 @@ def _update_stats(
     else:
         n, v_mean, v_m2, g_n, g_mean, g_m2, last_ts = 0, 0.0, 0.0, 0, 0.0, 0.0, None
 
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
+    # One group's rows within a micro-batch can span several Arrow chunks
+    # whose relative order after the shuffle is NOT time-ordered (e.g. many
+    # source files in one availableNow batch).  Sorting each chunk alone
+    # would fold wrong/negative gaps into the state, so concatenate the
+    # whole group's batch and sort by ts ONCE before computing gaps.
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts"], kind="mergesort")
         bn, b_mean, b_m2 = _series_welford(pdf["value"])
         n, v_mean, v_m2 = _welford_merge(n, v_mean, v_m2, bn, b_mean, b_m2)

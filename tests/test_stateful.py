@@ -70,7 +70,7 @@ def test_stateful_stats_streaming_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
 
     # last emitted row per stream (largest n) = final state
     final = (

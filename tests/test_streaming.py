@@ -85,7 +85,7 @@ def test_file_stream_end_to_end_and_golden_shape(spark, tmp_path):
     )
     summ = StreamingSummarizer(spark, ExpWindowing(2.0), state, order_cols=("seq",))
     q = summ.start(source, cp, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
 
     got = summ.summary()
     batch = build_summary_windows(
@@ -111,7 +111,7 @@ def test_restart_recovery_processes_only_new_data(spark, tmp_path):
     summ = StreamingSummarizer(spark, ExpWindowing(2.0), state, order_cols=("seq",))
     source = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
     q = summ.start(source, cp, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     _df, counts, _ = load_state(spark, state)
     assert counts == {0: 60, 1: 60}
 
@@ -120,7 +120,7 @@ def test_restart_recovery_processes_only_new_data(spark, tmp_path):
     summ2 = StreamingSummarizer(spark, ExpWindowing(2.0), state, order_cols=("seq",))
     source2 = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
     q2 = summ2.start(source2, cp, available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query did not finish in 120s"
 
     got = summ2.summary()
     batch = build_summary_windows(
@@ -182,7 +182,7 @@ def test_streaming_session_window_with_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     # watermark has passed the first session, so it is finalized: 5 events;
     # the second session (3 events) is still open and unemitted
     assert out == {1: [5], 2: [5]}

@@ -41,6 +41,25 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> bool:
         return False
     for c in s.columns:
         a, b = s[c], d[c]
+        # The driver's value hash is dtype-KIND-sensitive: int32 vs int64 is
+        # fine (r1 evidence: row_number/month int32 columns hash-matched), but
+        # a DuckDB HUGEINT (-> float64) or a Spark DECIMAL (-> object) next
+        # to an int64 hashes differently even when numerically equal.
+        # Skip the flag when either side is `object` (nullable columns via
+        # non-Arrow toPandas) — the driver canonicalizes those fine (r1
+        # evidence: error_flag/order_month object columns hash-matched).
+        kind_a = "i" if a.dtype.kind in "iu" else a.dtype.kind
+        kind_b = "i" if b.dtype.kind in "iu" else b.dtype.kind
+        if kind_a != kind_b and "O" not in (kind_a, kind_b):
+            print(f"  DTYPE MISMATCH col={c}: spark={a.dtype} duckdb={b.dtype}")
+            ok = False
+        # ... EXCEPT a Spark DECIMAL output (object column of decimal.Decimal):
+        # its string form keeps trailing zeros ("0.120000" vs "0.12"), which
+        # IS a driver hash mismatch (r1: text_quality.quality_score).
+        import decimal
+        if kind_a == "O" and a.map(lambda v: isinstance(v, decimal.Decimal)).any():
+            print(f"  SPARK DECIMAL col={c}: cast it to DOUBLE in the query")
+            ok = False
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             aa, bb = a.astype(float).to_numpy(), b.astype(float).to_numpy()
             both_nan = np.isnan(aa) & np.isnan(bb)
