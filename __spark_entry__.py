@@ -78,9 +78,16 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def _all_queries() -> dict:
     from summarydb_spark.plans.llm_sql import LLM_QUERIES
+    from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
     from summarydb_spark.plans.portable_sql import CORE_QUERIES
+    from summarydb_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
 
-    return {**CORE_QUERIES, **LLM_QUERIES}
+    return {
+        **CORE_QUERIES,
+        **LLM_QUERIES,
+        **PORTABLE_DEDUP_QUERIES,
+        **RELATIONAL_EXT_QUERIES,
+    }
 
 
 def _df_query(builder) -> Callable[[SparkSession, str], DataFrame]:

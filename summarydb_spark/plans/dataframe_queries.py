@@ -73,6 +73,29 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# The planted-copy construction above is deterministic, so the exact
+# expected output IS SQL-expressible: reproduce the per-element float32
+# perturbation (REAL*REAL multiply matches Spark's float*float bit-exactly),
+# then the cosine of each (original, planted) pair.  This turns the LSH
+# query into a live recall check — if multi-probe ever misses a planted
+# pair, the row counts diverge and the driver flags it.
+ORACLE_EMBEDDING_NEAR_DUPS = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 25
+),
+planted AS (
+  SELECT vec_id AS orig_id, vec_id + 1000000 AS vec_id_b,
+         list_transform(range(0, len(embedding)),
+           i -> CAST(embedding[i + 1]
+                * CAST(1.0 + 0.002 * ((i % 7) - 3) AS REAL) AS REAL)) AS emb_b
+  FROM base
+)
+SELECT b.vec_id AS id_a, p.vec_id_b AS id_b,
+       round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(p.emb_b AS DOUBLE[])), 6) AS cosine
+FROM base b JOIN planted p ON p.orig_id = b.vec_id"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors for 20 probe vectors via multi-table
     hyperplane LSH.  Rows-only check."""
@@ -172,13 +195,54 @@ def q_media_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` (1h gap) over the events stream —
+    the engine-level session operator (works identically under Structured
+    Streaming with a watermark).  The oracle replays the same sessions with
+    the portable lag + running-sum formulation, proving the built-in agrees
+    with the first-principles SQL definition."""
+    from summarydb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("t"),  # LONG nanos -> epoch micros
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tstamp"),
+    )
+    out = ev.groupBy("user_id", F.session_window("tstamp", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+    )
+    return out.select("user_id", "n_events", "t_start", "t_end")
+
+
+ORACLE_SESSION_WINDOW = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 3600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM d
+)
+SELECT user_id, count(*) AS n_events, min(t) AS t_start, max(t) AS t_end
+FROM s GROUP BY user_id, sid"""
+
+
 # name -> (spark_builder, oracle_sql | None)
 DF_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
-    "embedding_near_dups": (q_embedding_near_dups, None),
+    "embedding_near_dups": (q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "session_window_builtin": (q_session_window_builtin, ORACLE_SESSION_WINDOW),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),
     "media_byte_histogram": (q_media_histogram, None),

@@ -1,0 +1,285 @@
+"""Relational coverage extensions: pivot, analytic window functions,
+grouping sets, decorrelated scalar-subquery shapes, classic TPC-H-like
+join-agg-topk plans, token vocabulary, fuzzy matching, and deterministic
+stratified sampling.
+
+Same one-template-two-dialects scheme as portable_sql (the DuckDB rendering
+is the oracle).  All of these are absent from the reference engine
+(SURVEY.md §2.6 lists the absences explicitly) but are table stakes for the
+analytics surface this engine exposes on top of the summary store.
+
+Scale notes (100 TB discipline):
+- every query is scan -> (broadcastable dim joins) -> one or two hash
+  aggregates; no cross joins, no per-row Python;
+- top-k queries sort only the aggregated output (ORDER BY + LIMIT after
+  GROUP BY => Spark's TakeOrderedAndProject, no full sort of the fact);
+- the fuzzy-match pair space is blocked on (brand, size) so the quadratic
+  verify runs inside ~16-row buckets exactly like the LSH family;
+- the stratified sample hashes the key (md5-portable) instead of rand() —
+  reproducible across engines, retries, and partitionings.
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_dedup import md560
+from summarydb_spark.plans.portable_sql import dsum, epoch_us
+
+PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+PRIORITY_ALIASES = ("urgent", "high", "medium", "notspec", "low")
+
+
+def q_pivot_priority_revenue(dialect: str) -> str:
+    """Order revenue pivoted to one column per priority class.
+
+    Spark side uses the native PIVOT clause (compiles to a single hash
+    aggregate with pivot-first aggregation, one pass); the oracle spells the
+    same thing as conditional aggregation with matching column aliases."""
+    if dialect == "spark":
+        in_list = ", ".join(
+            f"'{p}' AS {a}" for p, a in zip(PRIORITIES, PRIORITY_ALIASES)
+        )
+        return f"""
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+)
+PIVOT (
+  {dsum('o_totalprice')} FOR o_orderpriority IN ({in_list})
+)"""
+    cols = ",\n       ".join(
+        f"CAST(round(sum(CASE WHEN o_orderpriority = '{p}' "
+        f"THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS {a}"
+        for p, a in zip(PRIORITIES, PRIORITY_ALIASES)
+    )
+    return f"""
+SELECT o_orderstatus,
+       {cols}
+FROM orders
+GROUP BY o_orderstatus"""
+
+
+def q_window_lead_lag_monthly(dialect: str) -> str:
+    """Month-over-month revenue per nation: lag/lead analytics over an
+    aggregated frame plus a deterministic in-nation revenue rank."""
+    return f"""
+WITH m AS (
+  SELECT n.n_name AS nation,
+         year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+         {dsum('o.o_totalprice')} AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate) * 100 + month(o.o_orderdate)
+)
+SELECT nation, ym, revenue,
+       lag(revenue) OVER (PARTITION BY nation ORDER BY ym) AS prev_revenue,
+       lead(revenue) OVER (PARTITION BY nation ORDER BY ym) AS next_revenue,
+       CAST(floor((revenue - coalesce(lag(revenue) OVER (PARTITION BY nation ORDER BY ym),
+                                      CAST(0 AS DOUBLE))) * 100) AS BIGINT) AS delta_cents,
+       CAST(row_number() OVER (PARTITION BY nation ORDER BY revenue DESC, ym) AS BIGINT) AS rev_rank
+FROM m"""
+
+
+def q_ntile_acctbal_quartiles(dialect: str) -> str:
+    """ntile(4) balance quartiles per nation, then per-quartile stats —
+    ranking-function coverage with a deterministic tie-break."""
+    return f"""
+WITH q AS (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, CAST(quartile AS BIGINT) AS quartile,
+       count(*) AS n_customers,
+       {dsum('c_acctbal')} AS bal_sum,
+       min(c_acctbal) AS bal_min,
+       max(c_acctbal) AS bal_max
+FROM q
+GROUP BY c_nationkey, quartile"""
+
+
+def q_small_quantity_revenue(dialect: str) -> str:
+    """TPC-H Q17 shape: revenue of line items below 20% of their part's
+    average quantity.
+
+    The correlated scalar subquery is decorrelated into a pre-aggregated
+    join (what Catalyst does internally), and the 20%-of-average predicate
+    is compared in exact integer ten-thousandths — `5*q*cnt < sum_q` is
+    the same inequality with no engine-dependent double division."""
+    return f"""
+WITH lq AS (
+  SELECT l_partkey, l_extendedprice,
+         CAST(floor(l_quantity * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qc
+  FROM lineitem
+),
+pa AS (
+  SELECT l_partkey, count(*) AS cnt, sum(qc) AS sum_qc
+  FROM lq GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       count(*) AS n_items,
+       {dsum('l.l_extendedprice')} AS total_price,
+       CAST(round({dsum('l.l_extendedprice')} / CAST(7 AS DOUBLE), 4) AS DOUBLE) AS avg_yearly
+FROM lq l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 5 * l.qc * pa.cnt < pa.sum_qc
+GROUP BY p.p_brand"""
+
+
+def q_tpch_q3_like(dialect: str) -> str:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by revenue.
+    ORDER BY + LIMIT over the aggregated output only (TakeOrderedAndProject
+    in Spark — never a full sort of lineitem)."""
+    return f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < CAST(DATE '1995-03-15' AS TIMESTAMP)
+  AND l.l_shipdate > CAST(DATE '1995-03-15' AS TIMESTAMP)
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10"""
+
+
+def q_tpch_q10_like(dialect: str) -> str:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter; four-way join, aggregate, top-k."""
+    return f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= CAST(DATE '1995-01-01' AS TIMESTAMP)
+  AND o.o_orderdate <  CAST(DATE '1995-04-01' AS TIMESTAMP)
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""
+
+
+def q_token_vocab_top50(dialect: str) -> str:
+    """Corpus vocabulary build: explode normalized tokens, global term and
+    document frequencies, deterministic top-50.  The explode -> hash-agg
+    shape is the canonical distributed wordcount (map-side partial agg)."""
+    if dialect == "spark":
+        norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+        tk = f"""
+tk AS (
+  SELECT doc_id, tok
+  FROM documents LATERAL VIEW explode(split({norm}, ' ')) AS tok
+)"""
+    else:
+        norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        tk = f"""
+tk AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS tok
+  FROM documents
+)"""
+    return f"""
+WITH {tk},
+cnt AS (
+  SELECT tok, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+  FROM tk GROUP BY tok
+),
+rk AS (
+  SELECT tok, term_freq, doc_freq,
+         CAST(row_number() OVER (ORDER BY term_freq DESC, tok) AS BIGINT) AS rnk
+  FROM cnt
+)
+SELECT tok, term_freq, doc_freq, rnk FROM rk WHERE rnk <= 50"""
+
+
+def q_dow_histogram(dialect: str) -> str:
+    """Events histogram by day-of-week x event_type.  Day-of-week comes from
+    pure epoch integer arithmetic ((epoch_days + 3) % 7, 0 = Monday) — no
+    engine/locale/timezone DOW conventions involved."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH e AS (
+  SELECT ({t} {idiv} 86400000000) AS epoch_day, event_type, value FROM events
+)
+SELECT CAST((epoch_day + 3) % 7 AS BIGINT) AS dow_mon0, event_type,
+       count(*) AS cnt,
+       {dsum('value')} AS sum_v
+FROM e
+GROUP BY (epoch_day + 3) % 7, event_type"""
+
+
+def q_fuzzy_part_names(dialect: str) -> str:
+    """Fuzzy self-match of part names: block on (brand, size) — bounded
+    ~16-row buckets at any scale factor — then verify pairs with exact
+    Levenshtein distance <= 12; aggregate per brand."""
+    return f"""
+WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part),
+pairs AS (
+  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS dist
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+)
+SELECT p_brand,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN dist <= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+       min(dist) AS min_dist
+FROM pairs
+GROUP BY p_brand"""
+
+
+def q_stratified_sample(dialect: str) -> str:
+    """Deterministic 10% stratified sample per order priority via a
+    portable key hash (md5) — reproducible across engines, retries, and
+    partitionings, unlike rand()-based sampling."""
+    key = "CAST(o_orderkey AS STRING)" if dialect == "spark" else "CAST(o_orderkey AS VARCHAR)"
+    return f"""
+WITH s AS (
+  SELECT o_orderpriority, o_totalprice,
+         {md560(key, dialect)} % 100 AS bucket
+  FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_sampled,
+       {dsum('o_totalprice')} AS sampled_revenue,
+       min(bucket) AS min_bucket,
+       max(bucket) AS max_bucket
+FROM s
+WHERE bucket < 10
+GROUP BY o_orderpriority"""
+
+
+def q_grouping_sets_region(dialect: str) -> str:
+    """Explicit GROUPING SETS ((region), (region, nation), ()) — the third
+    member of the rollup/cube family, with GROUPING() labels."""
+    return f"""
+SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS region,
+       CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+       GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS grouping_level,
+       count(*) AS n_customers,
+       {dsum('c.c_acctbal')} AS bal_sum
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY GROUPING SETS ((r.r_name), (r.r_name, n.n_name), ())"""
+
+
+RELATIONAL_EXT_QUERIES = {
+    "pivot_priority_revenue": q_pivot_priority_revenue,
+    "window_lead_lag_monthly": q_window_lead_lag_monthly,
+    "ntile_acctbal_quartiles": q_ntile_acctbal_quartiles,
+    "small_quantity_revenue_q17": q_small_quantity_revenue,
+    "tpch_q3_like_topk": q_tpch_q3_like,
+    "tpch_q10_like_returns": q_tpch_q10_like,
+    "token_vocab_top50": q_token_vocab_top50,
+    "dow_histogram_events": q_dow_histogram,
+    "fuzzy_part_names": q_fuzzy_part_names,
+    "stratified_sample_orders": q_stratified_sample,
+    "grouping_sets_region_nation": q_grouping_sets_region,
+}

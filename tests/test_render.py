@@ -6,11 +6,20 @@ column names before hashing values)."""
 import re
 
 from summarydb_spark.plans.llm_sql import LLM_QUERIES
+from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
 from summarydb_spark.plans.portable_sql import CORE_QUERIES, DIALECTS
+from summarydb_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
+
+ALL_SQL_QUERIES = {
+    **CORE_QUERIES,
+    **LLM_QUERIES,
+    **PORTABLE_DEDUP_QUERIES,
+    **RELATIONAL_EXT_QUERIES,
+}
 
 
 def test_all_templates_render_both_dialects():
-    for name, fn in {**CORE_QUERIES, **LLM_QUERIES}.items():
+    for name, fn in ALL_SQL_QUERIES.items():
         for d in DIALECTS:
             sql = fn(d)
             assert isinstance(sql, str) and len(sql) > 20, (name, d)
@@ -23,8 +32,8 @@ def test_entry_registry_is_consistent():
     qs = e.queries()
     osql = e.oracle_sql()
     assert set(osql) <= set(qs)
-    # every core/llm SQL query has an oracle (DF-built queries may not)
-    for name in {**CORE_QUERIES, **LLM_QUERIES}:
+    # every SQL-templated query has an oracle (DF-built queries may not)
+    for name in ALL_SQL_QUERIES:
         assert name in osql, name
     # oracle strings must be DuckDB renderings, not Spark ones: no Spark-only
     # constructs (cheap tripwires for accidentally swapped dialects)
