@@ -203,6 +203,68 @@ def sample_frames(
     )
 
 
+def resize_image(
+    df: DataFrame,
+    out_h: int = 16,
+    out_w: int = 16,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbor resize of each payload to ``out_h x out_w``.
+
+    The payload is interpreted as a square-ish single-channel raster
+    (h = floor(sqrt(n)), w = h) — the deterministic stand-in for the decode
+    step (a real codec replaces exactly that interpretation; see
+    decode_image).  Everything else is the production plumbing: Arrow-batched
+    binary in, vectorized numpy gather per batch, binary out with typed
+    shape metadata.  No shuffle; output partitioning follows the input.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("in_bytes", LongType()),
+            StructField("in_h", LongType()),
+            StructField("in_w", LongType()),
+            StructField("resized", BinaryType()),
+            StructField("out_bytes", LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nbytes, hs, ws, outs, outn = [], [], [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[data_col]):
+                arr = np.frombuffer(buf or b"", dtype=np.uint8)
+                h = int(np.sqrt(arr.size))
+                w = h
+                ids.append(i)
+                nbytes.append(arr.size)
+                hs.append(h)
+                ws.append(w)
+                if h == 0:
+                    outs.append(b"")
+                    outn.append(0)
+                    continue
+                raster = arr[: h * w].reshape(h, w)
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                resized = raster[np.ix_(ri, ci)]
+                outs.append(resized.tobytes())
+                outn.append(resized.size)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "in_bytes": nbytes,
+                    "in_h": hs,
+                    "in_w": ws,
+                    "resized": outs,
+                    "out_bytes": outn,
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(resize, out_schema)
+
+
 def decode_image(df: DataFrame, data_col: str = "data"):
     """STUB: raster decoding needs a codec library not present in this
     environment.  Contract: mapInPandas (binary -> struct<width:int,

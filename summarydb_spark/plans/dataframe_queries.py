@@ -178,6 +178,31 @@ SELECT doc_id, count(*) AS n_frames,
 FROM fr GROUP BY doc_id"""
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 16x16 resize over fake media payloads (Arrow-batched
+    mapInPandas).  The oracle replays the shape arithmetic (raster dims,
+    output byte count); the resized byte values themselves are unit-tested
+    against a numpy reference in tests/test_multimodal.py."""
+    from summarydb_spark.functions import multimodal
+
+    media = multimodal.fake_media_from_text(_docs(spark, sf_dir))
+    out = multimodal.resize_image(media, out_h=16, out_w=16)
+    return out.select("doc_id", "in_bytes", "in_h", "in_w", "out_bytes")
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) + CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END AS in_bytes
+  FROM documents
+)
+SELECT doc_id, in_bytes,
+       CAST(floor(sqrt(in_bytes)) AS BIGINT) AS in_h,
+       CAST(floor(sqrt(in_bytes)) AS BIGINT) AS in_w,
+       CASE WHEN in_bytes > 0 THEN 256 ELSE 0 END AS out_bytes
+FROM m"""
+
+
 def q_media_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched byte-histogram featurization (mapInPandas path);
     rows-only — the histogram itself isn't portable SQL."""
@@ -245,5 +270,6 @@ DF_QUERIES = {
     "session_window_builtin": (q_session_window_builtin, ORACLE_SESSION_WINDOW),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),
+    "media_resize_16x16": (q_media_resize, ORACLE_MEDIA_RESIZE),
     "media_byte_histogram": (q_media_histogram, None),
 }

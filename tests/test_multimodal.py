@@ -99,3 +99,24 @@ def test_media_embedding_drives_similarity(spark, media):
 def test_decode_stub_contract(spark, media):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(media)
+
+
+def test_resize_matches_numpy_reference(spark, media):
+    out = multimodal.resize_image(media, out_h=16, out_w=16)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    src = {r["doc_id"]: bytes(r["data"]) for r in media.collect()}
+    assert set(rows) == set(src)
+    for i, buf in src.items():
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        h = int(np.sqrt(arr.size))
+        r = rows[i]
+        assert r["in_bytes"] == arr.size
+        assert r["in_h"] == h and r["in_w"] == h
+        if h == 0:
+            assert r["out_bytes"] == 0
+            continue
+        raster = arr[: h * h].reshape(h, h)
+        ri = (np.arange(16) * h) // 16
+        expected = raster[np.ix_(ri, ri)]
+        assert r["out_bytes"] == 256
+        assert bytes(r["resized"]) == expected.tobytes()

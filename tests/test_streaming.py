@@ -213,3 +213,112 @@ def test_clamp_across_batches(spark, tmp_path):
     assert flat[0] == 100
     total = sum(r["count"] for r in got)
     assert total == 4
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Exactly-once event dedup on (stream_id, seq) with a watermark bounding
+    the dedup state — duplicate rows replayed in a later file are dropped,
+    and state is evictable (the 100 TB discipline: unbounded-key dedup
+    without a watermark OOMs the state store)."""
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    first = [Row(stream_id=0, ts=i * 10, value=float(i), seq=i) for i in range(50)]
+    # replay of 20 old rows (duplicates) + 10 genuinely new ones
+    second = [Row(stream_id=0, ts=i * 10, value=float(i), seq=i) for i in range(30, 60)]
+    spark.createDataFrame(first, EVENT_SCHEMA).write.parquet(src + "/b0")
+    spark.createDataFrame(second, EVENT_SCHEMA).write.parquet(src + "/b1")
+
+    out: list = []
+
+    def sink(bdf, _bid):
+        out.extend(r.asDict() for r in bdf.collect())
+
+    # modern epoch base: near-zero event times make watermark arithmetic
+    # (max_event - delay) clamp at/below epoch 0 and drop the first row
+    base = 1_700_000_000_000_000
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(src + "/*")
+        .withColumn("tstamp", F.timestamp_micros(F.col("ts") + F.lit(base)))
+        .withWatermark("tstamp", "1 minute")
+        .dropDuplicates(["stream_id", "seq"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
+    seqs = sorted(r["seq"] for r in out)
+    assert seqs == list(range(60)), "each (stream,seq) must appear exactly once"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with event-time range condition and
+    watermarks on both sides (state for both inputs is bounded by the
+    interval + watermark).  Click events join follow-up events of the same
+    stream within (0, 30us] — validated against the batch join."""
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    cp = str(tmp_path / "cp")
+    clicks = [Row(stream_id=i % 3, ts=i * 10, value=float(i), seq=i) for i in range(40)]
+    follows = [
+        Row(stream_id=i % 3, ts=i * 10 + 15, value=float(i), seq=1000 + i)
+        for i in range(40)
+    ]
+    spark.createDataFrame(clicks, EVENT_SCHEMA).write.parquet(left_dir)
+    spark.createDataFrame(follows, EVENT_SCHEMA).write.parquet(right_dir)
+
+    # same modern-epoch shift as the dedup test: near-zero event times fall
+    # below the clamped watermark and are dropped as late
+    base = 1_700_000_000_000_000
+
+    def stamped(d, alias):
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .parquet(d)
+            .withColumn("tstamp", F.timestamp_micros(F.col("ts") + F.lit(base)))
+            .withWatermark("tstamp", "1 minute")
+            .alias(alias)
+        )
+
+    joined = stamped(left_dir, "l").join(
+        stamped(right_dir, "r"),
+        F.expr(
+            "l.stream_id = r.stream_id AND "
+            "r.tstamp > l.tstamp AND r.tstamp <= l.tstamp + INTERVAL 30 MICROSECONDS"
+        ),
+    )
+    out: list = []
+
+    def sink(bdf, _bid):
+        out.extend(
+            (r["l"]["seq"], r["r"]["seq"])
+            for r in bdf.select(F.struct("l.*").alias("l"), F.struct("r.*").alias("r")).collect()
+        )
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
+
+    lb = spark.createDataFrame(clicks, EVENT_SCHEMA).alias("l")
+    rb = spark.createDataFrame(follows, EVENT_SCHEMA).alias("r")
+    expected = {
+        (r["ls"], r["rs"])
+        for r in lb.join(
+            rb,
+            F.expr(
+                "l.stream_id = r.stream_id AND r.ts > l.ts AND r.ts <= l.ts + 30"
+            ),
+        )
+        .select(F.col("l.seq").alias("ls"), F.col("r.seq").alias("rs"))
+        .collect()
+    }
+    assert expected, "batch reference join must be non-empty"
+    assert set(out) == expected
