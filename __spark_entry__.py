@@ -68,9 +68,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Queries reading the materialized summary store (see
+# sources.tables.ensure_summary_views): the canonical window tables are
+# built+cached once per (session, sf_dir), as in the reference where windows
+# are persisted state scanned by queries (storage/query_index.go:48-74).
+SUMMARY_VIEW_QUERIES = frozenset(
+    {
+        "decay_summary_exp2",
+        "decay_compaction_exp2",
+        "approx_count_range",
+        "approx_sum_range",
+        "approx_max_range",
+        "approx_min_range",
+        "approx_sum_range_landmark",
+        "approx_count_range_landmark",
+        "approx_max_range_landmark",
+        "approx_min_range_landmark",
+    }
+)
+
+
 def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, sf_dir)
+        if name in SUMMARY_VIEW_QUERIES:
+            from summarydb_spark.sources.tables import ensure_summary_views
+
+            ensure_summary_views(spark, sf_dir)
         return spark.sql(_all_queries()[name]("spark"))
 
     return run

@@ -131,9 +131,80 @@ b AS (
 )"""
 
 
+# ---------------------------------------------------------------------------
+# Materialized summary store (Spark side only)
+#
+# In the reference, summary windows are PERSISTED state: the pipeline writes
+# them to the KV store and queries scan stored windows through the time index
+# (storage/query_index.go:48-74) — queries never re-derive windows from raw
+# events.  The Spark engine mirrors that: the canonical summary table is
+# built ONCE per (session, sf_dir), cached, and exposed as a temp view; the
+# ten summary-consuming queries read the view.  Without this, Spark's CTE
+# inlining re-executes the whole events-scan + row_number + bucket + agg
+# chain for every CTE reference (2-3x per query, x10 queries).  The DuckDB
+# oracle keeps the full inline recompute, so every value is still verified
+# end-to-end from raw events.
+# ---------------------------------------------------------------------------
+
+SW_FULL_VIEW = "sw_exp2_full"
+SW_LMK_VIEW = "sw_exp2_lmk"
+
+_SW_AGG = """SELECT stream_id,
+       min(idx) AS window_id,
+       min(t)   AS time_start,
+       max(t)   AS time_end,
+       min(idx) AS count_start,
+       max(idx) AS count_end,
+       count(*) AS cnt,
+       {dsum} AS sum_v,
+       max(v) AS max_v,
+       min(v) AS min_v"""
+
+_LMK_PREFIX = """ev0 AS (
+  SELECT user_id AS stream_id, {t} AS t, value AS v, event_id FROM events
+),
+raw_b AS (
+  SELECT stream_id, min(t) AS tmin, max(t) AS tmax FROM ev0 GROUP BY stream_id
+),
+lmk AS (
+  SELECT stream_id,
+         tmin + CAST(floor((tmax - tmin) * 0.05) AS BIGINT) AS l0,
+         tmin + CAST(floor((tmax - tmin) * 0.15) AS BIGINT) AS l1
+  FROM raw_b
+)"""
+
+_LMK_EV_SQL = """
+  SELECT e.stream_id, e.t, e.v,
+         row_number() OVER (PARTITION BY e.stream_id ORDER BY e.t, e.event_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY e.stream_id) AS n
+  FROM ev0 e JOIN lmk ON lmk.stream_id = e.stream_id
+  WHERE e.t < lmk.l0 OR e.t > lmk.l1"""
+
+
+def summary_view_sql(kind: str) -> str:
+    """Spark SQL building the cached canonical summary table.
+
+    ``full``: every event; ``lmk``: landmark-bracketed rows excluded from
+    the decayed build (core/stream.go:112-114)."""
+    agg = _SW_AGG.format(dsum=dsum("v"))
+    if kind == "full":
+        return f"{_bucketed('spark')}\n{agg}\nFROM b\nGROUP BY stream_id, bucket"
+    # nested WITH inside the bkt CTE body is valid SQL in both engines (the
+    # landmark query templates below use the same construction)
+    return (
+        f"WITH {_LMK_PREFIX.format(t=epoch_us('ts', 'spark'))},\n"
+        f"bkt AS ({_bucketed('spark', _LMK_EV_SQL)}\n"
+        f"SELECT stream_id, t, v, idx, bucket FROM b)\n"
+        f"{agg}\nFROM bkt\nGROUP BY stream_id, bucket"
+    )
+
+
 def q_decay_summary_exp2(dialect: str) -> str:
     """The canonical decayed summary_windows table (exp base 2, unbuffered),
-    one row per window per stream — the engine's core data product."""
+    one row per window per stream — the engine's core data product.  Spark
+    reads the materialized summary store; the oracle recomputes inline."""
+    if dialect == "spark":
+        return f"SELECT * FROM {SW_FULL_VIEW}"
     return f"""{_bucketed(dialect)}
 SELECT stream_id,
        min(idx) AS window_id,
@@ -151,7 +222,17 @@ GROUP BY stream_id, bucket"""
 
 def q_compaction_exp2(dialect: str) -> str:
     """Compaction ratio: raw rows vs canonical summary windows per stream
-    (the reference's headline storage metric, core/db_test.go:55-57)."""
+    (the reference's headline storage metric, core/db_test.go:55-57).
+    On Spark, derived from the materialized summary store: raw row count
+    = max(count_end) + 1, window count = view rows per stream."""
+    if dialect == "spark":
+        return f"""
+SELECT stream_id,
+       max(count_end) + 1 AS raw_rows,
+       count(*) AS summary_windows,
+       CAST(max(count_end) + 1 AS DOUBLE) / count(*) AS compaction_ratio
+FROM {SW_FULL_VIEW}
+GROUP BY stream_id"""
     return f"""{_bucketed(dialect)}
 SELECT stream_id,
        max(n) AS raw_rows,
@@ -189,12 +270,19 @@ def q_approx_range(dialect: str, op: str) -> str:
     tables, so landmark corrections are exercised by the pytest layer.)
     """
     val = "CAST(cnt AS DOUBLE)" if op == "count" else "sum_v"
-    return f"""{_bucketed(dialect)},
+    if dialect == "spark":
+        head = f"""
+WITH sw AS (
+  SELECT stream_id, time_start, time_end, cnt, sum_v FROM {SW_FULL_VIEW}
+)"""
+    else:
+        head = f"""{_bucketed(dialect)},
 sw AS (
   SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
          count(*) AS cnt, {dsum('v')} AS sum_v
   FROM b GROUP BY stream_id, bucket
-),
+)"""
+    return f"""{head},
 sb AS (SELECT stream_id, min(time_start) AS tmin, max(time_end) AS tmax
        FROM sw GROUP BY stream_id),
 {_query_ranges()},
@@ -276,6 +364,19 @@ def q_approx_range_landmark(dialect: str, op: str) -> str:
   FROM ev0 e JOIN lmk ON lmk.stream_id = e.stream_id
   WHERE e.t < lmk.l0 OR e.t > lmk.l1"""
     t = epoch_us("ts", dialect)
+    if dialect == "spark":
+        sw_part = f"""sw AS (
+  SELECT stream_id, time_start, time_end, cnt, sum_v FROM {SW_LMK_VIEW}
+)"""
+    else:
+        sw_part = f"""bkt AS ({_bucketed(dialect, ev_sql)}
+SELECT stream_id, t, v, bucket FROM b),
+sw AS (
+  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
+         count(*) AS cnt, {dsum('v')} AS sum_v
+  FROM bkt
+  GROUP BY stream_id, bucket
+)"""
     return f"""
 WITH ev0 AS (
   SELECT user_id AS stream_id, {t} AS t, value AS v, event_id FROM events
@@ -289,14 +390,7 @@ lmk AS (
          tmin + CAST(floor((tmax - tmin) * 0.15) AS BIGINT) AS l1
   FROM raw_b
 ),
-bkt AS ({_bucketed(dialect, ev_sql)}
-SELECT stream_id, t, v, bucket FROM b),
-sw AS (
-  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
-         count(*) AS cnt, {dsum('v')} AS sum_v
-  FROM bkt
-  GROUP BY stream_id, bucket
-),
+{sw_part},
 sb AS (SELECT stream_id, tmin, tmax FROM raw_b),
 qr AS (
   SELECT stream_id, 1 AS qid, tmin AS t0, tmax AS t1 FROM sb
@@ -460,6 +554,18 @@ def q_approx_minmax_range_landmark(dialect: str, op: str) -> str:
          count(*) OVER (PARTITION BY e.stream_id) AS n
   FROM ev0 e JOIN lmk ON lmk.stream_id = e.stream_id
   WHERE e.t < lmk.l0 OR e.t > lmk.l1"""
+    if dialect == "spark":
+        sw_part = f"""sw AS (
+  SELECT stream_id, time_start, time_end, {op}_v AS wv FROM {SW_LMK_VIEW}
+)"""
+    else:
+        sw_part = f"""bkt AS ({_bucketed(dialect, ev_sql)}
+SELECT stream_id, t, v, bucket FROM b),
+sw AS (
+  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
+         {agg}(v) AS wv
+  FROM bkt GROUP BY stream_id, bucket
+)"""
     return f"""
 WITH ev0 AS (
   SELECT user_id AS stream_id, {t} AS t, value AS v, event_id FROM events
@@ -473,13 +579,7 @@ lmk AS (
          tmin + CAST(floor((tmax - tmin) * 0.15) AS BIGINT) AS l1
   FROM raw_b
 ),
-bkt AS ({_bucketed(dialect, ev_sql)}
-SELECT stream_id, t, v, bucket FROM b),
-sw AS (
-  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
-         {agg}(v) AS wv
-  FROM bkt GROUP BY stream_id, bucket
-),
+{sw_part},
 qr AS (
   SELECT stream_id, 1 AS qid, tmin AS t0, tmax AS t1 FROM raw_b
   UNION ALL
@@ -513,12 +613,19 @@ def q_approx_minmax_range(dialect: str, op: str) -> str:
     """Max/min over the overlapping canonical windows (core/max_op.go:39-63;
     min is the README-promised symmetric op the reference never built)."""
     agg = "max" if op == "max" else "min"
-    return f"""{_bucketed(dialect)},
+    if dialect == "spark":
+        head = f"""
+WITH sw AS (
+  SELECT stream_id, time_start, time_end, max_v, min_v FROM {SW_FULL_VIEW}
+)"""
+    else:
+        head = f"""{_bucketed(dialect)},
 sw AS (
   SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
          max(v) AS max_v, min(v) AS min_v
   FROM b GROUP BY stream_id, bucket
-),
+)"""
+    return f"""{head},
 sb AS (SELECT stream_id, min(time_start) AS tmin, max(time_end) AS tmax
        FROM sw GROUP BY stream_id),
 {_query_ranges()}

@@ -82,3 +82,42 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     setattr(spark, _REGISTERED_ATTR, sf_dir)
+
+
+_SUMMARY_VIEWS_ATTR = "_summarydb_summary_views"
+
+
+def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize + cache the canonical summary-window tables once per
+    (session, sf_dir) and expose them as temp views.
+
+    This is the engine's storage model, mirroring the reference: summary
+    windows are persisted state written by the pipeline and scanned by
+    queries through the time index (storage/query_index.go:48-74) — range
+    queries never re-derive windows from raw events.  The ten
+    summary-consuming queries read these views; their DuckDB oracles keep
+    the full inline recompute, so values are still verified end-to-end.
+    At sf0.1 the build is ~0.5 s once; each query afterwards touches only
+    O(streams x log n) cached rows."""
+    from summarydb_spark.plans.portable_sql import (
+        SW_FULL_VIEW,
+        SW_LMK_VIEW,
+        summary_view_sql,
+    )
+
+    state: dict = getattr(spark, _SUMMARY_VIEWS_ATTR, None) or {}
+    if state.get("sf_dir") == sf_dir:
+        return
+    register_tables(spark, sf_dir)
+    for old in state.get("dfs", []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    dfs = []
+    for view, kind in ((SW_FULL_VIEW, "full"), (SW_LMK_VIEW, "lmk")):
+        df = spark.sql(summary_view_sql(kind)).persist()
+        df.count()  # materialize the cache before queries race over it
+        df.createOrReplaceTempView(view)
+        dfs.append(df)
+    setattr(spark, _SUMMARY_VIEWS_ATTR, {"sf_dir": sf_dir, "dfs": dfs})
