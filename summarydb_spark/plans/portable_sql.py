@@ -138,16 +138,23 @@ b AS (
 # them to the KV store and queries scan stored windows through the time index
 # (storage/query_index.go:48-74) — queries never re-derive windows from raw
 # events.  The Spark engine mirrors that: the canonical summary table is
-# built ONCE per (session, sf_dir), cached, and exposed as a temp view; the
-# ten summary-consuming queries read the view.  Without this, Spark's CTE
-# inlining re-executes the whole events-scan + row_number + bucket + agg
-# chain for every CTE reference (2-3x per query, x10 queries).  The DuckDB
-# oracle keeps the full inline recompute, so every value is still verified
-# end-to-end from raw events.
+# built ONCE per sf_dir, written to the parquet store, and exposed as a
+# temp view over the files; the ten summary-consuming queries read the
+# view.  (Parquet, not .persist(): cache-manager substitution cannot
+# replace a plan inside a WITH CTE, and these queries all bind the store
+# behind CTEs — a cached view silently rebuilds from raw events.)  The
+# DuckDB oracle keeps the full inline recompute, so every value is still
+# verified end-to-end from raw events.
 # ---------------------------------------------------------------------------
 
 SW_FULL_VIEW = "sw_exp2_full"
 SW_LMK_VIEW = "sw_exp2_lmk"
+# per-stream bounds + landmark bracket, and the exact landmark rows —
+# landmark windows are persisted exact state in the reference
+# (core/stream.go:112-114: landmark appends bypass the decay pipeline and
+# are stored raw), so the store holds them alongside the summary windows
+SW_META_VIEW = "sw_stream_meta"
+SW_LMKROWS_VIEW = "sw_lmk_rows"
 
 _SW_AGG = """SELECT stream_id,
        min(idx) AS window_id,
@@ -182,17 +189,29 @@ _LMK_EV_SQL = """
 
 
 def summary_view_sql(kind: str) -> str:
-    """Spark SQL building the cached canonical summary table.
+    """Spark SQL building one table of the persisted summary store.
 
-    ``full``: every event; ``lmk``: landmark-bracketed rows excluded from
-    the decayed build (core/stream.go:112-114)."""
+    ``full``: summary windows over every event; ``lmk``: windows with the
+    landmark-bracketed rows excluded from the decayed build
+    (core/stream.go:112-114); ``meta``: per-stream time bounds + landmark
+    bracket; ``lmk_rows``: the exact raw rows inside the landmark bracket."""
+    lmk_prefix = _LMK_PREFIX.format(t=epoch_us("ts", "spark"))
+    if kind == "meta":
+        return f"""WITH {lmk_prefix}
+SELECT b.stream_id, b.tmin, b.tmax, k.l0, k.l1
+FROM raw_b b JOIN lmk k ON k.stream_id = b.stream_id"""
+    if kind == "lmk_rows":
+        return f"""WITH {lmk_prefix}
+SELECT e.stream_id, e.t, e.v
+FROM ev0 e JOIN lmk k ON k.stream_id = e.stream_id
+WHERE e.t >= k.l0 AND e.t <= k.l1"""
     agg = _SW_AGG.format(dsum=dsum("v"))
     if kind == "full":
         return f"{_bucketed('spark')}\n{agg}\nFROM b\nGROUP BY stream_id, bucket"
     # nested WITH inside the bkt CTE body is valid SQL in both engines (the
     # landmark query templates below use the same construction)
     return (
-        f"WITH {_LMK_PREFIX.format(t=epoch_us('ts', 'spark'))},\n"
+        f"WITH {lmk_prefix},\n"
         f"bkt AS ({_bucketed('spark', _LMK_EV_SQL)}\n"
         f"SELECT stream_id, t, v, idx, bucket FROM b)\n"
         f"{agg}\nFROM bkt\nGROUP BY stream_id, bucket"
@@ -365,19 +384,18 @@ def q_approx_range_landmark(dialect: str, op: str) -> str:
   WHERE e.t < lmk.l0 OR e.t > lmk.l1"""
     t = epoch_us("ts", dialect)
     if dialect == "spark":
-        sw_part = f"""sw AS (
+        # everything comes from the persisted store: summary windows,
+        # stream bounds, landmark bracket, and exact landmark rows — no
+        # raw-events scan at query time
+        head = f"""
+WITH raw_b AS (SELECT stream_id, tmin, tmax FROM {SW_META_VIEW}),
+lmk AS (SELECT stream_id, l0, l1 FROM {SW_META_VIEW}),
+lmr AS (SELECT stream_id, t, v FROM {SW_LMKROWS_VIEW}),
+sw AS (
   SELECT stream_id, time_start, time_end, cnt, sum_v FROM {SW_LMK_VIEW}
 )"""
     else:
-        sw_part = f"""bkt AS ({_bucketed(dialect, ev_sql)}
-SELECT stream_id, t, v, bucket FROM b),
-sw AS (
-  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
-         count(*) AS cnt, {dsum('v')} AS sum_v
-  FROM bkt
-  GROUP BY stream_id, bucket
-)"""
-    return f"""
+        head = f"""
 WITH ev0 AS (
   SELECT user_id AS stream_id, {t} AS t, value AS v, event_id FROM events
 ),
@@ -390,7 +408,20 @@ lmk AS (
          tmin + CAST(floor((tmax - tmin) * 0.15) AS BIGINT) AS l1
   FROM raw_b
 ),
-{sw_part},
+lmr AS (
+  SELECT e.stream_id, e.t, e.v
+  FROM ev0 e JOIN lmk k ON k.stream_id = e.stream_id
+  WHERE e.t >= k.l0 AND e.t <= k.l1
+),
+bkt AS ({_bucketed(dialect, ev_sql)}
+SELECT stream_id, t, v, bucket FROM b),
+sw AS (
+  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
+         count(*) AS cnt, {dsum('v')} AS sum_v
+  FROM bkt
+  GROUP BY stream_id, bucket
+)"""
+    return f"""{head},
 sb AS (SELECT stream_id, tmin, tmax FROM raw_b),
 qr AS (
   SELECT stream_id, 1 AS qid, tmin AS t0, tmax AS t1 FROM sb
@@ -425,7 +456,7 @@ lsum AS (
          {dsum(f'CASE WHEN r.t >= p.t0 AND r.t <= p.t1 THEN {lmv} ELSE 0 END')} AS lm_sum
   FROM parts p
   JOIN lmk ON lmk.stream_id = p.stream_id
-  JOIN ev0 r ON r.stream_id = p.stream_id AND r.t >= lmk.l0 AND r.t <= lmk.l1
+  JOIN lmr r ON r.stream_id = p.stream_id
   WHERE least(lmk.l1, p.t1) >= greatest(lmk.l0, p.t0)
   GROUP BY p.stream_id, p.qid
 ),
@@ -555,18 +586,16 @@ def q_approx_minmax_range_landmark(dialect: str, op: str) -> str:
   FROM ev0 e JOIN lmk ON lmk.stream_id = e.stream_id
   WHERE e.t < lmk.l0 OR e.t > lmk.l1"""
     if dialect == "spark":
-        sw_part = f"""sw AS (
+        # store-only: summary windows, bounds, and exact landmark rows all
+        # come from persisted state — no raw-events scan at query time
+        head = f"""
+WITH raw_b AS (SELECT stream_id, tmin, tmax FROM {SW_META_VIEW}),
+lmr AS (SELECT stream_id, t, v FROM {SW_LMKROWS_VIEW}),
+sw AS (
   SELECT stream_id, time_start, time_end, {op}_v AS wv FROM {SW_LMK_VIEW}
 )"""
     else:
-        sw_part = f"""bkt AS ({_bucketed(dialect, ev_sql)}
-SELECT stream_id, t, v, bucket FROM b),
-sw AS (
-  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
-         {agg}(v) AS wv
-  FROM bkt GROUP BY stream_id, bucket
-)"""
-    return f"""
+        head = f"""
 WITH ev0 AS (
   SELECT user_id AS stream_id, {t} AS t, value AS v, event_id FROM events
 ),
@@ -579,7 +608,19 @@ lmk AS (
          tmin + CAST(floor((tmax - tmin) * 0.15) AS BIGINT) AS l1
   FROM raw_b
 ),
-{sw_part},
+lmr AS (
+  SELECT e.stream_id, e.t, e.v
+  FROM ev0 e JOIN lmk k ON k.stream_id = e.stream_id
+  WHERE e.t >= k.l0 AND e.t <= k.l1
+),
+bkt AS ({_bucketed(dialect, ev_sql)}
+SELECT stream_id, t, v, bucket FROM b),
+sw AS (
+  SELECT stream_id, min(t) AS time_start, max(t) AS time_end,
+         {agg}(v) AS wv
+  FROM bkt GROUP BY stream_id, bucket
+)"""
+    return f"""{head},
 qr AS (
   SELECT stream_id, 1 AS qid, tmin AS t0, tmax AS t1 FROM raw_b
   UNION ALL
@@ -595,9 +636,7 @@ wsel AS (
 lm AS (
   SELECT q.stream_id, q.qid, {agg}(r.v) AS lm_val, count(*) AS lm_n
   FROM qr q
-  JOIN lmk k ON k.stream_id = q.stream_id
-  JOIN ev0 r ON r.stream_id = q.stream_id
-   AND r.t >= k.l0 AND r.t <= k.l1
+  JOIN lmr r ON r.stream_id = q.stream_id
    AND r.t >= q.t0 AND r.t <= q.t1
   GROUP BY q.stream_id, q.qid
 )

@@ -270,7 +270,81 @@ JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY GROUPING SETS ((r.r_name), (r.r_name, n.n_name), ())"""
 
 
+def q_unpivot_priority_revenue(dialect: str) -> str:
+    """UNPIVOT (melt) of the pivoted per-priority revenue back to long form
+    — the reshape-operator pair with q_pivot_priority_revenue.  The oracle
+    states the same result directly as a labeled GROUP BY."""
+    if dialect == "spark":
+        in_list = ", ".join(PRIORITY_ALIASES)
+        return f"""
+SELECT o_orderstatus, priority, revenue
+FROM ({q_pivot_priority_revenue('spark')})
+UNPIVOT (revenue FOR priority IN ({in_list}))"""
+    label = " ".join(
+        f"WHEN '{p}' THEN '{a}'" for p, a in zip(PRIORITIES, PRIORITY_ALIASES)
+    )
+    return f"""
+SELECT o_orderstatus,
+       CASE o_orderpriority {label} END AS priority,
+       {dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY o_orderstatus, CASE o_orderpriority {label} END"""
+
+
+def q_gap_fill_locf(dialect: str) -> str:
+    """Time-series gap filling: generate the full per-stream daily calendar
+    spine, left-join observed daily sums, forward-fill missing days with
+    last-observation-carried-forward (IGNORE NULLS window).
+
+    The spine explode is O(streams x span-days) — rows, not raw events —
+    and the fill is one window pass; the classic TSDB densify operator the
+    reference cannot express (SURVEY §2.6: no window functions)."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        spine = """
+spine AS (
+  SELECT stream_id, d0 + x AS day
+  FROM bounds LATERAL VIEW explode(sequence(CAST(0 AS BIGINT), d1 - d0)) AS x
+)"""
+        locf = (
+            "last_value(raw_sum) IGNORE NULLS OVER "
+            "(PARTITION BY stream_id ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    else:
+        spine = """
+spine AS (
+  SELECT stream_id, unnest(range(0, d1 - d0 + 1)) + d0 AS day
+  FROM bounds
+)"""
+        locf = (
+            "last_value(raw_sum IGNORE NULLS) OVER "
+            "(PARTITION BY stream_id ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    return f"""
+WITH d AS (
+  SELECT user_id AS stream_id, ({t} {idiv} 86400000000) AS day,
+         {dsum('value')} AS sum_v, count(*) AS cnt
+  FROM events GROUP BY user_id, ({t} {idiv} 86400000000)
+),
+bounds AS (SELECT stream_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY stream_id),
+{spine},
+j AS (
+  SELECT s.stream_id, s.day, d.sum_v AS raw_sum,
+         CASE WHEN d.stream_id IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM spine s LEFT JOIN d ON d.stream_id = s.stream_id AND d.day = s.day
+)
+SELECT stream_id, day, raw_sum,
+       {locf} AS locf_sum,
+       is_gap
+FROM j"""
+
+
 RELATIONAL_EXT_QUERIES = {
+    "gap_fill_locf_daily": q_gap_fill_locf,
+    "unpivot_priority_revenue": q_unpivot_priority_revenue,
     "pivot_priority_revenue": q_pivot_priority_revenue,
     "window_lead_lag_monthly": q_window_lead_lag_monthly,
     "ntile_acctbal_quartiles": q_ntile_acctbal_quartiles,

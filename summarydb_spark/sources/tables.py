@@ -86,10 +86,32 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 
 _SUMMARY_VIEWS_ATTR = "_summarydb_summary_views"
 
+# Persisted summary-window store, one subdir per source sf_dir.  Parquet on
+# disk (not .persist() + temp view): Spark's cache-manager substitution does
+# not reach inside WITH CTEs (a CTERelationDef subtree is never replaced by
+# the InMemoryRelation), and every summary-consuming query binds the store
+# behind a CTE — a cached view would silently rebuild from raw events on
+# each of those queries.  A parquet store has no such quirk, gives the
+# scan filter pushdown + column pruning, and is the reference's actual
+# durability model (windows are persisted state, not session cache).
+_STORE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".summary_store",
+)
+
+
+def _store_path(sf_dir: str, view: str) -> str:
+    import hashlib
+
+    sub = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        os.environ.get("SUMMARYDB_STORE_DIR", _STORE_ROOT), sub, view
+    )
+
 
 def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize + cache the canonical summary-window tables once per
-    (session, sf_dir) and expose them as temp views.
+    """Materialize the canonical summary-window tables to the parquet store
+    (once per sf_dir; reused across sessions) and expose them as temp views.
 
     This is the engine's storage model, mirroring the reference: summary
     windows are persisted state written by the pipeline and scanned by
@@ -97,11 +119,13 @@ def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
     queries never re-derive windows from raw events.  The ten
     summary-consuming queries read these views; their DuckDB oracles keep
     the full inline recompute, so values are still verified end-to-end.
-    At sf0.1 the build is ~0.5 s once; each query afterwards touches only
-    O(streams x log n) cached rows."""
+    The build is one pass over events per sf_dir; afterwards every query
+    scans only O(streams x log n) stored rows."""
     from summarydb_spark.plans.portable_sql import (
         SW_FULL_VIEW,
         SW_LMK_VIEW,
+        SW_LMKROWS_VIEW,
+        SW_META_VIEW,
         summary_view_sql,
     )
 
@@ -109,15 +133,19 @@ def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
     if state.get("sf_dir") == sf_dir:
         return
     register_tables(spark, sf_dir)
-    for old in state.get("dfs", []):
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    dfs = []
-    for view, kind in ((SW_FULL_VIEW, "full"), (SW_LMK_VIEW, "lmk")):
-        df = spark.sql(summary_view_sql(kind)).persist()
-        df.count()  # materialize the cache before queries race over it
-        df.createOrReplaceTempView(view)
-        dfs.append(df)
-    setattr(spark, _SUMMARY_VIEWS_ATTR, {"sf_dir": sf_dir, "dfs": dfs})
+    for view, kind in (
+        (SW_FULL_VIEW, "full"),
+        (SW_LMK_VIEW, "lmk"),
+        (SW_META_VIEW, "meta"),
+        (SW_LMKROWS_VIEW, "lmk_rows"),
+    ):
+        path = _store_path(sf_dir, view)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # coalesce(1): the store is O(streams x log n) rows — a handful
+            # of MB even at sf100; at real scale drop the coalesce and
+            # partition by time_start range instead (see SCALING.md)
+            spark.sql(summary_view_sql(kind)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(view)
+    setattr(spark, _SUMMARY_VIEWS_ATTR, {"sf_dir": sf_dir})

@@ -1,0 +1,84 @@
+"""Physical-plan property tests: the plan we ship is the plan we designed.
+
+Each assertion pins a scale-critical property of a headline query's
+physical plan (predicate pushdown reaching the parquet scan, column
+pruning, broadcast joins for small dims, top-k via TakeOrderedAndProject,
+cached summary-store scans, no accidental cartesian products) so a
+refactor that silently degrades the plan fails CI, not the bench.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "tpch_q6_like_filter")
+    assert "PushedFilters:" in plan
+    # the shipdate/discount/quantity predicates must reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # column pruning: scan must not read the unused l_tax/l_returnflag
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_tax" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = plan_of(spark, "tpch_q5_like_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "tpch_q3_like_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["approx_sum_range", "approx_max_range_landmark", "decay_summary_exp2"]
+)
+def test_summary_queries_scan_persisted_store(spark, name):
+    plan = plan_of(spark, name)
+    # range queries read the persisted summary store (the reference's
+    # storage model: windows are persisted state scanned via the time
+    # index), never re-deriving windows from raw events
+    assert ".summary_store" in plan
+    assert "events.parquet" not in plan
+
+
+def test_minhash_portable_has_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_minhash_portable")
+    assert "CartesianProduct" not in plan
+    # candidate generation is an equi-join (hash or sort-merge), not NLJ
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "join_enrich_region_month",
+        "tpch_q10_like_returns",
+        "semi_anti_join_customers",
+        "fuzzy_part_names",
+        "stratified_sample_orders",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    assert "CartesianProduct" not in plan_of(spark, name)
