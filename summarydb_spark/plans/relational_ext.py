@@ -342,7 +342,93 @@ SELECT stream_id, day, raw_sum,
 FROM j"""
 
 
+def q_exists_late_ship(dialect: str) -> str:
+    """TPC-H Q4 shape: orders per priority having at least one line item
+    shipped more than 60 days after the order date — correlated EXISTS,
+    which both engines decorrelate to a left-semi join on l_orderkey (no
+    per-row subquery execution; Spark shows BroadcastHashJoin/SortMergeJoin
+    LeftSemi)."""
+    return """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= CAST(DATE '1995-01-01' AS TIMESTAMP)
+  AND o.o_orderdate <  CAST(DATE '1995-07-01' AS TIMESTAMP)
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority"""
+
+
+def q_correlated_max_order(dialect: str) -> str:
+    """Correlated scalar subquery: orders matching their customer's maximum
+    order value, counted per order status.  Both engines decorrelate the
+    subquery into a pre-aggregated max-per-customer join (Catalyst's
+    RewriteCorrelatedScalarSubquery) — the plan is scan -> partial-agg ->
+    join, never a per-row subquery."""
+    return f"""
+SELECT o.o_orderstatus,
+       count(*) AS n_top_orders,
+       {dsum('o.o_totalprice')} AS top_revenue
+FROM orders o
+WHERE o.o_totalprice = (
+    SELECT max(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+GROUP BY o.o_orderstatus"""
+
+
+def q_moving_avg_7d(dialect: str) -> str:
+    """7-day (7-row) trailing moving average of per-stream daily event sums
+    — the analytic window-frame operator (ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW).  The frame runs over the pre-aggregated daily table
+    (streams x days rows), not raw events; the frame sum accumulates in
+    DECIMAL so it is order-independent and engine-portable."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    frame = (
+        "OVER (PARTITION BY stream_id ORDER BY day "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH d AS (
+  SELECT user_id AS stream_id, ({t} {idiv} 86400000000) AS day,
+         {dsum('value')} AS sum_v
+  FROM events GROUP BY user_id, ({t} {idiv} 86400000000)
+)
+SELECT stream_id, day, sum_v,
+       CAST(round(
+         CAST(sum(CAST(sum_v AS DECIMAL(38,10))) {frame} AS DOUBLE)
+           / CAST(count(*) {frame} AS DOUBLE), 6) AS DOUBLE) AS ma7,
+       CAST(count(*) {frame} AS BIGINT) AS frame_n
+FROM d"""
+
+
+def q_regexp_source_buckets(dialect: str) -> str:
+    """Regex extraction: pull the numeric id out of the document source tag
+    ('src17' -> 17), bucket by id % 10, aggregate char counts — scalar
+    regexp_extract coverage with an identical call shape in both engines."""
+    return """
+WITH x AS (
+  SELECT CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) AS src_id,
+         n_chars
+  FROM documents
+)
+SELECT src_id % 10 AS src_bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(src_id) AS BIGINT) AS min_src,
+       CAST(max(src_id) AS BIGINT) AS max_src
+FROM x
+GROUP BY src_id % 10"""
+
+
 RELATIONAL_EXT_QUERIES = {
+    "exists_late_ship_orders": q_exists_late_ship,
+    "correlated_max_order": q_correlated_max_order,
+    "moving_avg_7d_daily": q_moving_avg_7d,
+    "regexp_source_buckets": q_regexp_source_buckets,
     "gap_fill_locf_daily": q_gap_fill_locf,
     "unpivot_priority_revenue": q_unpivot_priority_revenue,
     "pivot_priority_revenue": q_pivot_priority_revenue,
