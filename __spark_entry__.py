@@ -105,12 +105,14 @@ def _all_queries() -> dict:
     from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
     from summarydb_spark.plans.portable_sql import CORE_QUERIES
     from summarydb_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
+    from summarydb_spark.plans.stats_ext import STATS_EXT_QUERIES
 
     return {
         **CORE_QUERIES,
         **LLM_QUERIES,
         **PORTABLE_DEDUP_QUERIES,
         **RELATIONAL_EXT_QUERIES,
+        **STATS_EXT_QUERIES,
     }
 
 

@@ -1,0 +1,235 @@
+"""Ingest-semantics parity and statistical-aggregate coverage.
+
+``ingest_clamp_monotonic`` reproduces the reference's out-of-order handling
+exactly: a late append is clamped forward to ``lastTimestamp + 1``
+(core/pipeline.go:80-84).  The clamp is a recursive prefix definition
+``t'_i = max(t_i, t'_{i-1} + 1)``, which has the closed form
+``t'_i = i + running_max(t_j - j)`` — an ordinary running-max window
+function, so the whole ingest transform stays in whole-stage codegen with a
+single shuffle on ``stream_id`` (no per-row state, no UDF).
+
+The moment-based statistics family (corr/covar, histogram) extends the
+reference's dormant ``stats`` package (stats/welford.go:19-25,
+stats/stream_statistics.go:21-33 — declared but wired nowhere): every
+statistic is derived from order-independent decimal power sums, so the
+result is bit-identical across partitionings, engines, and retries.
+
+Same one-template-two-dialects scheme as portable_sql; all aggregates
+follow the BIGINT/DOUBLE normalization contract (driver hashes are
+dtype-sensitive).
+
+Scale notes (100 TB discipline):
+- clamp: one hash exchange on stream_id; window + running max are linear
+  per partition, output is one row per stream;
+- q13/q15/q18: fact-side group-by first (partial aggregation bounds the
+  shuffle by group count), dimension joins after reduction — the join
+  inputs are orders-of-magnitude smaller than the scan;
+- moments: single pass, one shuffle keyed by the (low-cardinality) group
+  column; derived statistics are per-group scalar math on the tiny output;
+- histogram: bucket id is pure column math (no UDF); cardinality = #buckets.
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_sql import dsum, epoch_us
+
+
+def q_ingest_clamp(dialect: str) -> str:
+    """Monotonic ingest clamp (reference parity, core/pipeline.go:80-84) in
+    closed form: t'_i = rn_i + max_{j<=i}(t_j - rn_j), per stream in arrival
+    (event_id) order.  Reports per-stream clamp accounting."""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH e AS (
+  SELECT user_id AS stream_id, {t} AS t, event_id FROM events
+),
+r AS (
+  SELECT stream_id, t,
+         CAST(row_number() OVER (PARTITION BY stream_id ORDER BY event_id)
+              AS BIGINT) AS rn
+  FROM e
+),
+c AS (
+  SELECT stream_id, t, rn,
+         rn + max(t - rn) OVER (PARTITION BY stream_id ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_adj
+  FROM r
+)
+SELECT stream_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN t_adj > t THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       CAST(max(t_adj - t) AS BIGINT) AS max_clamp_us,
+       CAST(sum(t_adj - t) AS BIGINT) AS total_clamp_us,
+       CAST(max(t_adj) AS BIGINT) AS last_ts
+FROM c
+GROUP BY stream_id"""
+
+
+def q_custdist(dialect: str) -> str:
+    """TPC-H Q13 shape: distribution of per-customer order counts via a
+    LEFT OUTER join with an ON-clause filter (customers with zero qualifying
+    orders land in the c_count=0 bucket), then a second aggregation over the
+    first's output — the classic two-level group-by."""
+    return """
+WITH oc AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM oc
+GROUP BY c_count"""
+
+
+def q_large_orders(dialect: str) -> str:
+    """TPC-H Q18 shape: orders whose summed line quantity exceeds 250
+    (~top 1%), re-joined to orders/customer and rolled up by market
+    segment.  The HAVING runs on the pre-join aggregate, so the join input
+    is already reduced to the qualifying orders."""
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, {dsum('l_quantity')} AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 250
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       {dsum('b.total_qty')} AS qty_sum,
+       {dsum('o.o_totalprice')} AS revenue
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment"""
+
+
+def q_top_supplier(dialect: str) -> str:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum 3-month revenue —
+    an aggregate CTE consumed twice (join + scalar-max subquery).  Revenue
+    accumulates in DECIMAL so the MAX equality is exact, not
+    float-ordering-dependent."""
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, {dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= CAST(DATE '1996-01-01' AS TIMESTAMP)
+    AND l_shipdate <  CAST(DATE '1996-04-01' AS TIMESTAMP)
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)"""
+
+
+def q_corr_quantity_price(dialect: str) -> str:
+    """Pearson correlation and sample covariance of (quantity, price) per
+    return flag, derived from order-independent decimal power sums — the
+    distributed-safe formulation of the reference's Welford machinery
+    (stats/welford.go:19-25)."""
+    return f"""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         {dsum('l_quantity')} AS sx,
+         {dsum('l_extendedprice')} AS sy,
+         {dsum('l_quantity * l_quantity')} AS sxx,
+         {dsum('l_extendedprice * l_extendedprice', 2)} AS syy,
+         {dsum('l_quantity * l_extendedprice', 2)} AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(round((sxy - sx * sy / n) / (n - 1), 4) AS DOUBLE) AS covar_qp,
+       CAST(round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            AS DOUBLE) AS corr_qp,
+       CAST(round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS DOUBLE) AS std_qty
+FROM m"""
+
+
+def q_value_histogram(dialect: str) -> str:
+    """20-bucket equi-width histogram of event values over [0, 500) —
+    bucket assignment is pure column math (floor division), aggregated per
+    event type.  Output cardinality = types x buckets regardless of input
+    size."""
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+         value
+  FROM events
+)
+SELECT event_type, bucket,
+       count(*) AS n,
+       {dsum('value')} AS sum_v,
+       CAST(round(min(value), 6) AS DOUBLE) AS min_v,
+       CAST(round(max(value), 6) AS DOUBLE) AS max_v
+FROM b
+GROUP BY event_type, bucket"""
+
+
+def q_percent_rank_balance(dialect: str) -> str:
+    """percent_rank / cume_dist of customer balances within nation, then
+    per-decile rollup (rank functions feed a second aggregation, so the
+    output is 25 nations x <=10 deciles, not one row per customer)."""
+    return f"""
+WITH p AS (
+  SELECT c_nationkey, c_acctbal,
+         percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+           AS pr,
+         cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+           AS cd
+  FROM customer
+)
+SELECT c_nationkey,
+       CAST(least(floor(pr * 10), 9) AS BIGINT) AS decile,
+       count(*) AS n,
+       {dsum('c_acctbal')} AS bal_sum,
+       CAST(round(max(cd), 6) AS DOUBLE) AS cd_max
+FROM p
+GROUP BY c_nationkey, least(floor(pr * 10), 9)"""
+
+
+def q_first_last_day_value(dialect: str) -> str:
+    """first_value / last_value (explicit full frame) of the event value per
+    stream-day, with the day's range — the frame-boundary window functions
+    missing from the lead/lag coverage.  Tie-broken on event_id so both
+    engines pick the same row."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    win = (
+        "OVER (PARTITION BY stream_id, day ORDER BY t, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id AS stream_id, ({t} {idiv} 86400000000) AS day,
+         {t} AS t, event_id, value
+  FROM events
+),
+w AS (
+  SELECT stream_id, day,
+         first_value(value) {win} AS first_v,
+         last_value(value) {win} AS last_v
+  FROM e
+)
+SELECT stream_id, day, count(*) AS n,
+       CAST(round(min(first_v), 6) AS DOUBLE) AS first_v,
+       CAST(round(max(last_v), 6) AS DOUBLE) AS last_v
+FROM w
+GROUP BY stream_id, day"""
+
+
+STATS_EXT_QUERIES = {
+    "ingest_clamp_monotonic": q_ingest_clamp,
+    "tpch_q13_like_custdist": q_custdist,
+    "tpch_q18_like_large_orders": q_large_orders,
+    "tpch_q15_like_top_supplier": q_top_supplier,
+    "corr_quantity_price": q_corr_quantity_price,
+    "value_histogram_events": q_value_histogram,
+    "percent_rank_balance_decile": q_percent_rank_balance,
+    "first_last_day_value": q_first_last_day_value,
+}
