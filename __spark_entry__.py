@@ -101,6 +101,7 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _all_queries() -> dict:
+    from summarydb_spark.plans.advanced_sql import ADVANCED_QUERIES
     from summarydb_spark.plans.llm_sql import LLM_QUERIES
     from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
     from summarydb_spark.plans.portable_sql import CORE_QUERIES
@@ -113,6 +114,7 @@ def _all_queries() -> dict:
         **PORTABLE_DEDUP_QUERIES,
         **RELATIONAL_EXT_QUERIES,
         **STATS_EXT_QUERIES,
+        **ADVANCED_QUERIES,
     }
 
 

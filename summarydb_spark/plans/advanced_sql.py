@@ -1,0 +1,258 @@
+"""Advanced relational + LLM-pipeline coverage, batch 2.
+
+Same one-template-two-dialects scheme as portable_sql (DuckDB rendering is
+the oracle): conditional-aggregation revenue share (TPC-H Q14 shape),
+disjunctive OR-of-ANDs pushdown (Q19), multi-EXISTS self-join (Q21),
+uncorrelated scalar subquery + anti join (Q22), min-within-group-then-join
+(Q2 shape via lineitem unit prices — the testdata has no partsupp table),
+null-aware NOT IN (Q16 shape), rational TF-IDF term ranking, and positional
+token statistics via a lateral positions join.
+
+Scale notes (100 TB discipline):
+- Q14/Q19/Q16 are scan -> broadcast(part/supplier) join -> one hash agg;
+  the disjunctive Q19 predicate stays a single codegen'd filter, and the
+  p_size/p_brand conjuncts push into the part-side parquet scan;
+- Q21's two correlated subqueries compile to one left-semi and one
+  left-anti hash join against the same lineitem scan (no re-execution);
+  at scale both shuffle on l_orderkey — the same key as the main join, so
+  AQE reuses the exchange;
+- TF-IDF is explode -> two hash aggs (term-per-doc, then doc-freq) and a
+  broadcast-sized idf table at any corpus size where vocab << corpus;
+  the idf weight is exact integer arithmetic (ppm rational instead of
+  ln()) so both engines agree bit-for-bit — swap in log() idf at scale if
+  cross-engine bit equality is not required.
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_sql import dsum
+
+
+def q_tpch_q14_like_promo(dialect: str) -> str:
+    """Promo revenue share per month (TPC-H Q14 shape): conditional
+    aggregation over a fact-dim join; `part` is broadcast on the Spark
+    side.  Share = promo / total from the two decimal-exact sums."""
+    rev = "l.l_extendedprice * (1 - l.l_discount)"
+    promo = f"CASE WHEN p.p_type = 'PROMO' THEN {rev} ELSE CAST(0 AS DOUBLE) END"
+    return f"""
+SELECT year(l.l_shipdate) * 100 + month(l.l_shipdate) AS ym,
+       {dsum(promo)} AS promo_revenue,
+       {dsum(rev)} AS total_revenue,
+       round({dsum(promo)} / {dsum(rev)}, 6) AS promo_share,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY year(l.l_shipdate) * 100 + month(l.l_shipdate)"""
+
+
+def q_tpch_q19_like_disjunctive(dialect: str) -> str:
+    """Disjunctive OR-of-ANDs predicate (TPC-H Q19 shape): one global
+    aggregate whose filter is three brand/size/quantity conjunct groups.
+    Catalyst keeps this a single codegen'd filter over the broadcast join;
+    the common `p_size >= 1` and brand-set conjuncts are pushed to the
+    part scan."""
+    return f"""
+SELECT {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)"""
+
+
+def q_tpch_q21_like_late_suppliers(dialect: str) -> str:
+    """Suppliers who alone shipped late on a multi-supplier order (TPC-H
+    Q21 shape): EXISTS + NOT EXISTS correlated self-joins on lineitem,
+    compiled to left-semi and left-anti hash joins on l_orderkey — the
+    same shuffle key as the driving join, so the exchange is reused.
+    'Late' = shipped more than a year after the order date."""
+    late = "l{i}.l_shipdate > o.o_orderdate + INTERVAL 365 DAY"
+    if dialect == "duckdb":
+        late = "l{i}.l_shipdate > o.o_orderdate + INTERVAL 365 DAYS"
+    return f"""
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE {late.format(i=1)}
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND {late.format(i=3)}
+  )
+GROUP BY s.s_name"""
+
+
+def q_tpch_q22_like_idle_customers(dialect: str) -> str:
+    """Well-funded customers with no orders, per nation (TPC-H Q22 shape):
+    an uncorrelated scalar subquery (global positive-balance average,
+    broadcast as a literal at runtime) filters the customer scan, and a
+    NOT EXISTS anti join removes customers with recent orders (every
+    customer in the testdata has *some* order, so 'idle' = nothing since
+    1998).  The average is decimal-exact so both engines cut at the
+    identical threshold."""
+    avg_pos = (
+        "SELECT CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE)"
+        " / count(*) FROM customer WHERE c_acctbal > 0.0"
+    )
+    return f"""
+SELECT c.c_nationkey,
+       count(*) AS numcust,
+       {dsum('c.c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > ({avg_pos})
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= CAST(DATE '1998-01-01' AS TIMESTAMP)
+  )
+GROUP BY c.c_nationkey"""
+
+
+def q_min_cost_supplier(dialect: str) -> str:
+    """Cheapest supplier per small part (TPC-H Q2 shape without partsupp:
+    unit price observed on lineitem stands in for ps_supplycost).
+    Min-within-group via rank over (part), then join back to the dims —
+    the two-phase 'aggregate then re-join winners' plan; part and
+    supplier broadcast on the Spark side."""
+    return """
+WITH up AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 4)) AS unit_price
+  FROM lineitem
+  WHERE l_quantity > 0.0
+  GROUP BY l_partkey, l_suppkey
+),
+rk AS (
+  SELECT l_partkey, l_suppkey, unit_price,
+         CAST(row_number() OVER (PARTITION BY l_partkey
+                                 ORDER BY unit_price, l_suppkey) AS BIGINT) AS rnk
+  FROM up
+)
+SELECT p.p_partkey, p.p_brand, p.p_type,
+       s.s_suppkey, s.s_name, n.n_name AS nation,
+       rk.unit_price
+FROM rk
+JOIN part p ON p.p_partkey = rk.l_partkey
+JOIN supplier s ON s.s_suppkey = rk.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE rk.rnk = 1 AND p.p_size <= 5 AND p.p_type = 'SMALL'"""
+
+
+def q_supplier_count_not_in(dialect: str) -> str:
+    """Distinct-supplier counts by part attributes excluding flagged
+    suppliers (TPC-H Q16 shape): NOT IN compiles to Spark's null-aware
+    anti join (single broadcast-able exclusion set), then a
+    count(DISTINCT) hash aggregate."""
+    return """
+SELECT p.p_brand, p.p_type,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size BETWEEN 1 AND 15
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p.p_brand, p.p_type"""
+
+
+def _tokens_cte(dialect: str) -> str:
+    """Normalized (doc_id, tok) exploded tokens — same normalization as
+    q_token_vocab_top50."""
+    if dialect == "spark":
+        norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+        return f"""
+tk AS (
+  SELECT doc_id, tok
+  FROM documents LATERAL VIEW explode(split({norm}, ' ')) AS tok
+)"""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+tk AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS tok
+  FROM documents
+)"""
+
+
+def q_tfidf_top_terms(dialect: str) -> str:
+    """Top-3 characteristic terms per document by TF-IDF rank.
+
+    idf weight = 1e6 div doc_freq (exact integer rational — monotone in
+    1/df like ln(N/df), chosen so both engines agree bit-for-bit; at
+    scale swap the score expression for tf * ln(N/df) if cross-engine
+    bit equality is not needed).  Plan: explode -> hash agg (tf) ->
+    hash agg (df) -> broadcast idf join -> per-doc top-k window."""
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH {_tokens_cte(dialect)},
+tf AS (
+  SELECT doc_id, tok, count(*) AS term_freq
+  FROM tk GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, count(DISTINCT doc_id) AS doc_freq
+  FROM tk GROUP BY tok
+),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.term_freq, df.doc_freq,
+         CAST(tf.term_freq * (1000000 {idiv} df.doc_freq) AS BIGINT) AS score_ppm
+  FROM tf JOIN df ON df.tok = tf.tok
+),
+rk AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_ppm DESC, tok) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, term_freq, doc_freq, score_ppm, rnk
+FROM rk WHERE rnk <= 3"""
+
+
+def q_token_position_stats(dialect: str) -> str:
+    """Token statistics by sentence position (0..5): a lateral positions
+    join (constant VALUES relation, broadcast) indexing into the token
+    array — guarded element access so out-of-range positions drop out
+    under ANSI mode in Spark and as NULLs in DuckDB."""
+    if dialect == "spark":
+        tok_at = "CASE WHEN p.pos < size(toks) THEN element_at(toks, p.pos + 1) END"
+        toks = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
+    else:
+        tok_at = "CASE WHEN p.pos < len(toks) THEN toks[p.pos + 1] END"
+        toks = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos_tok AS (
+  SELECT CAST(p.pos AS BIGINT) AS pos, {tok_at} AS tok
+  FROM d CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS p(pos)
+)
+SELECT pos,
+       count(tok) AS n_docs,
+       count(DISTINCT tok) AS n_distinct,
+       min(tok) AS first_tok,
+       max(tok) AS last_tok,
+       round(CAST(round(sum(CAST(length(tok) AS DECIMAL(38,10))), 4) AS DOUBLE)
+             / count(tok), 6) AS avg_len
+FROM pos_tok
+WHERE tok IS NOT NULL
+GROUP BY pos"""
+
+
+ADVANCED_QUERIES = {
+    "tpch_q14_like_promo": q_tpch_q14_like_promo,
+    "tpch_q19_like_disjunctive": q_tpch_q19_like_disjunctive,
+    "tpch_q21_like_late_suppliers": q_tpch_q21_like_late_suppliers,
+    "tpch_q22_like_idle_customers": q_tpch_q22_like_idle_customers,
+    "min_cost_supplier_q2_like": q_min_cost_supplier,
+    "supplier_count_not_in_q16_like": q_supplier_count_not_in,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "token_position_stats": q_token_position_stats,
+}

@@ -260,6 +260,53 @@ SELECT user_id, count(*) AS n_events, min(t) AS t_start, max(t) AS t_end
 FROM s GROUP BY user_id, sid"""
 
 
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters via connected components
+    (iterative min-label propagation, functions.dedup.connected_components).
+
+    Pair relations are not transitive; keeper selection needs the
+    component.  Edges = 3-gram Jaccard pairs at threshold 0.1 (portable:
+    Jaccard is hash-invariant, so the oracle's recursive transitive
+    closure over its own pair computation reaches identical components).
+    Output: (doc_id, component_id=min id, component_size) for clustered
+    docs only."""
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    pairs = spark.sql(q_dedup_ngram_jaccard("spark", threshold=0.1))
+    comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        "component_size",
+    )
+
+
+def _oracle_dedup_cluster_cc() -> str:
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+
+    pair_sql = q_dedup_ngram_jaccard("duckdb", threshold=0.1)
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.n
+),
+comp AS (SELECT n AS doc_id, min(lbl) AS component_id FROM reach GROUP BY n)
+SELECT c.doc_id, c.component_id,
+       count(*) OVER (PARTITION BY c.component_id) AS component_size
+FROM comp c"""
+
+
 # name -> (spark_builder, oracle_sql | None)
 DF_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, None),
@@ -272,4 +319,5 @@ DF_QUERIES = {
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),
     "media_resize_16x16": (q_media_resize, ORACLE_MEDIA_RESIZE),
     "media_byte_histogram": (q_media_histogram, None),
+    "dedup_cluster_cc": (q_dedup_cluster_cc, _oracle_dedup_cluster_cc()),
 }

@@ -172,7 +172,7 @@ FROM h
 GROUP BY content_hash"""
 
 
-def q_dedup_ngram_jaccard(dialect: str) -> str:
+def q_dedup_ngram_jaccard(dialect: str, threshold: float = 0.2) -> str:
     """Pairwise 3-gram (token-shingle) Jaccard similarity over same-band
     candidate pairs: the verify stage of a banded near-dup pipeline.
 
@@ -223,7 +223,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST({inter} AS DOUBLE) / {uni}, 6) AS jaccard
 FROM d a JOIN d b
   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE CAST({inter} AS DOUBLE) / {uni} >= 0.2"""
+WHERE CAST({inter} AS DOUBLE) / {uni} >= {threshold}"""
 
 
 # ---------------------------------------------------------------------------

@@ -181,3 +181,30 @@ def test_lsh_topk_recall(embs):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_connected_components_hand_graph(spark):
+    from summarydb_spark.functions.dedup import connected_components
+
+    # two components {1,2,3,4} (a chain) and {10,11}; 99 isolated never
+    # appears (no self-edges in the edge list => not a node)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain(spark):
+    from summarydb_spark.functions.dedup import connected_components
+
+    # a 12-node path exercises multi-round propagation (diameter 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["src", "dst"]
+    )
+    rows = connected_components(edges).collect()
+    assert len(rows) == 12
+    assert {r.component for r in rows} == {0}

@@ -5,6 +5,7 @@ column names before hashing values)."""
 
 import re
 
+from summarydb_spark.plans.advanced_sql import ADVANCED_QUERIES
 from summarydb_spark.plans.llm_sql import LLM_QUERIES
 from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
 from summarydb_spark.plans.portable_sql import CORE_QUERIES, DIALECTS
@@ -17,6 +18,7 @@ ALL_SQL_QUERIES = {
     **PORTABLE_DEDUP_QUERIES,
     **RELATIONAL_EXT_QUERIES,
     **STATS_EXT_QUERIES,
+    **ADVANCED_QUERIES,
 }
 
 
