@@ -82,3 +82,40 @@ def test_minhash_portable_has_no_cartesian(spark):
 )
 def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_q19_disjunctive_predicate_pushed_both_sides(spark):
+    plan = plan_of(spark, "tpch_q19_like_disjunctive")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # Catalyst derives per-side OR filters from the cross-table disjunction
+    # and pushes them into BOTH parquet scans
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters:" in ln and "Or(" in ln
+    ]
+    assert any("l_quantity" in ln for ln in pushed)
+    assert any("p_brand" in ln for ln in pushed)
+
+
+def test_q21_compiles_exists_to_semi_and_anti_joins(spark):
+    plan = plan_of(spark, "tpch_q21_like_late_suppliers")
+    # correlated EXISTS / NOT EXISTS must become joins, not re-executed
+    # subqueries
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join_with_pushed_exclusion(spark):
+    plan = plan_of(spark, "supplier_count_not_in_q16_like")
+    assert "LeftAnti" in plan
+    # the exclusion-set predicate reaches the supplier scan
+    assert any(
+        "s_acctbal" in ln for ln in plan.splitlines() if "PushedFilters:" in ln
+    )
+
+
+def test_q14_broadcasts_part(spark):
+    plan = plan_of(spark, "tpch_q14_like_promo")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
