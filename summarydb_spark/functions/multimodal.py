@@ -295,3 +295,66 @@ def fake_media_from_text(
         F.col(id_col) % 7 == 0, F.concat(png, payload)
     ).otherwise(payload)
     return df.select(id_col, data.alias("data"))
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_ss", LongType()),
+        StructField("total_zc", LongType()),
+        StructField("max_frame_ss", LongType()),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    frame_len: int = 32,
+) -> DataFrame:
+    """Audio feature extraction over binary PCM payloads (the audio leg of
+    the modality surface; image=resize/histogram, video=sample_frames).
+
+    Deterministic fake decode: the payload is read as unsigned 8-bit PCM
+    centered at 128 (a real codec decode — soundfile/ffmpeg — slots in at
+    the ``np.frombuffer`` line behind the same signature and schema).
+    Non-overlapping frames of ``frame_len`` samples, trailing partial
+    frame dropped.  Per payload, **exact integer** features so the DuckDB
+    oracle can replay them bit-for-bit:
+
+    - ``total_ss``     sum over kept frames of sum((x-128)^2)
+    - ``total_zc``     zero crossings: adjacent in-frame sample pairs with
+                       strictly negative product
+    - ``max_frame_ss`` loudest frame's sum of squares
+
+    RMS/loudness in dB are derived downstream in column math (sqrt/log of
+    exact integers — see the audio_frame_features query), keeping all
+    float rounding in one auditable place.  Arrow-batched mapInPandas,
+    vectorized numpy per batch, no shuffle.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[data_col]):
+                arr = np.frombuffer(buf or b"", dtype=np.uint8).astype(np.int64)
+                x = arr - 128
+                n = len(x)
+                nf = n // frame_len
+                if nf == 0:
+                    rows.append((i, n, 0, 0, 0, 0))
+                    continue
+                fr = x[: nf * frame_len].reshape(nf, frame_len)
+                ss = (fr * fr).sum(axis=1)
+                zc = int(((fr[:, :-1] * fr[:, 1:]) < 0).sum())
+                rows.append(
+                    (i, n, nf, int(ss.sum()), zc, int(ss.max()))
+                )
+            yield pd.DataFrame(rows, columns=AUDIO_FRAME_SCHEMA.fieldNames())
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), data_col
+    ).mapInPandas(extract, AUDIO_FRAME_SCHEMA)

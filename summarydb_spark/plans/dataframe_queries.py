@@ -260,6 +260,73 @@ SELECT user_id, count(*) AS n_events, min(t) AS t_start, max(t) AS t_end
 FROM s GROUP BY user_id, sid"""
 
 
+def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality featurization: framed RMS energy + zero-crossing
+    counts over binary PCM payloads (Arrow-batched mapInPandas).  The
+    integer features are exact, so the DuckDB oracle replays the per-byte
+    arithmetic bit-for-bit; the float RMS derivations happen in column
+    math on both sides."""
+    from summarydb_spark.functions import multimodal
+
+    docs = _docs(spark, sf_dir)
+    pcm = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("data"))
+    feats = multimodal.audio_frame_features(pcm, frame_len=32)
+    has = F.col("n_frames") > 0
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "n_frames",
+        "total_ss",
+        "total_zc",
+        F.when(has, F.round(F.sqrt(F.col("max_frame_ss") / 32.0), 6)).alias(
+            "max_rms"
+        ),
+        F.when(
+            has,
+            F.round(F.sqrt(F.col("total_ss") / (F.col("n_frames") * 32.0)), 6),
+        ).alias("rms_overall"),
+    )
+
+
+ORACLE_AUDIO_FRAMES = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n, length(text) // 32 AS nf
+  FROM documents
+),
+s AS (SELECT doc_id, nf, text, unnest(range(n)) AS i FROM d),
+b AS (
+  SELECT doc_id, (i // 32) AS f,
+         ord(substring(text, CAST(i + 1 AS INTEGER), 1)) - 128 AS x,
+         CASE WHEN (i % 32) < 31
+              THEN ord(substring(text, CAST(i + 2 AS INTEGER), 1)) - 128 END AS y
+  FROM s WHERE i < nf * 32
+),
+fr AS (
+  SELECT doc_id, f, CAST(sum(x * x) AS BIGINT) AS ss,
+         count(*) FILTER (x * y < 0) AS zc
+  FROM b GROUP BY doc_id, f
+),
+agg AS (
+  SELECT doc_id, CAST(sum(ss) AS BIGINT) AS total_ss,
+         CAST(sum(zc) AS BIGINT) AS total_zc,
+         CAST(max(ss) AS BIGINT) AS max_frame_ss
+  FROM fr GROUP BY doc_id
+),
+out AS (
+  SELECT d.doc_id, d.n AS n_samples, d.nf AS n_frames,
+         coalesce(a.total_ss, 0) AS total_ss,
+         coalesce(a.total_zc, 0) AS total_zc,
+         a.max_frame_ss
+  FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+)
+SELECT doc_id, n_samples, n_frames, total_ss, total_zc,
+       CASE WHEN n_frames > 0
+            THEN round(sqrt(max_frame_ss / 32.0), 6) END AS max_rms,
+       CASE WHEN n_frames > 0
+            THEN round(sqrt(total_ss / (n_frames * 32.0)), 6) END AS rms_overall
+FROM out"""
+
+
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate clusters via connected components
     (iterative min-label propagation, functions.dedup.connected_components).
@@ -320,4 +387,5 @@ DF_QUERIES = {
     "media_resize_16x16": (q_media_resize, ORACLE_MEDIA_RESIZE),
     "media_byte_histogram": (q_media_histogram, None),
     "dedup_cluster_cc": (q_dedup_cluster_cc, _oracle_dedup_cluster_cc()),
+    "audio_frame_features": (q_audio_frame_features, ORACLE_AUDIO_FRAMES),
 }

@@ -120,3 +120,26 @@ def test_resize_matches_numpy_reference(spark, media):
         expected = raster[np.ix_(ri, ri)]
         assert r["out_bytes"] == 256
         assert bytes(r["resized"]) == expected.tobytes()
+
+
+def test_audio_frame_features_hand_reference(spark):
+    import numpy as np
+
+    from summarydb_spark.functions.multimodal import audio_frame_features
+
+    # 70 bytes -> frame_len=32 gives 2 frames (64 samples kept, 6 dropped)
+    payload = bytes(range(100, 170))
+    df = spark.createDataFrame([(1, payload), (2, b"abc")], ["doc_id", "data"])
+    rows = {
+        r.doc_id: r for r in audio_frame_features(df, frame_len=32).collect()
+    }
+    x = np.arange(100, 170, dtype=np.int64) - 128
+    fr = x[:64].reshape(2, 32)
+    assert rows[1].n_samples == 70
+    assert rows[1].n_frames == 2
+    assert rows[1].total_ss == int((fr * fr).sum())
+    assert rows[1].max_frame_ss == int((fr * fr).sum(axis=1).max())
+    # values cross zero once (byte 128 -> x=0 contributes no sign change)
+    assert rows[1].total_zc == int(((fr[:, :-1] * fr[:, 1:]) < 0).sum())
+    # payload shorter than one frame: zero frames, zero features
+    assert rows[2].n_frames == 0 and rows[2].total_ss == 0
