@@ -303,6 +303,70 @@ class Stream:
             lwins = select_landmark_windows(list(by_id.values()), t0, t1)
         return query_op(op, swins, lwins, t0, t1, params)
 
+    def query_many(
+        self,
+        op: str,
+        ranges: Sequence[Tuple[int, int]],
+        params: Optional[QueryParams] = None,
+    ) -> DataFrame:
+        """Batched query path: evaluate ``op`` over many [t0, t1] ranges in
+        ONE Spark job (operators.query_df — the whole estimator as column
+        math).  Returns a DataFrame (qid, t0, t1, value, error, ...) with
+        qid = the range's position in ``ranges``.
+
+        This is the scale path the single-query API can't amortize: Q
+        queries cost one broadcast-join job instead of Q driver round
+        trips (SURVEY §7 "What's hard" #4 — keep query compilation lazy
+        to batch many queries per job).
+        """
+        from summarydb_spark.operators.query_df import (
+            approx_range_frame,
+            minmax_range_frame,
+        )
+
+        if self.meta.dirty:
+            self.flush()
+        spark = self._db.spark
+        ranges_df = spark.createDataFrame(
+            [
+                (self.meta.stream_id, i, int(t0), int(t1))
+                for i, (t0, t1) in enumerate(ranges)
+            ],
+            "stream_id long, qid long, t0 long, t1 long",
+        )
+        summary = (
+            spark.read.parquet(self._db._summary_path)
+            if os.path.isdir(self._db._summary_path)
+            else spark.createDataFrame(
+                [], "stream_id long, time_start long, time_end long, "
+                "count double, sum double, max double, min double"
+            )
+        )
+        lwin = lpts = None
+        if os.path.isdir(self._db._landmarks_path):
+            lraw = spark.read.parquet(self._db._landmarks_path).where(
+                F.col("stream_id") == self.meta.stream_id
+            )
+            lwin = lraw.select(
+                "stream_id", "window_id", "time_start", "time_end"
+            ).distinct()
+            lpts = lraw.where(F.col("ts").isNotNull()).select(
+                "stream_id", "window_id", "ts", "value"
+            )
+        if op in ("count", "sum"):
+            out = approx_range_frame(
+                summary, ranges_df, op, params,
+                landmark_windows=lwin, landmark_points=lpts,
+            )
+        elif op in ("max", "min"):
+            out = minmax_range_frame(
+                summary, ranges_df, op,
+                landmark_windows=lwin, landmark_points=lpts,
+            )
+        else:
+            raise ValueError(f"unknown operator: {op}")
+        return out.drop("stream_id").orderBy("qid")
+
 
 class SummaryDB:
     def __init__(self, spark: SparkSession, path: str) -> None:

@@ -1,0 +1,75 @@
+"""Batched query path (operators.query_df) vs the driver-side estimator.
+
+``Stream.query`` evaluates the reference semantics in pure Python per
+query; ``Stream.query_many`` runs the identical math as column
+expressions over all ranges in one job.  Parity across a grid of ranges
+— full span, edges, interior, disjoint, degenerate — is the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from summarydb_spark.engine import QueryParams, SummaryDB
+from summarydb_spark.windowing import ExpWindowing
+
+PARAMS = QueryParams(confidence=0.95, sd_multiplier=1.0)
+
+RANGES = [
+    (0, 99),      # full span
+    (0, 0),       # single oldest point
+    (99, 99),     # single newest point
+    (10, 35),     # interior, prorated edges
+    (0, 63),      # aligned-ish prefix
+    (64, 99),     # suffix
+    (200, 300),   # beyond the data: no overlapping windows
+    (85, 99),     # overlaps the landmark bracket (when present)
+    (90, 95),     # inside the landmark bracket
+]
+
+
+def _close(a: float, b: float) -> bool:
+    if math.isinf(a) or math.isinf(b):
+        return a == b
+    return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def _assert_parity(stream, op: str, with_bounds: bool) -> None:
+    batched = {r["qid"]: r for r in stream.query_many(op, RANGES, PARAMS).collect()}
+    assert len(batched) == len(RANGES)
+    for i, (t0, t1) in enumerate(RANGES):
+        single = stream.query(op, t0, t1, PARAMS)
+        row = batched[i]
+        assert _close(row["value"], single.value), (op, i, row, single)
+        assert _close(row["error"], single.error), (op, i, row, single)
+        if with_bounds:
+            assert _close(row["lower_ci"], single.lower_ci), (op, i)
+            assert _close(row["upper_ci"], single.upper_ci), (op, i)
+            assert _close(row["lower_bound"], single.lower_bound), (op, i)
+            assert _close(row["upper_bound"], single.upper_bound), (op, i)
+
+
+@pytest.mark.parametrize("op", ["count", "sum", "max", "min"])
+def test_query_many_matches_driver_path(spark, tmp_path, op):
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(
+        ops=["count", "sum", "max", "min"], windowing=ExpWindowing(2.0)
+    )
+    s.append_pairs([(i, float((i * 7) % 23)) for i in range(100)])
+    _assert_parity(s, op, with_bounds=op in ("count", "sum"))
+
+
+@pytest.mark.parametrize("op", ["count", "sum", "max", "min"])
+def test_query_many_matches_driver_path_with_landmark(spark, tmp_path, op):
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(
+        ops=["count", "sum", "max", "min"], windowing=ExpWindowing(2.0)
+    )
+    s.append_pairs([(i, float(i)) for i in range(88)])
+    s.start_landmark(88)
+    s.append_pairs([(i, float(i)) for i in range(88, 96)])
+    s.end_landmark(95)
+    s.append_pairs([(i, float(i)) for i in range(96, 100)])
+    _assert_parity(s, op, with_bounds=op in ("count", "sum"))
