@@ -47,12 +47,15 @@ CMS_WIDTH = 2048
 SKETCH_OPS = ("bloom", "hll", "kll", "cms", "freq")
 
 
-def build_sketch_windows(ev_bucketed: DataFrame, ops) -> DataFrame:
+def build_sketch_windows(
+    ev_bucketed: DataFrame, ops, keep_bucket: bool = False
+) -> DataFrame:
     """Per-(stream, canonical-window) sketch rows from bucketed events.
 
     One hash aggregation for the scalar sketches (hll/kll + window bounds);
     blooms need an explode so they aggregate separately and join back on
-    the (tiny) window key space.
+    the (tiny) window key space.  ``keep_bucket`` retains the bucket column
+    (the incremental maintenance path merges on it).
     """
     # "freq" (frequency queries) is answered by the same count-min state
     ops = {"cms" if o == "freq" else o for o in ops}
@@ -115,7 +118,7 @@ def build_sketch_windows(ev_bucketed: DataFrame, ops) -> DataFrame:
             )
         )
         base = base.join(cms_maps, ["stream_id", "bucket"])
-    return base.drop("bucket")
+    return base if keep_bucket else base.drop("bucket")
 
 
 def _overlap(df: DataFrame, stream_id: int, t0: int, t1: int) -> DataFrame:

@@ -246,6 +246,51 @@ WHERE tok IS NOT NULL
 GROUP BY pos"""
 
 
+def q_calendar_rollup_orders(dialect: str) -> str:
+    """Date/time scalar-function coverage (date_trunc / last_day / year /
+    quarter / month grouping) over the orders timeline — one hash
+    aggregate; the month key comes from date_trunc so partition pruning on
+    a date-partitioned fact would apply at scale."""
+    return f"""
+WITH o AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         CAST(last_day(o_orderdate) AS DATE) AS month_end,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         CAST(day(last_day(o_orderdate)) AS BIGINT) AS days_in_month,
+         o_totalprice
+  FROM orders
+)
+SELECT yr, qtr, month_start, month_end, days_in_month,
+       count(*) AS n_orders,
+       {dsum('o_totalprice')} AS revenue
+FROM o
+GROUP BY yr, qtr, month_start, month_end, days_in_month"""
+
+
+def q_string_functions_parts(dialect: str) -> str:
+    """String scalar-function coverage (upper/lower/left/reverse/lpad/
+    replace/split_part/position) aggregated per part type with
+    order-independent min/max/sum reductions."""
+    if dialect == "spark":
+        size_str = "CAST(p_size AS STRING)"
+        pos_a = "CAST(position('a', lower(p_name)) AS BIGINT)"
+    else:
+        size_str = "CAST(p_size AS VARCHAR)"
+        pos_a = "CAST(strpos(lower(p_name), 'a') AS BIGINT)"
+    return f"""
+SELECT p_type,
+       count(*) AS n_parts,
+       min(upper(left(p_name, 8))) AS min_prefix,
+       max(reverse(lower(p_brand))) AS max_rev_brand,
+       min(lpad({size_str}, 4, '0')) AS min_size_pad,
+       max(replace(p_name, ' ', '_')) AS max_name_snake,
+       min(split_part(p_name, ' ', 1)) AS min_first_word,
+       CAST(sum({pos_a}) AS BIGINT) AS sum_pos_a
+FROM part
+GROUP BY p_type"""
+
+
 ADVANCED_QUERIES = {
     "tpch_q14_like_promo": q_tpch_q14_like_promo,
     "tpch_q19_like_disjunctive": q_tpch_q19_like_disjunctive,
@@ -255,4 +300,6 @@ ADVANCED_QUERIES = {
     "supplier_count_not_in_q16_like": q_supplier_count_not_in,
     "tfidf_top_terms": q_tfidf_top_terms,
     "token_position_stats": q_token_position_stats,
+    "calendar_rollup_orders": q_calendar_rollup_orders,
+    "string_functions_parts": q_string_functions_parts,
 }

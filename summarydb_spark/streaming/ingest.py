@@ -62,6 +62,18 @@ def latest_version(state_dir: str) -> Optional[int]:
     return vs[-1] if vs else None
 
 
+def load_sketches(
+    spark: SparkSession, state_dir: str, version: Optional[int] = None
+) -> Optional[DataFrame]:
+    """Per-window sketch state of the given/latest committed version (only
+    present when the summarizer was started with ``sketch_ops``)."""
+    v = version if version is not None else latest_version(state_dir)
+    if v is None:
+        return None
+    p = os.path.join(state_dir, f"v={v}", "sketches.parquet")
+    return spark.read.parquet(p) if os.path.isdir(p) else None
+
+
 def load_state(
     spark: SparkSession, state_dir: str, version: Optional[int] = None
 ) -> tuple[Optional[DataFrame], dict, dict]:
@@ -99,6 +111,7 @@ class StreamingSummarizer:
         order_cols: tuple = (),
         buffer_size: int = 0,
         clamp_order_col: Optional[str] = None,
+        sketch_ops: tuple = (),
     ) -> None:
         self.spark = spark
         self.windowing = windowing
@@ -108,6 +121,10 @@ class StreamingSummarizer:
         self.value_col = value_col
         self.order_cols = order_cols
         self.buffer_size = buffer_size
+        # when non-empty, per-window sketch state (bloom/cms/hll/kll) is
+        # maintained incrementally next to the scalar summary — the same
+        # coarsening-merge step, sketch monoids instead of count/sum
+        self.sketch_ops = tuple(sketch_ops)
         # when set, reproduce the reference's out-of-order clamp
         # ts' = max(ts, prev_ts + 1) across batches (core/pipeline.go:80-84),
         # ordering each stream's batch rows by this column
@@ -144,6 +161,25 @@ class StreamingSummarizer:
             order_cols=self.order_cols,
             buffer_size=self.buffer_size,
         )
+        new_sketches = None
+        if self.sketch_ops:
+            from summarydb_spark.operators.incremental import (
+                merge_sketch_increment,
+            )
+
+            old_sketches = load_sketches(self.spark, self.state_dir)
+            new_sketches = merge_sketch_increment(
+                old_sketches,
+                batch,
+                self.windowing,
+                self.sketch_ops,
+                counts,
+                stream_col=self.stream_col,
+                ts_col=self.ts_col,
+                value_col=self.value_col,
+                order_cols=self.order_cols,
+                buffer_size=self.buffer_size,
+            )
         batch_counts = {
             int(r["stream_id"]): int(r["c"])
             for r in batch.groupBy(F.col(self.stream_col).alias("stream_id"))
@@ -163,6 +199,10 @@ class StreamingSummarizer:
         new_summary.write.mode("overwrite").parquet(
             os.path.join(vdir, "summary.parquet")
         )
+        if new_sketches is not None:
+            new_sketches.write.mode("overwrite").parquet(
+                os.path.join(vdir, "sketches.parquet")
+            )
         new_last_ts = {
             int(r["stream_id"]): int(r["t"])
             for r in self.spark.read.parquet(os.path.join(vdir, "summary.parquet"))

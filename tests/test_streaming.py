@@ -322,3 +322,119 @@ def test_stream_stream_interval_join(spark, tmp_path):
     }
     assert expected, "batch reference join must be non-empty"
     assert set(out) == expected
+
+
+@pytest.mark.parametrize(
+    "windowing", [ExpWindowing(2.0), PowerWindowing(1, 1, 10, 1)],
+    ids=["exp2", "power"],
+)
+def test_sketch_incremental_equals_batch(spark, windowing):
+    """Incremental sketch maintenance across uneven micro-batches lands on
+    the same per-window sketch state as a one-shot build: bloom/cms maps
+    and counts exactly (bit-OR / keywise-sum monoids are order-free), HLL
+    distinct estimates exactly (register max), KLL quantiles approximately
+    (compaction is merge-order dependent)."""
+    from summarydb_spark.operators.incremental import merge_sketch_increment
+    from summarydb_spark.operators.sketch_windows import build_sketch_windows
+    from summarydb_spark.operators.summary import bucketed_events
+
+    ops = ("bloom", "cms", "hll", "kll")
+    rows = _events(97, streams=(0, 1))
+    all_df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    batch_result = build_sketch_windows(
+        bucketed_events(all_df, windowing, order_cols=("seq",)), ops
+    )
+
+    chunks = [29, 50, 18]
+    state, counts, start = None, {}, 0
+    for size in chunks:
+        part = [r for r in rows if start <= r.seq < start + size]
+        bdf = spark.createDataFrame(part, EVENT_SCHEMA)
+        state = merge_sketch_increment(
+            state, bdf, windowing, ops, counts, order_cols=("seq",)
+        )
+        state = spark.createDataFrame(state.collect(), state.schema)
+        counts = {
+            r["stream_id"]: r["n"]
+            for r in state.groupBy("stream_id")
+            .agg(F.sum("count").alias("n"))
+            .collect()
+        }
+        start += size
+
+    def canon(df):
+        out = {}
+        est = df.select(
+            "*",
+            F.hll_sketch_estimate("hll").alias("_nd"),
+            F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("_med"),
+        )
+        for r in est.collect():
+            key = (r["stream_id"], r["window_id"])
+            out[key] = (
+                r["time_start"], r["time_end"], r["count"],
+                dict(r["bloom"]), dict(r["cms"]), r["_nd"], r["_med"],
+            )
+        return out
+
+    got, want = canon(state), canon(batch_result)
+    assert set(got) == set(want)
+    for key in want:
+        g, w = got[key], want[key]
+        assert g[:5] == w[:5], (key, g, w)       # bounds, count, bloom, cms exact
+        assert g[5] == w[5], (key, "hll estimate")
+        assert abs(g[6] - w[6]) <= 5.0, (key, "kll median drift")
+
+
+def test_streaming_sketch_state_end_to_end(spark, tmp_path):
+    """File-source streaming with sketch_ops: after availableNow drains,
+    the persisted sketch state answers membership/distinct/frequency
+    queries identically to a batch-built sketch table."""
+    from summarydb_spark.operators.sketch_windows import (
+        build_sketch_windows,
+        query_distinct,
+        query_frequency,
+        query_membership,
+    )
+    from summarydb_spark.operators.summary import bucketed_events
+    from summarydb_spark.streaming.ingest import load_sketches
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    rows = _events(64, streams=(0, 1))
+    for lo, hi in ((0, 20), (20, 45), (45, 64)):
+        _write_chunk(spark, src, [r for r in rows if lo <= r.seq < hi], f"{lo}")
+
+    ops = ("bloom", "cms", "hll")
+    source = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    summ = StreamingSummarizer(
+        spark, ExpWindowing(2.0), state, order_cols=("seq",), sketch_ops=ops
+    )
+    q = summ.start(source, cp, available_now=True)
+    assert q.awaitTermination(180), "streaming query did not finish in 180s"
+
+    got = load_sketches(spark, state)
+    assert got is not None
+    batch = build_sketch_windows(
+        bucketed_events(
+            spark.createDataFrame(rows, EVENT_SCHEMA),
+            ExpWindowing(2.0),
+            order_cols=("seq",),
+        ),
+        ops,
+    )
+    for sid, t0, t1 in ((0, 0, 630), (1, 101, 401)):
+        for fn, args in (
+            (query_membership, (10.5,)),
+            (query_membership, (9999.0,)),
+            (query_frequency, (3.0,)),
+            (query_distinct, ()),
+        ):
+            a = fn(got, sid, *args, t0, t1)
+            b = fn(batch, sid, *args, t0, t1)
+            assert a.value == b.value, (fn.__name__, sid, args, a, b)
