@@ -32,10 +32,10 @@ TABLES = (
 
 
 def _configure(spark: SparkSession) -> None:
-    # testdata parquet uses TIMESTAMP(NANOS); read as LONG nanos
-    # (normalized to epoch micros inside the queries).
+    # Queries compare against DuckDB on naive-UTC timestamps; pin the
+    # session timezone so NTZ->LTZ casts are identity.
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
 
@@ -59,7 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     ev = events.select(
         F.col("user_id").alias("stream_id"),
-        F.expr("ts div 1000").alias("ts"),  # LONG nanos -> epoch micros
+        # TIMESTAMP(MICROS) -> epoch-micro longs (UTC session tz)
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("ts"),
         F.col("value"),
         F.col("event_id"),
     )

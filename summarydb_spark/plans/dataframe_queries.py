@@ -230,8 +230,9 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
-        F.expr("ts div 1000").alias("t"),  # LONG nanos -> epoch micros
-        F.timestamp_micros(F.expr("ts div 1000")).alias("tstamp"),
+        # TIMESTAMP_NTZ micros -> epoch micros (UTC session tz)
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("t"),
+        F.col("ts").cast("timestamp_ltz").alias("tstamp"),
     )
     out = ev.groupBy("user_id", F.session_window("tstamp", "1 hour")).agg(
         F.count(F.lit(1)).alias("n_events"),

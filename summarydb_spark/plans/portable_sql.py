@@ -29,12 +29,16 @@ DIALECTS = ("spark", "duckdb")
 def epoch_us(col: str, dialect: str) -> str:
     """Timestamp column -> epoch micros (BIGINT).
 
-    The testdata parquet stores TIMESTAMP(NANOS): Spark reads it as LONG
-    nanos (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    summarydb_spark.session and __spark_entry__), DuckDB truncates to
-    micro-precision TIMESTAMP.  Integer division keeps full precision
-    (epoch nanos ~1.7e18 exceed double's 2^53)."""
-    return f"({col} div 1000)" if dialect == "spark" else f"epoch_us({col})"
+    The testdata parquet stores TIMESTAMP(MICROS): Spark reads it as
+    TIMESTAMP_NTZ, DuckDB as naive TIMESTAMP.  Both sides are naive-UTC, so
+    ``unix_micros`` after an NTZ->LTZ cast under the UTC session timezone
+    (summarydb_spark.session sets it) equals DuckDB's ``epoch_us`` exactly —
+    integer micros, no double rounding."""
+    return (
+        f"unix_micros(CAST({col} AS TIMESTAMP_LTZ))"
+        if dialect == "spark"
+        else f"epoch_us({col})"
+    )
 
 
 def to_timestamp_col(col: str, dialect: str) -> str:

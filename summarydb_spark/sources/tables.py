@@ -103,7 +103,17 @@ _STORE_ROOT = os.path.join(
 def _store_path(sf_dir: str, view: str) -> str:
     import hashlib
 
-    sub = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # Key the store by source-data fingerprint (path + events parquet
+    # size/mtime), not path alone: the test harness regenerates the parquet
+    # between rounds, and a path-only key would silently serve summaries of
+    # the previous dataset.
+    ev = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(ev)
+        fp = f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        fp = os.path.abspath(sf_dir)
+    sub = hashlib.md5(fp.encode()).hexdigest()[:12]
     return os.path.join(
         os.environ.get("SUMMARYDB_STORE_DIR", _STORE_ROOT), sub, view
     )

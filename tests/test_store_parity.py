@@ -25,7 +25,8 @@ def _events_df(spark):
         spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
         .select(
             F.col("user_id").alias("stream_id"),
-            F.expr("ts div 1000").alias("ts"),  # LONG nanos -> epoch micros
+            # TIMESTAMP(MICROS) -> epoch-micro longs (UTC session tz)
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("ts"),
             F.col("value"),
             F.col("event_id"),
         )
