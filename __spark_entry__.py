@@ -33,11 +33,11 @@ TABLES = (
 
 def _configure(spark: SparkSession) -> None:
     # Queries compare against DuckDB on naive-UTC timestamps; pin the
-    # session timezone so NTZ->LTZ casts are identity.
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    # session timezone so NTZ->LTZ casts are identity.  A non-UTC session
+    # would silently shift every unix_micros(CAST ... TIMESTAMP_LTZ) by the
+    # host offset — fail fast instead.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
@@ -137,11 +137,68 @@ def _df_queries() -> dict:
     return {**SKETCH_QUERIES, **DF_QUERIES}
 
 
+# The correctness driver checks the FIRST 50 entries of queries().  Round 2
+# verified positions 0-49 fully green (CORRECTNESS_r02.json) but left the 42
+# later additions with zero oracle signal; rotate those into the checked
+# window this round.  The previously-proven core set rides behind them —
+# still pinned meanwhile by the pytest store-parity and golden fixtures.
+_VERIFY_FIRST = (
+    "media_frame_stats",  # the one r1 hash-FAIL; fix must be oracle-confirmed
+    "embedding_near_dups",
+    "dedup_cluster_cc",
+    "audio_frame_features",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "media_metadata",
+    "media_resize_16x16",
+    "media_byte_histogram",
+    "bloom_membership",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct_bound",
+    "sketch_kll_quantile_bound",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "session_window_builtin",
+    "ingest_clamp_monotonic",
+    "small_quantity_revenue_q17",
+    "tpch_q3_like_topk",
+    "tpch_q10_like_returns",
+    "tpch_q13_like_custdist",
+    "tpch_q14_like_promo",
+    "tpch_q15_like_top_supplier",
+    "tpch_q18_like_large_orders",
+    "tpch_q19_like_disjunctive",
+    "tpch_q21_like_late_suppliers",
+    "tpch_q22_like_idle_customers",
+    "min_cost_supplier_q2_like",
+    "supplier_count_not_in_q16_like",
+    "tfidf_top_terms",
+    "token_position_stats",
+    "token_vocab_top50",
+    "dow_histogram_events",
+    "fuzzy_part_names",
+    "stratified_sample_orders",
+    "grouping_sets_region_nation",
+    "corr_quantity_price",
+    "value_histogram_events",
+    "percent_rank_balance_decile",
+    "first_last_day_value",
+    "calendar_rollup_orders",
+    "string_functions_parts",
+)
+
+
+def _ordered(names: list[str]) -> list[str]:
+    front = [n for n in _VERIFY_FIRST if n in names]
+    rest = [n for n in names if n not in set(_VERIFY_FIRST)]
+    return front + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _sql_query(name) for name in _all_queries()}
     for name, (builder, _oracle) in _df_queries().items():
         out[name] = _df_query(builder)
-    return out
+    return {name: out[name] for name in _ordered(list(out))}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -149,4 +206,4 @@ def oracle_sql() -> dict[str, str]:
     for name, (_builder, oracle) in _df_queries().items():
         if oracle is not None:
             out[name] = oracle
-    return out
+    return {name: out[name] for name in _ordered(list(out))}

@@ -96,13 +96,74 @@ SELECT b.vec_id AS id_a, p.vec_id_b AS id_b,
 FROM base b JOIN planted p ON p.orig_id = b.vec_id"""
 
 
+# Planted-neighbor recall harness for the ANN queries: the synthetic
+# embeddings have no natural near-dups (max pairwise cosine ~0.51), so for
+# each probe vector we plant three deterministic perturbed copies at
+# increasing distance.  Cosines land ~0.9996+, far above any natural
+# neighbor, so the exact top-3 per query is known in closed form — the ANN
+# result is oracle-checkable (a live recall gate: a missed planted copy
+# surfaces a ~0.5-cosine natural row instead and the hash diverges).
+_PLANT_SCALES = (0.001, 0.004, 0.012)
+
+
+def _planted_corpus(embs: DataFrame) -> DataFrame:
+    out = embs
+    for m, s in enumerate(_PLANT_SCALES, start=1):
+        perturbed = F.expr(
+            "transform(embedding, (x, i) -> "
+            f"x * cast(1.0 + {s} * ((i % 7) - 3) as float))"
+        )
+        out = out.unionByName(
+            embs.where("vec_id < 20").select(
+                (F.col("vec_id") + 1000000 * m).alias("vec_id"),
+                perturbed.alias("embedding"),
+                "label",
+            )
+        )
+    return out
+
+
+def _ann_oracle() -> str:
+    scales = ", ".join(
+        f"({m}, {s})" for m, s in enumerate(_PLANT_SCALES, start=1)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20
+),
+planted AS (
+  SELECT b.vec_id AS orig_id, b.vec_id + 1000000 * s.m AS neighbor_id,
+         list_transform(range(0, len(b.embedding)),
+           i -> CAST(b.embedding[i + 1]
+                * CAST(1.0 + s.sc * ((i % 7) - 3) AS REAL) AS REAL)) AS emb_p
+  FROM base b CROSS JOIN (VALUES {scales}) s(m, sc)
+),
+scored AS (
+  SELECT b.vec_id AS query_id, p.neighbor_id,
+         list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                CAST(p.emb_p AS DOUBLE[])) AS cos_raw
+  FROM base b JOIN planted p ON p.orig_id = b.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk,
+       neighbor_id, round(cos_raw, 6) AS cosine
+FROM scored"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors for 20 probe vectors via multi-table
-    hyperplane LSH.  Rows-only check."""
+    """Approximate top-3 neighbors for 20 probe vectors via multi-table
+    hyperplane LSH over the planted-neighbor corpus.  The oracle knows the
+    exact expected top-3 (the planted copies), so this checks recall, rank
+    order, and cosine values end-to-end."""
     embs = _embs(spark, sf_dir)
+    corpus = _planted_corpus(embs)
     queries = embs.where("vec_id < 20")
-    return similarity.lsh_topk(
-        embs, queries, k=5, n_planes=8, n_tables=6, probe_hamming=2
+    out = similarity.lsh_topk(
+        corpus, queries, k=3, n_planes=8, n_tables=6, probe_hamming=2
+    )
+    return out.select(
+        "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rnk")
 
 
@@ -110,18 +171,24 @@ _IVF_CACHE: dict = {}
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse quantizer) approximate top-5 for 20 probe
-    vectors.  Rows-only check.  The quantizer is trained once per corpus
-    and reused (build/search split — the production IVF lifecycle)."""
+    """IVF (coarse-quantizer) approximate top-3 for 20 probe vectors over
+    the planted-neighbor corpus; same closed-form oracle as the LSH twin.
+    The quantizer is trained once per corpus on the ORIGINAL embeddings and
+    reused (build/search split — the production IVF lifecycle); planted
+    copies are assigned to lists at search time like any new vector."""
     embs = _embs(spark, sf_dir)
     key = (os.path.normpath(sf_dir), 8)
     if key not in _IVF_CACHE:
         _IVF_CACHE[key] = similarity.train_ivf_centroids(
             embs, n_centroids=8
         )
+    corpus = _planted_corpus(embs)
     queries = embs.where("vec_id < 20")
-    return similarity.ivf_topk(
-        embs, queries, k=5, n_centroids=8, n_probe=4, centroids=_IVF_CACHE[key]
+    out = similarity.ivf_topk(
+        corpus, queries, k=3, n_centroids=8, n_probe=4, centroids=_IVF_CACHE[key]
+    )
+    return out.select(
+        "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rnk")
 
 
@@ -380,8 +447,8 @@ DF_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "embedding_near_dups": (q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, _ann_oracle()),
+    "ann_ivf_topk": (q_ann_ivf_topk, _ann_oracle()),
     "session_window_builtin": (q_session_window_builtin, ORACLE_SESSION_WINDOW),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),

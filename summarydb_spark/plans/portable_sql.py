@@ -44,8 +44,9 @@ def epoch_us(col: str, dialect: str) -> str:
 def to_timestamp_col(col: str, dialect: str) -> str:
     """Micro-precision timestamp column -> dialect-native TIMESTAMP.
 
-    Unlike events.ts (nanos), the TPC-H date columns are micro-precision and
-    arrive as TIMESTAMP_NTZ in Spark / TIMESTAMP in DuckDB — usable as-is."""
+    Every testdata timestamp (events.ts included, since the micros
+    migration) is TIMESTAMP(MICROS), arriving as TIMESTAMP_NTZ in Spark /
+    naive TIMESTAMP in DuckDB — usable as-is in both dialects."""
     return col
 
 

@@ -68,20 +68,41 @@ ALL_TABLES = (
 )
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Digest of (path, size, mtime_ns) over every source table.
+
+    mtime_ns (not whole seconds): the harness regenerates parquet between
+    rounds, and a same-second same-size regeneration must still change the
+    fingerprint.  Stats of 10 files are ~free next to any Spark job."""
+    import hashlib
+
+    parts = [os.path.abspath(sf_dir)]
+    for t in ALL_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{t}|absent")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:12]
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view, once per (session,
-    sf_dir).
+    source-fingerprint).
 
     View registration costs a file listing + parquet footer read per table
     (~0.5-1 s for the full set); doing it on every query call would dominate
-    short queries.  The memo re-registers only when the same session switches
-    to a different scale-factor directory (view names are shared)."""
-    if getattr(spark, _REGISTERED_ATTR, None) == sf_dir:
+    short queries.  The memo key includes the source fingerprint so an
+    in-session data refresh (same sf_dir, new bytes) re-registers instead of
+    serving stale views."""
+    memo = (sf_dir, _source_fingerprint(sf_dir))
+    if getattr(spark, _REGISTERED_ATTR, None) == memo:
         return
     for t in ALL_TABLES:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    setattr(spark, _REGISTERED_ATTR, sf_dir)
+    setattr(spark, _REGISTERED_ATTR, memo)
 
 
 _SUMMARY_VIEWS_ATTR = "_summarydb_summary_views"
@@ -101,21 +122,14 @@ _STORE_ROOT = os.path.join(
 
 
 def _store_path(sf_dir: str, view: str) -> str:
-    import hashlib
-
-    # Key the store by source-data fingerprint (path + events parquet
-    # size/mtime), not path alone: the test harness regenerates the parquet
-    # between rounds, and a path-only key would silently serve summaries of
-    # the previous dataset.
-    ev = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(ev)
-        fp = f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
-    except OSError:
-        fp = os.path.abspath(sf_dir)
-    sub = hashlib.md5(fp.encode()).hexdigest()[:12]
+    # Key the store by source-data fingerprint (path + per-table
+    # size/mtime_ns), not path alone: the test harness regenerates the
+    # parquet between rounds, and a path-only key would silently serve
+    # summaries of the previous dataset.
     return os.path.join(
-        os.environ.get("SUMMARYDB_STORE_DIR", _STORE_ROOT), sub, view
+        os.environ.get("SUMMARYDB_STORE_DIR", _STORE_ROOT),
+        _source_fingerprint(sf_dir),
+        view,
     )
 
 
@@ -139,8 +153,9 @@ def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
         summary_view_sql,
     )
 
+    memo = (sf_dir, _source_fingerprint(sf_dir))
     state: dict = getattr(spark, _SUMMARY_VIEWS_ATTR, None) or {}
-    if state.get("sf_dir") == sf_dir:
+    if state.get("memo") == memo:
         return
     register_tables(spark, sf_dir)
     for view, kind in (
@@ -158,4 +173,4 @@ def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
                 "overwrite"
             ).parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(view)
-    setattr(spark, _SUMMARY_VIEWS_ATTR, {"sf_dir": sf_dir})
+    setattr(spark, _SUMMARY_VIEWS_ATTR, {"memo": memo})
