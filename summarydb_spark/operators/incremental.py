@@ -23,16 +23,13 @@ oracle in tests.
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Mapping, Optional, Union
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
-from summarydb_spark.operators.summary import SUMMARY_COLS
-from summarydb_spark.windowing import ExpWindowing, canonical_boundaries
+from summarydb_spark.operators.summary import SUMMARY_COLS, _bucket_udf_general
+from summarydb_spark.windowing import ExpWindowing
 
 _UNIT_COLS = [
     "stream_id",
@@ -46,10 +43,43 @@ _UNIT_COLS = [
     "min",
 ]
 
+# Per-stream counts flow through these functions as DataFrames
+# ``(stream_id, n)`` so neither the driver nor the query plan ever holds
+# O(#streams) state (a Mapping is accepted for convenience and converted).
+CountsLike = Union[DataFrame, Mapping[int, int], None]
+
+
+def _counts_df(ref: DataFrame, counts: CountsLike) -> Optional[DataFrame]:
+    """Normalize counts to a ``(stream_id, n)`` DataFrame (None if empty)."""
+    if counts is None:
+        return None
+    if isinstance(counts, DataFrame):
+        return counts.select("stream_id", "n")
+    if not counts:
+        return None
+    return ref.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in counts.items()], ["stream_id", "n"]
+    )
+
+
+def _with_base(df: DataFrame, base_df: Optional[DataFrame], out_col: str) -> DataFrame:
+    """Broadcast-join per-stream base counts onto ``df`` as ``out_col``
+    (0 for streams with no prior state)."""
+    if base_df is None:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    b = base_df.select(
+        F.col("stream_id").alias("_b_sid"), F.col("n").alias("_b_n")
+    )
+    return (
+        df.join(F.broadcast(b), F.col("stream_id") == F.col("_b_sid"), "left")
+        .withColumn(out_col, F.coalesce(F.col("_b_n"), F.lit(0)).cast("long"))
+        .drop("_b_sid", "_b_n")
+    )
+
 
 def _events_as_units(
     batch: DataFrame,
-    base_counts: Mapping[int, int],
+    base_df: Optional[DataFrame],
     *,
     stream_col: str = "stream_id",
     ts_col: str = "ts",
@@ -57,21 +87,20 @@ def _events_as_units(
     order_cols: tuple = (),
 ) -> DataFrame:
     """Turn batch events into singleton units with insertion indexes that
-    continue each stream's existing count."""
-    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
-    w = Window.partitionBy(stream_col).orderBy(*order)
-    base = F.create_map(
-        *[F.lit(x) for kv in base_counts.items() for x in kv]
-    ) if base_counts else None
-    idx = F.row_number().over(w).cast("long") - 1
-    if base is not None:
-        idx = idx + F.coalesce(base[F.col(stream_col)], F.lit(0))
+    continue each stream's existing count (``base_df``: stream_id, n)."""
+    # window ordering references the post-select names (ts_col -> "ts")
+    order = [F.col("ts").asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy("stream_id").orderBy(*order)
     ev = batch.select(
         F.col(stream_col).alias("stream_id"),
         F.col(ts_col).cast("long").alias("ts"),
         F.col(value_col).cast("double").alias("value"),
         *[F.col(c) for c in order_cols],
-    ).withColumn("_idx", idx)
+    )
+    ev = _with_base(ev, base_df, "_base")
+    ev = ev.withColumn(
+        "_idx", F.row_number().over(w).cast("long") - 1 + F.col("_base")
+    )
     return ev.select(
         "stream_id",
         F.col("_idx").alias("count_start"),
@@ -85,37 +114,34 @@ def _events_as_units(
     )
 
 
-def _general_bucket_udf(windowing, new_counts: Mapping[int, int], buffer_size: int):
-    bounds = {
-        sid: np.asarray(
-            canonical_boundaries(windowing, int(nn), buffer_size), dtype=np.int64
+def _new_counts_df(
+    batch: DataFrame, base_df: Optional[DataFrame], stream_col: str
+) -> DataFrame:
+    """Per-stream post-batch totals ``(stream_id, n)`` = base + batch size,
+    as a tiny aggregate + outer join (no driver collect)."""
+    bc = batch.groupBy(F.col(stream_col).alias("stream_id")).agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    if base_df is None:
+        return bc.select("stream_id", F.col("_bc").cast("long").alias("n"))
+    b = base_df.select("stream_id", F.col("n").alias("_base_n"))
+    return (
+        bc.join(b, "stream_id", "full_outer")
+        .select(
+            "stream_id",
+            (
+                F.coalesce(F.col("_base_n"), F.lit(0))
+                + F.coalesce(F.col("_bc"), F.lit(0))
+            ).cast("long").alias("n"),
         )
-        for sid, nn in new_counts.items()
-    }
-    n_map = {sid: int(nn) for sid, nn in new_counts.items()}
-
-    @pandas_udf("long")
-    def bucket_of(stream: pd.Series, count_end: pd.Series) -> pd.Series:
-        out = np.empty(len(count_end), dtype=np.int64)
-        cv = count_end.to_numpy()
-        sv = stream.to_numpy()
-        for sid in pd.unique(sv):
-            mask = sv == sid
-            b = bounds[sid]
-            rank = n_map[sid] - 1 - cv[mask]
-            # boundaries are in count (insertion-index) space oldest-first;
-            # map rank back to index space for the searchsorted
-            out[mask] = np.searchsorted(b, n_map[sid] - 1 - rank, side="right") - 1
-        return pd.Series(out)
-
-    return bucket_of
+    )
 
 
 def merge_summary_increment(
     old_summary: Optional[DataFrame],
     batch: DataFrame,
     windowing,
-    base_counts: Optional[Mapping[int, int]] = None,
+    base_counts: CountsLike = None,
     *,
     stream_col: str = "stream_id",
     ts_col: str = "ts",
@@ -126,23 +152,22 @@ def merge_summary_increment(
     """One micro-batch step: old canonical summary + new events -> new
     canonical summary (schema ``SUMMARY_COLS``).
 
-    ``base_counts`` maps stream_id -> element count already summarized
-    (i.e. the stream's N before this batch); defaults to counts derived
-    from ``old_summary``.
+    ``base_counts`` gives each stream's element count already summarized
+    (the stream's N before this batch) — a ``(stream_id, n)`` DataFrame at
+    scale, or a small mapping; defaults to counts derived from
+    ``old_summary``.  All per-stream state flows through broadcast joins:
+    plan size and driver memory stay O(1) in #streams.
     """
-    if base_counts is None:
-        base_counts = {}
-        if old_summary is not None:
-            base_counts = {
-                r["stream_id"]: r["n"]
-                for r in old_summary.groupBy("stream_id")
-                .agg((F.max("count_end") + 1).alias("n"))
-                .collect()
-            }
+    if base_counts is None and old_summary is not None:
+        base_df = old_summary.groupBy("stream_id").agg(
+            (F.max("count_end") + 1).cast("long").alias("n")
+        )
+    else:
+        base_df = _counts_df(batch, base_counts)
 
     new_units = _events_as_units(
         batch,
-        base_counts,
+        base_df,
         stream_col=stream_col,
         ts_col=ts_col,
         value_col=value_col,
@@ -152,19 +177,9 @@ def merge_summary_increment(
     if old_summary is not None:
         units = old_summary.select(*_UNIT_COLS).unionByName(new_units)
 
-    # per-stream new total N' (old N + batch size)
-    batch_counts = {
-        r["stream_id"]: r["c"]
-        for r in batch.groupBy(F.col(stream_col).alias("stream_id"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    new_counts = dict(base_counts)
-    for sid, c in batch_counts.items():
-        new_counts[sid] = new_counts.get(sid, 0) + c
-
-    n_map = F.create_map(*[F.lit(x) for kv in new_counts.items() for x in kv])
-    units = units.withColumn("_n", n_map[F.col("stream_id")])
+    # per-stream new total N' (old N + batch size), broadcast-joined on
+    nc = _new_counts_df(batch, base_df, stream_col)
+    units = _with_base(units, nc, "_n")
 
     exp2 = (
         isinstance(windowing, ExpWindowing)
@@ -178,9 +193,9 @@ def merge_summary_increment(
 
         units = with_exp2_bucket(units, "count_end", "_n", "bucket")
     else:
-        udf = _general_bucket_udf(windowing, new_counts, buffer_size)
+        udf = _bucket_udf_general(windowing, buffer_size)
         units = units.withColumn(
-            "bucket", udf(F.col("stream_id"), F.col("count_end"))
+            "bucket", udf(F.col("count_end"), F.col("_n"))
         )
 
     return (
@@ -205,7 +220,7 @@ def merge_sketch_increment(
     batch: DataFrame,
     windowing,
     ops,
-    base_counts: Mapping[int, int],
+    base_counts: CountsLike,
     *,
     stream_col: str = "stream_id",
     ts_col: str = "ts",
@@ -232,37 +247,24 @@ def merge_sketch_increment(
     ops = {"cms" if o == "freq" else o for o in ops}
 
     # -- index + bucket the batch events at the new N -----------------------
-    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
-    w = Window.partitionBy(stream_col).orderBy(*order)
-    base_map = (
-        F.create_map(*[F.lit(x) for kv in base_counts.items() for x in kv])
-        if base_counts
-        else None
+    base_df = _counts_df(batch, base_counts)
+    order = [F.col("ts").asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy("stream_id").orderBy(*order)
+    ev = batch.select(
+        F.col(stream_col).alias("stream_id"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        *[F.col(c) for c in order_cols],
     )
-    idx = F.row_number().over(w).cast("long") - 1
-    if base_map is not None:
-        idx = idx + F.coalesce(base_map[F.col(stream_col)], F.lit(0))
+    ev = _with_base(ev, base_df, "_base")
     ev = (
-        batch.select(
-            F.col(stream_col).alias("stream_id"),
-            F.col(ts_col).cast("long").alias("ts"),
-            F.col(value_col).cast("double").alias("value"),
-            *[F.col(c) for c in order_cols],
+        ev.withColumn(
+            "idx", F.row_number().over(w).cast("long") - 1 + F.col("_base")
         )
-        .withColumn("idx", idx)
-        .drop(*order_cols)
+        .drop("_base", *order_cols)
     )
 
-    batch_counts = {
-        r["stream_id"]: r["c"]
-        for r in batch.groupBy(F.col(stream_col).alias("stream_id"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    new_counts = dict(base_counts)
-    for sid, c in batch_counts.items():
-        new_counts[sid] = new_counts.get(sid, 0) + c
-    n_map = F.create_map(*[F.lit(x) for kv in new_counts.items() for x in kv])
+    nc = _new_counts_df(batch, base_df, stream_col)
 
     exp2 = (
         isinstance(windowing, ExpWindowing)
@@ -271,12 +273,12 @@ def merge_sketch_increment(
     )
 
     def bucketed(df: DataFrame, idx_col: str) -> DataFrame:
-        df = df.withColumn("_n", n_map[F.col("stream_id")])
+        df = _with_base(df, nc, "_n")
         if exp2:
             return with_exp2_bucket(df, idx_col, "_n", "bucket").drop("_n")
-        udf = _general_bucket_udf(windowing, new_counts, buffer_size)
+        udf = _bucket_udf_general(windowing, buffer_size)
         return df.withColumn(
-            "bucket", udf(F.col("stream_id"), F.col(idx_col))
+            "bucket", udf(F.col(idx_col), F.col("_n"))
         ).drop("_n")
 
     new_sk = build_sketch_windows(bucketed(ev, "idx"), ops, keep_bucket=True)

@@ -62,7 +62,7 @@ def clamp_monotonic(
     stream_col: str = "stream_id",
     ts_col: str = "ts",
     order_col: str = "seq",
-    last_ts: Optional[dict] = None,
+    last_ts=None,
 ) -> DataFrame:
     """Reproduce the reference's out-of-order clamp ``ts' = max(ts, prev+1)``
     (core/pipeline.go:80-84) as column math.
@@ -71,8 +71,10 @@ def clamp_monotonic(
     closed form ``t'_i = i + running_max(t_j - j)``, which is a cumulative
     max window — fully parallel per stream partition, no driver loop.
 
-    ``last_ts`` optionally maps stream_id -> last timestamp of previously
-    ingested data so the chain continues across batches.
+    ``last_ts`` optionally continues the chain across batches: either a
+    DataFrame ``(stream_col, last_ts)`` (the scale path — broadcast-joined,
+    so plan size stays O(1) in #streams) or a small mapping stream_id ->
+    last timestamp (converted to the same join).
     """
     w = (
         Window.partitionBy(stream_col)
@@ -82,12 +84,25 @@ def clamp_monotonic(
     idx = F.row_number().over(Window.partitionBy(stream_col).orderBy(order_col)) - F.lit(1)
     df = df.withColumn("_i", idx)
     clamped = F.col("_i") + F.max(F.col(ts_col) - F.col("_i")).over(w)
-    if last_ts:
-        mapping = F.create_map(
-            *[F.lit(x) for kv in last_ts.items() for x in kv]
+    if last_ts is not None:
+        if not isinstance(last_ts, DataFrame):
+            if not last_ts:
+                return df.withColumn(ts_col, clamped).drop("_i")
+            last_ts = df.sparkSession.createDataFrame(
+                [(k, int(v)) for k, v in last_ts.items()],
+                df.select(stream_col).schema.add("last_ts", "long"),
+            )
+        prev = last_ts.select(
+            F.col(stream_col).alias("_clamp_sid"),
+            F.col("last_ts").alias("_last_ts"),
         )
-        base = mapping[F.col(stream_col)]
-        clamped = F.greatest(clamped, base + 1 + F.col("_i"))
+        df = df.join(
+            F.broadcast(prev), F.col(stream_col) == F.col("_clamp_sid"), "left"
+        ).drop("_clamp_sid")
+        # greatest() skips NULLs, so streams with no prior state keep the
+        # in-batch clamp unchanged
+        clamped = F.greatest(clamped, F.col("_last_ts") + 1 + F.col("_i"))
+        return df.withColumn(ts_col, clamped).drop("_i", "_last_ts")
     return df.withColumn(ts_col, clamped).drop("_i")
 
 
@@ -154,28 +169,32 @@ def _with_index(
             yield pdf
 
     d = d.mapInPandas(local_index, schema_out)
-    counts = d.groupBy("_pid", stream_col).agg(F.count(F.lit(1)).alias("_c")).collect()
-    offsets: dict = {}
-    totals: dict = {}
-    for r in sorted(counts, key=lambda r: (r[stream_col], r["_pid"])):
-        sid = r[stream_col]
-        offsets[(r["_pid"], sid)] = totals.get(sid, 0)
-        totals[sid] = totals.get(sid, 0) + r["_c"]
-    off_map = F.create_map(
-        *[
-            F.lit(x)
-            for (pid, sid), off in offsets.items()
-            for x in (f"{pid}:{sid}", off)
-        ]
+    # Global offsets from per-(partition, stream) counts — computed with
+    # window functions over the tiny counts relation and broadcast-joined
+    # back, so neither driver memory nor plan size grows with #streams
+    # (the previous create_map-literal version was O(#streams) in both).
+    counts = d.groupBy("_pid", stream_col).agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy(stream_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_map = F.create_map(
-        *[F.lit(x) for sid, n in totals.items() for x in (sid, n)]
+    w_tot = Window.partitionBy(stream_col)
+    fixups = counts.select(
+        F.col("_pid").alias("_fix_pid"),
+        F.col(stream_col).alias("_fix_sid"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_tot).alias("_ntot"),
     )
-    key = F.concat_ws(":", F.col("_pid"), F.col(stream_col))
     return (
-        d.withColumn("idx", (F.col("_li") + off_map[key]).cast("long"))
-        .withColumn("n", n_map[F.col(stream_col)].cast("long"))
-        .drop("_pid", "_li")
+        d.join(
+            F.broadcast(fixups),
+            (F.col(stream_col) == F.col("_fix_sid"))
+            & (F.col("_pid") == F.col("_fix_pid")),
+        )
+        .withColumn("idx", (F.col("_li") + F.col("_off")).cast("long"))
+        .withColumn("n", F.col("_ntot").cast("long"))
+        .drop("_pid", "_li", "_fix_pid", "_fix_sid", "_off", "_ntot")
     )
 
 
@@ -243,24 +262,36 @@ def with_exp2_bucket(
     return df.drop("_rank", "_t0", "_t", "_m", "_a", "_k")
 
 
-def _bucket_udf_general(windowing, buffer_size: int, counts: dict):
-    """Vectorized searchsorted binning against driver-simulated canonical
-    boundaries (one tiny array per stream)."""
-    bounds = {
-        sid: np.asarray(canonical_boundaries(windowing, int(nn), buffer_size), dtype=np.int64)
-        for sid, nn in counts.items()
-    }
+def _bucket_udf_general(windowing, buffer_size: int):
+    """Vectorized searchsorted binning against canonical boundaries.
+
+    The boundaries are a pure function of the stream's element count ``n``
+    (not of the stream identity), so they are simulated INSIDE the executor
+    from the ``n`` column, memoized per distinct n per python worker — no
+    driver-collected per-stream dict, no O(#streams) closure state.  Streams
+    sharing a count share one boundary array; the windowing policy itself is
+    a few bytes in the serialized closure."""
+    memo: dict = {}
+
+    def bounds_for(nn: int) -> np.ndarray:
+        b = memo.get(nn)
+        if b is None:
+            b = np.asarray(
+                canonical_boundaries(windowing, int(nn), buffer_size),
+                dtype=np.int64,
+            )
+            memo[nn] = b
+        return b
 
     @pandas_udf("long")
-    def bucket_of(stream: pd.Series, idx: pd.Series) -> pd.Series:
+    def bucket_of(idx: pd.Series, n: pd.Series) -> pd.Series:
         out = np.empty(len(idx), dtype=np.int64)
         iv = idx.to_numpy()
-        sv = stream.to_numpy()
-        for sid in pd.unique(sv):
-            mask = sv == sid
-            b = bounds[sid]
+        nv = n.to_numpy()
+        for nn in pd.unique(nv):
+            mask = nv == nn
             # bucket in oldest->newest numbering
-            out[mask] = np.searchsorted(b, iv[mask], side="right") - 1
+            out[mask] = np.searchsorted(bounds_for(int(nn)), iv[mask], side="right") - 1
         return pd.Series(out)
 
     return bucket_of
@@ -295,14 +326,8 @@ def bucketed_events(
 
     if isinstance(windowing, ExpWindowing) and windowing.base == 2.0 and buffer_size <= 0:
         return with_exp2_bucket(ev, "idx", "n", "bucket")
-    counts = {
-        r["stream_id"]: r["cnt"]
-        for r in events.groupBy(F.col(stream_col).alias("stream_id"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    udf = _bucket_udf_general(windowing, buffer_size, counts)
-    return ev.withColumn("bucket", udf(F.col("stream_id"), F.col("idx")))
+    udf = _bucket_udf_general(windowing, buffer_size)
+    return ev.withColumn("bucket", udf(F.col("idx"), F.col("n")))
 
 
 def summarize_bucketed(ev: DataFrame) -> DataFrame:

@@ -27,8 +27,14 @@ standard Spark recovery contract:
 State layout under ``state_dir``::
 
     v=<batch_id>/summary.parquet     canonical summary windows
-    v=<batch_id>/meta.json           {"counts": {stream: N}, "batch_id": ...}
+    v=<batch_id>/state.parquet       per-stream (stream_id, n, last_ts)
+    v=<batch_id>/meta.json           {"batch_id": ...}
     v=<batch_id>/_COMMIT             empty marker, written last
+
+The per-stream counters live in a parquet table, not driver JSON: the
+batch step reads them as a DataFrame and broadcast-joins them into the
+merge, so driver memory and plan size stay O(1) in #streams (the
+reference keeps the same metadata in storage, core/db.go:100-150).
 """
 
 from __future__ import annotations
@@ -74,20 +80,45 @@ def load_sketches(
     return spark.read.parquet(p) if os.path.isdir(p) else None
 
 
+def load_state_df(
+    spark: SparkSession, state_dir: str, version: Optional[int] = None
+) -> tuple[Optional[DataFrame], Optional[DataFrame]]:
+    """Return (summary_df | None, state_df | None) for the given/latest
+    committed version; ``state_df`` has (stream_id, n, last_ts).  This is
+    the scale path — per-stream counters never touch the driver."""
+    v = version if version is not None else latest_version(state_dir)
+    if v is None:
+        return None, None
+    vdir = os.path.join(state_dir, f"v={v}")
+    df = spark.read.parquet(os.path.join(vdir, "summary.parquet"))
+    sp = os.path.join(vdir, "state.parquet")
+    if os.path.isdir(sp):
+        return df, spark.read.parquet(sp)
+    # pre-state.parquet layout: counters in meta.json (small by definition)
+    with open(os.path.join(vdir, "meta.json")) as f:
+        meta = json.load(f)
+    counts = {int(k): int(n) for k, n in meta.get("counts", {}).items()}
+    last_ts = {int(k): int(n) for k, n in meta.get("last_ts", {}).items()}
+    state = spark.createDataFrame(
+        [(k, n, last_ts.get(k)) for k, n in counts.items()],
+        "stream_id long, n long, last_ts long",
+    )
+    return df, state
+
+
 def load_state(
     spark: SparkSession, state_dir: str, version: Optional[int] = None
 ) -> tuple[Optional[DataFrame], dict, dict]:
-    """Return (summary_df | None, counts, last_ts) for the given/latest
-    committed version."""
-    v = version if version is not None else latest_version(state_dir)
-    if v is None:
-        return None, {}, {}
-    vdir = os.path.join(state_dir, f"v={v}")
-    with open(os.path.join(vdir, "meta.json")) as f:
-        meta = json.load(f)
-    counts = {int(k): int(n) for k, n in meta["counts"].items()}
-    last_ts = {int(k): int(n) for k, n in meta.get("last_ts", {}).items()}
-    df = spark.read.parquet(os.path.join(vdir, "summary.parquet"))
+    """Dict-returning convenience accessor (tests / small deployments):
+    (summary_df | None, counts, last_ts)."""
+    df, state = load_state_df(spark, state_dir, version)
+    if state is None:
+        return df, {}, {}
+    rows = state.collect()
+    counts = {r["stream_id"]: r["n"] for r in rows}
+    last_ts = {
+        r["stream_id"]: r["last_ts"] for r in rows if r["last_ts"] is not None
+    }
     return df, counts, last_ts
 
 
@@ -139,7 +170,7 @@ class StreamingSummarizer:
             return  # replayed batch after crash: already folded in
         if batch.isEmpty():
             return
-        old_summary, counts, last_ts = load_state(self.spark, self.state_dir)
+        old_summary, state = load_state_df(self.spark, self.state_dir)
         if self.clamp_order_col is not None:
             from summarydb_spark.operators.summary import clamp_monotonic
 
@@ -148,8 +179,15 @@ class StreamingSummarizer:
                 stream_col=self.stream_col,
                 ts_col=self.ts_col,
                 order_col=self.clamp_order_col,
-                last_ts=last_ts or None,
+                last_ts=(
+                    state.select(
+                        F.col("stream_id").alias(self.stream_col), "last_ts"
+                    )
+                    if state is not None
+                    else None
+                ),
             )
+        counts = state.select("stream_id", "n") if state is not None else None
         new_summary = merge_summary_increment(
             old_summary,
             batch,
@@ -180,15 +218,6 @@ class StreamingSummarizer:
                 order_cols=self.order_cols,
                 buffer_size=self.buffer_size,
             )
-        batch_counts = {
-            int(r["stream_id"]): int(r["c"])
-            for r in batch.groupBy(F.col(self.stream_col).alias("stream_id"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
-        new_counts = dict(counts)
-        for sid, c in batch_counts.items():
-            new_counts[sid] = new_counts.get(sid, 0) + c
 
         # write snapshot into the version dir, commit marker LAST: an
         # uncommitted version dir is ignored by readers and overwritten by
@@ -203,22 +232,18 @@ class StreamingSummarizer:
             new_sketches.write.mode("overwrite").parquet(
                 os.path.join(vdir, "sketches.parquet")
             )
-        new_last_ts = {
-            int(r["stream_id"]): int(r["t"])
-            for r in self.spark.read.parquet(os.path.join(vdir, "summary.parquet"))
-            .groupBy("stream_id")
-            .agg(F.max("time_end").alias("t"))
-            .collect()
-        }
+        # per-stream counters derived FROM the written summary (n = newest
+        # index + 1, last_ts = newest time) — one tiny aggregate job, no
+        # driver-side counter dicts
+        written = self.spark.read.parquet(os.path.join(vdir, "summary.parquet"))
+        written.groupBy("stream_id").agg(
+            (F.max("count_end") + 1).cast("long").alias("n"),
+            F.max("time_end").cast("long").alias("last_ts"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(vdir, "state.parquet")
+        )
         with open(os.path.join(vdir, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "batch_id": batch_id,
-                    "counts": new_counts,
-                    "last_ts": new_last_ts,
-                },
-                f,
-            )
+            json.dump({"batch_id": batch_id}, f)
         with open(os.path.join(vdir, "_COMMIT"), "w"):
             pass
 
