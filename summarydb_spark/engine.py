@@ -110,9 +110,19 @@ class Stream:
         While a landmark is open, points go to the landmark window and do not
         feed decay.  Out-of-order timestamps are clamped to last+1
         (core/pipeline.go:80-84).
+
+        Rows are buffered on the driver and written coalesced at flush time
+        (or when the buffer exceeds the spill threshold): the reference's
+        append-per-point call pattern would otherwise create one tiny parquet
+        file per call.  Durability boundary = flush/close — a crash loses the
+        unflushed buffer AND its counters together, leaving the on-disk state
+        consistent at the last flush (the WAL-less analogue of the
+        reference's buffered ingester, core/ingester.go).
         """
         if self._landmark is not None:
             self._landmark["points"].extend((int(t), float(v)) for t, v in pairs)
+            if len(self._landmark["points"]) >= self._db.PENDING_SPILL_ROWS:
+                self._spill_landmark_points()
             return
         m = self.meta
         rows = []
@@ -126,22 +136,45 @@ class Stream:
             m.next_seq += 1
         if not rows:
             return
-        df = self._db.spark.createDataFrame(rows, EVENT_SCHEMA)
-        self._db._write_events(df)
+        self._db._pending.extend(rows)
         m.n += len(rows)
         m.last_ts = rows[-1][2]
         m.dirty = True
-        self._db._save_registry()
+        if len(self._db._pending) >= self._db.PENDING_SPILL_ROWS:
+            self._db._flush_pending()
+
+    def _landmark_stage_path(self) -> str:
+        return os.path.join(
+            self._db._landmark_stage_root, f"stream={self.meta.stream_id}"
+        )
+
+    def _spill_landmark_points(self) -> None:
+        """Move buffered landmark points to the parquet staging area."""
+        pts = self._landmark["points"]
+        if not pts:
+            return
+        df = self._db.spark.createDataFrame(pts, "ts long, value double")
+        df.coalesce(1).write.mode("append").parquet(self._landmark_stage_path())
+        self._landmark["staged"] = True
+        self._landmark["points"] = []
 
     def append(self, df: DataFrame, ts_col: str = "ts", value_col: str = "value") -> None:
         """Append a DataFrame of events (bulk ingest path).
 
         Rows must be intra-batch ordered by ``ts_col``; clamping across
         batches continues from the stream's last timestamp.
+
+        While a landmark is open the batch is staged straight to parquet —
+        landmark brackets hold raw points of arbitrary span (the reference
+        keeps them in core/landmark_window.go), so they must never
+        materialize on the driver.
         """
         if self._landmark is not None:
-            pts = df.select(F.col(ts_col).cast("long"), F.col(value_col).cast("double")).collect()
-            self._landmark["points"].extend((r[0], r[1]) for r in pts)
+            df.select(
+                F.col(ts_col).cast("long").alias("ts"),
+                F.col(value_col).cast("double").alias("value"),
+            ).write.mode("append").parquet(self._landmark_stage_path())
+            self._landmark["staged"] = True
             return
         m = self.meta
         from pyspark.sql import Window
@@ -168,7 +201,11 @@ class Stream:
     def start_landmark(self, timestamp: int) -> None:
         if self._landmark is not None:
             raise RuntimeError("already appending as landmarks")
-        self._landmark = {"time_start": int(timestamp), "points": []}
+        self._landmark = {
+            "time_start": int(timestamp),
+            "points": [],
+            "staged": False,
+        }
 
     def end_landmark(self, timestamp: int) -> None:
         if self._landmark is None:
@@ -177,11 +214,44 @@ class Stream:
         self._landmark = None
         t0 = lw["time_start"]
         t1 = int(timestamp)
-        rows = [
-            (self.meta.stream_id, t0, t0, t1, int(ts), float(v)) for ts, v in lw["points"]
-        ] or [(self.meta.stream_id, t0, t0, t1, None, None)]
-        df = self._db.spark.createDataFrame(rows, LANDMARK_SCHEMA)
-        df.write.mode("append").parquet(self._db._landmarks_path)
+        spark = self._db.spark
+        if lw["staged"]:
+            # bracket points staged in parquet (arbitrary span): stamp the
+            # window columns on and append — one distributed write, the
+            # points never touch the driver
+            stage = spark.read.parquet(
+                os.path.join(self._db._landmark_stage_root, f"stream={self.meta.stream_id}")
+            )
+            if lw["points"]:
+                stage = stage.unionByName(
+                    spark.createDataFrame(lw["points"], "ts long, value double")
+                )
+            out = stage.select(
+                F.lit(self.meta.stream_id).cast("long").alias("stream_id"),
+                F.lit(t0).cast("long").alias("window_id"),
+                F.lit(t0).cast("long").alias("time_start"),
+                F.lit(t1).cast("long").alias("time_end"),
+                F.col("ts").cast("long"),
+                F.col("value").cast("double"),
+            )
+            # ts-NULL marker row records the window bracket itself, so the
+            # window survives even if the staged point set is empty
+            marker = spark.createDataFrame(
+                [(self.meta.stream_id, t0, t0, t1, None, None)], LANDMARK_SCHEMA
+            )
+            marker.unionByName(out).write.mode("append").parquet(
+                self._db._landmarks_path
+            )
+            import shutil
+
+            shutil.rmtree(self._landmark_stage_path(), ignore_errors=True)
+        else:
+            rows = [
+                (self.meta.stream_id, t0, t0, t1, int(ts), float(v))
+                for ts, v in lw["points"]
+            ] or [(self.meta.stream_id, t0, t0, t1, None, None)]
+            df = spark.createDataFrame(rows, LANDMARK_SCHEMA)
+            df.write.mode("append").parquet(self._db._landmarks_path)
         self._db._save_registry()
 
     # -- flush / query --------------------------------------------------
@@ -369,16 +439,23 @@ class Stream:
 
 
 class SummaryDB:
+    # appended pairs buffer on the driver up to this many rows before
+    # spilling to parquet; bounds driver memory under append-heavy loads
+    # while keeping flush-time file count O(streams), not O(append calls)
+    PENDING_SPILL_ROWS = 100_000
+
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
         self._streams: dict[int, Stream] = {}
+        self._pending: list = []
         self._registry_path = os.path.join(path, "streams.json")
         self._events_path = os.path.join(path, "events")
         self._summary_path = os.path.join(path, "summary")
         self._landmarks_path = os.path.join(path, "landmarks")
         self._sketches_path = os.path.join(path, "sketches")
+        self._landmark_stage_root = os.path.join(path, "landmark_stage")
         if os.path.exists(self._registry_path):
             with open(self._registry_path) as f:
                 data = json.load(f)
@@ -450,7 +527,18 @@ class SummaryDB:
     def _write_events(self, df: DataFrame) -> None:
         df.write.mode("append").partitionBy("stream_id").parquet(self._events_path)
 
+    def _flush_pending(self) -> None:
+        """Persist the buffered append_pairs rows (coalesced — one file per
+        touched stream per flush) and the registry counters that cover them."""
+        if not self._pending:
+            return
+        df = self.spark.createDataFrame(self._pending, EVENT_SCHEMA)
+        self._write_events(df.coalesce(1))
+        self._pending.clear()
+        self._save_registry()
+
     def events(self) -> DataFrame:
+        self._flush_pending()
         return self.spark.read.parquet(self._events_path)
 
     def summary_windows(self) -> DataFrame:

@@ -150,3 +150,45 @@ def test_range_index_mode_matches_window_mode(spark):
     ka = sorted(tuple(r) for r in a.collect())
     kb = sorted(tuple(r) for r in b.collect())
     assert ka == kb
+
+
+def test_bulk_landmark_never_touches_driver(spark, tmp_path, monkeypatch):
+    """A landmark bracket holds raw points of arbitrary span (the reference
+    buffers them in core/landmark_window.go); at scale they must stage
+    through parquet, never through a driver-side list.  1M points flow
+    through append() -> end_landmark() with every driver-materialization
+    entry point disabled."""
+    from pyspark.sql import functions as F
+
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(ops=["count", "sum"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(10)])
+    s.start_landmark(10)
+
+    n = 1_000_000
+    big = spark.range(n).select(
+        (F.col("id") + 10).alias("ts"), F.lit(1.0).alias("value")
+    )
+    import pyspark.sql.classic.dataframe as cdf
+
+    with monkeypatch.context() as mp:
+        for meth in ("collect", "toPandas", "toLocalIterator"):
+            mp.setattr(
+                cdf.DataFrame,
+                meth,
+                lambda self, *a, **k: (_ for _ in ()).throw(
+                    AssertionError("driver materialization in landmark path")
+                ),
+            )
+        s.append(big)
+        s.end_landmark(n + 11)
+
+    # the staged points landed in the landmark table, window stamped
+    lm = spark.read.parquet(db._landmarks_path).where("stream_id = %d" % s.stream_id)
+    assert lm.where("ts IS NOT NULL").count() == n
+    assert lm.select("time_start").distinct().collect()[0][0] == 10
+
+    # and the batched column-math query path sees the landmark mass exactly
+    s.flush()
+    row = s.query_many("count", [(0, n + 11)]).collect()[0]
+    assert row["value"] == 10 + n
