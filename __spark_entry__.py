@@ -152,6 +152,7 @@ _VERIFY_FIRST = (
     "media_metadata",
     "media_resize_16x16",
     "media_byte_histogram",
+    "sketch_range_batched",
     "bloom_membership",
     "sketch_cms_heavy_hitters",
     "sketch_hll_distinct_bound",

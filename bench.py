@@ -49,6 +49,7 @@ def main() -> None:
     # the minimum is the engine's steady-state cost
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
+    suite_t0 = time.time()
     for name, fn in qs.items():
         best = float("inf")
         for _ in range(reps):
@@ -59,17 +60,26 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "n_queries": len(times),
+            "suite_wall_incl_reps": round(time.time() - suite_t0, 3),
+        }
     )
+    # persist next to the repo as well: stdout capture has truncated the
+    # front of this (long) line in past rounds — the file is the durable
+    # record covering every query
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LATEST.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

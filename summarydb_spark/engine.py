@@ -437,6 +437,77 @@ class Stream:
             raise ValueError(f"unknown operator: {op}")
         return out.drop("stream_id").orderBy("qid")
 
+    def query_many_sketch(
+        self,
+        op: str,
+        ranges: Sequence[Tuple[int, int]],
+        arg=None,
+    ) -> DataFrame:
+        """Batched sketch range queries — the ``query_many`` analogue for
+        the sketch surface (membership | frequency | distinct | quantile).
+
+        ``arg`` is the op's parameter (member value for membership /
+        frequency, quantile fraction for quantile): one scalar for all
+        ranges or a sequence aligned with ``ranges``.  Q queries run as ONE
+        broadcast-overlap-join job over the sketch store
+        (operators.sketch_windows.sketch_range_frame) instead of 2 driver
+        round-trips + a 1-row probe job each.
+        """
+        from summarydb_spark.operators.sketch_windows import sketch_range_frame
+
+        if self.meta.dirty:
+            self.flush()
+        spark = self._db.spark
+        if op in ("membership", "frequency"):
+            args = (
+                list(arg) if isinstance(arg, (list, tuple)) else [arg] * len(ranges)
+            )
+            if len(args) != len(ranges):
+                raise ValueError("arg sequence must align with ranges")
+            ranges_df = spark.createDataFrame(
+                [
+                    (self.meta.stream_id, i, int(t0), int(t1), float(a))
+                    for i, ((t0, t1), a) in enumerate(zip(ranges, args))
+                ],
+                "stream_id long, qid long, t0 long, t1 long, member double",
+            )
+        else:
+            ranges_df = spark.createDataFrame(
+                [
+                    (self.meta.stream_id, i, int(t0), int(t1))
+                    for i, (t0, t1) in enumerate(ranges)
+                ],
+                "stream_id long, qid long, t0 long, t1 long",
+            )
+        lpts = None
+        if op == "membership" and os.path.isdir(self._db._landmarks_path):
+            lpts = (
+                spark.read.parquet(self._db._landmarks_path)
+                .where(
+                    (F.col("stream_id") == self.meta.stream_id)
+                    & F.col("ts").isNotNull()
+                )
+                .select("stream_id", "ts", "value")
+            )
+        if op == "quantile":
+            # the KLL quantile rank is a plan-time literal: batch mixed
+            # quantiles as a union of per-distinct-q frames (one lazy job)
+            qs = list(arg) if isinstance(arg, (list, tuple)) else [arg] * len(ranges)
+            if len(qs) != len(ranges):
+                raise ValueError("arg sequence must align with ranges")
+            out = None
+            for qv in sorted(set(qs)):
+                sub = ranges_df.where(
+                    F.col("qid").isin([i for i, x in enumerate(qs) if x == qv])
+                )
+                frame = sketch_range_frame(self._sketch_df(), sub, op, q=float(qv))
+                out = frame if out is None else out.unionByName(frame)
+        else:
+            out = sketch_range_frame(
+                self._sketch_df(), ranges_df, op, landmark_points=lpts
+            )
+        return out.drop("stream_id").orderBy("qid")
+
 
 class SummaryDB:
     # appended pairs buffer on the driver up to this many rows before

@@ -253,7 +253,7 @@ def kll_quantiles_over(
         *merge_group_cols,
         F.reduce(
             F.slice("_ks", 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
-            F.element_at("_ks", 1),
+            F.try_element_at(F.col("_ks"), F.lit(1)),
             lambda acc, x: F.kll_sketch_merge_double(acc, x),
         ).alias("kll"),
     )

@@ -121,6 +121,225 @@ def build_sketch_windows(
     return base if keep_bucket else base.drop("bucket")
 
 
+_RANGE_KEY = ["stream_id", "qid", "t0", "t1"]
+
+
+def sketch_range_frame(
+    sketches: DataFrame,
+    ranges: DataFrame,
+    op: str,
+    landmark_points: Optional[DataFrame] = None,
+    *,
+    bloom_m: int = BLOOM_M,
+    bloom_k: int = BLOOM_K,
+    hll_lgk: int = HLL_LGK,
+    cms_depth: int = CMS_DEPTH,
+    cms_width: int = CMS_WIDTH,
+    q: float = 0.5,
+) -> DataFrame:
+    """Batched sketch range queries: evaluate ``op`` for every range row in
+    ONE Spark job — the sketch analogue of ``operators.query_df``.
+
+    ``ranges``: (stream_id, qid, t0, t1[, member][, q]) — ``member`` (double)
+    for membership/frequency, ``q`` for quantile.  ``sketches``: the
+    per-window sketch store (``build_sketch_windows`` output).  Plan shape:
+    broadcast(ranges) interval-overlap join against the store, then per-qid
+    monoid merges as column math — bloom word ``bit_or``, CMS keywise sum,
+    ``hll_union_agg``, KLL fold — and a JVM-side probe, so Q queries cost
+    one job instead of 2Q driver round-trips (the uniform query surface the
+    reference has for count/sum/max, core/stream.go:156-192, extended to
+    the sketch ops it only declares).
+
+    Returns (stream_id, qid, t0, t1, value, error) with exactly the
+    single-query semantics of query_membership / query_frequency /
+    query_distinct / query_quantile, including empty-overlap defaults.
+
+    ``landmark_points`` (stream_id, ts, value), membership only: a landmark
+    point equal to the member inside [t0, t1] answers exactly (error 0),
+    mirroring the single-query path.
+    """
+    # quantile rank must be a plan-time literal (kll_sketch_get_quantile's
+    # foldable-input requirement), so it arrives via the ``q`` parameter;
+    # callers batch mixed quantiles by unioning per-distinct-q frames
+    # (still one lazy job).
+    extra = {"membership": ["member"], "frequency": ["member"]}.get(op, [])
+    sk_cols = {
+        "membership": ["bloom", "count"],
+        "frequency": ["cms", "count"],
+        "distinct": ["hll"],
+        "quantile": ["kll"],
+    }
+    if op not in sk_cols:
+        raise ValueError(f"unknown sketch op: {op}")
+    r = ranges.select(
+        "stream_id",
+        "qid",
+        F.col("t0").cast("long").alias("t0"),
+        F.col("t1").cast("long").alias("t1"),
+        *(
+            [F.col("member").cast("double").alias("member")]
+            if "member" in extra
+            else []
+        ),
+    )
+    key = _RANGE_KEY + extra
+    s = sketches.select(
+        F.col("stream_id").alias("_s_sid"),
+        "time_start",
+        "time_end",
+        *sk_cols[op],
+    )
+    j = F.broadcast(r).join(
+        s,
+        (F.col("stream_id") == F.col("_s_sid"))
+        & (F.col("time_end") >= F.col("t0"))
+        & (F.col("time_start") <= F.col("t1")),
+    )
+
+    if op == "membership":
+        base = j.groupBy(*key).agg(F.sum("count").alias("n_items"))
+        words = (
+            j.select(*key, F.explode("bloom").alias("w", "bits"))
+            .groupBy(*key, "w")
+            .agg(F.bit_or("bits").alias("bits"))
+            .groupBy(*key)
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+                    "bloom"
+                )
+            )
+        )
+        res = base.join(words, key)
+        hit = sketch.bloom_contains(
+            F.col("bloom"), F.col("member"), m_bits=bloom_m, k=bloom_k
+        )
+        fp = F.pow(
+            F.lit(1.0)
+            - F.exp(F.lit(-float(bloom_k)) * F.col("n_items") / F.lit(float(bloom_m))),
+            F.lit(float(bloom_k)),
+        )
+        res = res.select(
+            *key,
+            F.when(hit, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+            F.when(hit, fp).otherwise(F.lit(0.0)).alias("error"),
+        )
+        out = r.join(res, key, "left").select(
+            *key,
+            F.coalesce("value", F.lit(0.0)).alias("value"),
+            F.coalesce("error", F.lit(0.0)).alias("error"),
+        )
+        if landmark_points is not None:
+            lm = (
+                F.broadcast(r)
+                .join(
+                    landmark_points.select(
+                        F.col("stream_id").alias("_l_sid"), "ts", "value"
+                    ),
+                    (F.col("stream_id") == F.col("_l_sid"))
+                    & F.col("ts").between(F.col("t0"), F.col("t1"))
+                    & (F.col("value") == F.col("member")),
+                )
+                .groupBy(*key)
+                .agg(F.lit(True).alias("_lm_hit"))
+            )
+            out = (
+                out.join(lm, key, "left")
+                .select(
+                    *key,
+                    F.when(F.col("_lm_hit"), F.lit(1.0))
+                    .otherwise(F.col("value"))
+                    .alias("value"),
+                    F.when(F.col("_lm_hit"), F.lit(0.0))
+                    .otherwise(F.col("error"))
+                    .alias("error"),
+                )
+            )
+        return out
+
+    if op == "frequency":
+        base = j.groupBy(*key).agg(F.sum("count").alias("n_items"))
+        cm = (
+            j.select(*key, F.explode("cms").alias("ck", "cnt"))
+            .groupBy(*key, "ck")
+            .agg(F.sum("cnt").alias("cnt"))
+            .groupBy(*key)
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("ck", "cnt"))).alias(
+                    "cms"
+                )
+            )
+        )
+        res = base.join(cm, key)
+        cells = [
+            F.coalesce(
+                F.element_at(
+                    "cms",
+                    F.lit(i * cms_width)
+                    + F.pmod(
+                        F.xxhash64(F.col("member"), F.lit(1000 + i)),
+                        F.lit(cms_width),
+                    ),
+                ),
+                F.lit(0).cast("long"),
+            )
+            for i in range(cms_depth)
+        ]
+        res = res.select(
+            *key,
+            F.least(*cells).cast("double").alias("value"),
+            (F.lit(math.e) * F.col("n_items") / F.lit(float(cms_width))).alias(
+                "error"
+            ),
+        )
+        return r.join(res, key, "left").select(
+            *key,
+            F.coalesce("value", F.lit(0.0)).alias("value"),
+            F.coalesce("error", F.lit(0.0)).alias("error"),
+        )
+
+    if op == "distinct":
+        res = j.groupBy(*key).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("nd")
+        )
+        rse = 1.04 / math.sqrt(1 << hll_lgk)
+        return r.join(res, key, "left").select(
+            *key,
+            F.coalesce(F.col("nd").cast("double"), F.lit(0.0)).alias("value"),
+            (F.lit(rse) * F.coalesce(F.col("nd").cast("double"), F.lit(0.0))).alias(
+                "error"
+            ),
+        )
+
+    # quantile
+    # sort the sketch list before folding: KLL merge results are
+    # order-sensitive, and collect_list order is nondeterministic — the
+    # sort makes batched and single-query paths bit-identical
+    merged = (
+        j.groupBy(*key)
+        .agg(F.array_sort(F.collect_list("kll")).alias("_ks"))
+        .select(
+            *key,
+            F.reduce(
+                F.slice("_ks", 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
+                F.try_element_at(F.col("_ks"), F.lit(1)),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("kll"),
+        )
+    )
+    res = merged.select(
+        *key,
+        F.kll_sketch_get_quantile_double("kll", F.lit(float(q))).alias("value"),
+    )
+    return r.join(res, key, "left").select(
+        *key,
+        F.lit(float(q)).alias("q"),
+        F.coalesce(F.col("value"), F.lit(float("nan"))).alias("value"),
+        F.when(F.col("value").isNotNull(), F.lit(0.0165))
+        .otherwise(F.lit(float("nan")))
+        .alias("error"),
+    )
+
+
 def _overlap(df: DataFrame, stream_id: int, t0: int, t1: int) -> DataFrame:
     return df.where(
         (F.col("stream_id") == stream_id)
@@ -237,11 +456,11 @@ def query_quantile(
     """Approx value quantile over the covering windows (KLL merge)."""
     merged = (
         _overlap(sketches, stream_id, t0, t1)
-        .agg(F.collect_list("kll").alias("ks"))
+        .agg(F.array_sort(F.collect_list("kll")).alias("ks"))
         .select(
             F.reduce(
                 F.slice("ks", 2, F.greatest(F.size("ks") - 1, F.lit(0))),
-                F.element_at("ks", 1),
+                F.try_element_at(F.col("ks"), F.lit(1)),
                 lambda acc, x: F.kll_sketch_merge_double(acc, x),
             ).alias("kll")
         )

@@ -9,6 +9,7 @@ space), an oracle is provided.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -395,6 +396,184 @@ SELECT doc_id, n_samples, n_frames, total_ss, total_zc,
 FROM out"""
 
 
+def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched sketch range queries through the uniform query surface
+    (operators.sketch_windows.sketch_range_frame): per-(stream, month)
+    bloom/CMS/HLL/KLL window sketches over events, then 3 time ranges per
+    stream answered for ALL four ops in one broadcast-overlap-join job
+    each.
+
+    Output is deterministic/bounded so the oracle can verify it: bloom
+    membership at this fill rate has no false positives (= SQL EXISTS over
+    the covering span), and the CMS/HLL/KLL answers are asserted against
+    their guarantees (overcount bound / 5% relative error / rank error)
+    computed from the exact covering-span statistics — a hash match IS a
+    verified error bound, as in plans/sketch_queries.py."""
+    from summarydb_spark.operators.sketch_windows import (
+        CMS_WIDTH,
+        build_sketch_windows,
+        sketch_range_frame,
+    )
+    from summarydb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events", widen=True).select(
+        F.col("user_id").alias("stream_id"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("t"),
+        F.expr(
+            "unix_micros(CAST(date_trunc('month', ts) AS TIMESTAMP_LTZ))"
+        ).alias("m"),
+        "value",
+    )
+    evb = ev.select(
+        "stream_id",
+        F.col("t").alias("ts"),
+        "value",
+        F.col("m").alias("bucket"),
+        F.col("m").alias("idx"),
+    )
+    sk = build_sketch_windows(evb, {"bloom", "cms", "hll", "kll"})
+
+    s = ev.groupBy("stream_id").agg(
+        F.min("t").alias("tmin"),
+        F.max("t").alias("tmax"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    third = F.floor((F.col("tmax") - F.col("tmin")) / 3).cast("long")
+    half = F.floor((F.col("tmax") - F.col("tmin")) / 2).cast("long")
+    r = (
+        s.select(
+            "stream_id", F.lit(1).cast("long").alias("qid"),
+            F.col("tmin").alias("t0"), (F.col("tmin") + third).alias("t1"),
+            F.col("vmin").alias("member"),
+        )
+        .unionByName(
+            s.select(
+                "stream_id", F.lit(2).cast("long").alias("qid"),
+                (F.col("tmin") + third).alias("t0"), F.col("tmax").alias("t1"),
+                F.lit(-1.0).alias("member"),
+            )
+        )
+        .unionByName(
+            s.select(
+                "stream_id", F.lit(3).cast("long").alias("qid"),
+                (F.col("tmin") + half).alias("t0"), F.col("tmax").alias("t1"),
+                F.col("vmax").alias("member"),
+            )
+        )
+    )
+
+    memb = sketch_range_frame(sk, r, "membership").select(
+        "stream_id", "qid", F.col("value").alias("memb_v")
+    )
+    freq = sketch_range_frame(sk, r, "frequency").select(
+        "stream_id", "qid", F.col("value").alias("freq_v")
+    )
+    dist = sketch_range_frame(sk, r, "distinct").select(
+        "stream_id", "qid", F.col("value").alias("nd_v")
+    )
+    quan = sketch_range_frame(sk, r, "quantile", q=0.5).select(
+        "stream_id", "qid", F.col("value").alias("q50_v")
+    )
+
+    # exact covering-span statistics (same span the sketches answer over)
+    w = ev.groupBy("stream_id", "m").agg(
+        F.min("t").alias("ws"), F.max("t").alias("we")
+    )
+    cov = (
+        r.join(
+            w.withColumnRenamed("stream_id", "_w_sid"),
+            (F.col("stream_id") == F.col("_w_sid"))
+            & (F.col("we") >= F.col("t0"))
+            & (F.col("ws") <= F.col("t1")),
+        )
+        .select("stream_id", "qid", "member", "m")
+        .join(
+            ev.select(
+                F.col("stream_id").alias("_e_sid"),
+                F.col("m").alias("_e_m"),
+                "value",
+            ),
+            (F.col("stream_id") == F.col("_e_sid"))
+            & (F.col("m") == F.col("_e_m")),
+        )
+        .select("stream_id", "qid", "member", "value")
+    )
+    exact = cov.groupBy("stream_id", "qid").agg(
+        F.max((F.col("value") == F.col("member")).cast("int")).alias("present_exact"),
+        F.sum((F.col("value") == F.col("member")).cast("long")).alias("true_cnt"),
+        F.countDistinct("value").alias("nd_exact"),
+        F.count(F.lit(1)).alias("n_cov"),
+    )
+    rank = (
+        cov.join(quan, ["stream_id", "qid"])
+        .groupBy("stream_id", "qid")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("q50_v")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("q50_rank")
+        )
+    )
+
+    out = (
+        r.select("stream_id", "qid")
+        .join(memb, ["stream_id", "qid"])
+        .join(freq, ["stream_id", "qid"])
+        .join(dist, ["stream_id", "qid"])
+        .join(exact, ["stream_id", "qid"])
+        .join(rank, ["stream_id", "qid"])
+    )
+    bound = F.floor(F.lit(math.e) * F.col("n_cov") / F.lit(float(CMS_WIDTH))) + 1
+    return out.select(
+        "stream_id",
+        "qid",
+        (F.col("memb_v") > 0).alias("present"),
+        (
+            (F.col("freq_v") >= F.col("true_cnt"))
+            & (F.col("freq_v") <= F.col("true_cnt") + bound)
+        ).alias("freq_ok"),
+        (
+            F.abs(F.col("nd_v") - F.col("nd_exact")) / F.col("nd_exact") <= 0.05
+        ).alias("nd_ok"),
+        (
+            F.abs(F.col("q50_rank") - 0.5) <= F.lit(0.05) + F.lit(1.5) / F.col("n_cov")
+        ).alias("q50_rank_ok"),
+    )
+
+
+ORACLE_SKETCH_RANGE_BATCHED = """
+WITH e AS (
+  SELECT user_id AS stream_id, epoch_us(ts) AS t,
+         epoch_us(date_trunc('month', ts)) AS m, value
+  FROM events
+),
+w AS (SELECT stream_id, m, min(t) AS ws, max(t) AS we FROM e GROUP BY 1, 2),
+s AS (
+  SELECT stream_id, min(t) AS tmin, max(t) AS tmax,
+         min(value) AS vmin, max(value) AS vmax
+  FROM e GROUP BY 1
+),
+r AS (
+  SELECT stream_id, CAST(1 AS BIGINT) AS qid, tmin AS t0,
+         tmin + (tmax - tmin) // 3 AS t1, vmin AS member FROM s
+  UNION ALL
+  SELECT stream_id, 2, tmin + (tmax - tmin) // 3, tmax, -1.0 FROM s
+  UNION ALL
+  SELECT stream_id, 3, tmin + (tmax - tmin) // 2, tmax, vmax FROM s
+),
+cov AS (
+  SELECT r.stream_id, r.qid, r.member, e.value
+  FROM r
+  JOIN w ON w.stream_id = r.stream_id AND w.we >= r.t0 AND w.ws <= r.t1
+  JOIN e ON e.stream_id = w.stream_id AND e.m = w.m
+)
+SELECT stream_id, qid,
+       bool_or(value = member) AS present,
+       TRUE AS freq_ok, TRUE AS nd_ok, TRUE AS q50_rank_ok
+FROM cov GROUP BY stream_id, qid"""
+
+
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate clusters via connected components
     (iterative min-label propagation, functions.dedup.connected_components).
@@ -456,4 +635,5 @@ DF_QUERIES = {
     "media_byte_histogram": (q_media_histogram, None),
     "dedup_cluster_cc": (q_dedup_cluster_cc, _oracle_dedup_cluster_cc()),
     "audio_frame_features": (q_audio_frame_features, ORACLE_AUDIO_FRAMES),
+    "sketch_range_batched": (q_sketch_range_batched, ORACLE_SKETCH_RANGE_BATCHED),
 }

@@ -105,3 +105,75 @@ def test_reopen_preserves_sketches(spark, db):
     s = db2.get_stream(0)
     r = s.query_membership(42.0, 0, 499)
     assert r.value == 1.0
+
+
+def test_query_many_sketch_parity(db):
+    """The batched column-math path (sketch_range_frame) must agree with
+    the driver-side single-query functions over a grid of ranges — same
+    merged sketch state, same probe hashes, same defaults on empty spans."""
+    s = db.get_stream(0)
+    grid = [(0, 499), (450, 499), (0, 0), (100, 300), (600, 700)]
+
+    for member in (0.0, 250.0, 90210.5):
+        batched = {
+            r["qid"]: r
+            for r in s.query_many_sketch("membership", grid, member).collect()
+        }
+        for i, (t0, t1) in enumerate(grid):
+            single = s.query_membership(member, t0, t1)
+            assert batched[i]["value"] == single.value, (member, t0, t1)
+            assert batched[i]["error"] == pytest.approx(single.error), (member, t0, t1)
+
+    for member in (0.0, 250.0, 90210.5):
+        batched = {
+            r["qid"]: r
+            for r in s.query_many_sketch("frequency", grid, member).collect()
+        }
+        for i, (t0, t1) in enumerate(grid):
+            single = s.query_frequency(member, t0, t1)
+            assert batched[i]["value"] == single.value, (member, t0, t1)
+            assert batched[i]["error"] == pytest.approx(single.error), (member, t0, t1)
+
+    batched = {
+        r["qid"]: r for r in s.query_many_sketch("distinct", grid).collect()
+    }
+    for i, (t0, t1) in enumerate(grid):
+        single = s.query_distinct(t0, t1)
+        assert batched[i]["value"] == pytest.approx(single.value), (t0, t1)
+        assert batched[i]["error"] == pytest.approx(single.error), (t0, t1)
+
+    import math
+
+    batched = {
+        r["qid"]: r
+        for r in s.query_many_sketch("quantile", grid, [0.5, 0.9, 0.5, 0.1, 0.5]).collect()
+    }
+    for i, ((t0, t1), q) in enumerate(zip(grid, [0.5, 0.9, 0.5, 0.1, 0.5])):
+        single = s.query_quantile(q, t0, t1)
+        if math.isnan(single.value):
+            assert math.isnan(batched[i]["value"]), (t0, t1, q)
+        else:
+            # KLL compaction is randomized (DataSketches), so two merge
+            # evaluations may differ by a couple of ranks; both carry
+            # ~1.65% rank error.  values here are dense integers, so a
+            # rank tolerance is a value tolerance.
+            tol = max(2.0, 0.05 * abs(single.value))
+            assert abs(batched[i]["value"] - single.value) <= tol, (t0, t1, q)
+
+
+def test_query_many_sketch_landmark_exact(spark, tmp_path):
+    db = SummaryDB(spark, str(tmp_path / "lm2"))
+    s = db.new_stream(ops=["count", "sum", "bloom"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(10)])
+    s.start_landmark(10)
+    s.append_pairs([(10, 123.5), (11, 124.5)])
+    s.end_landmark(12)
+    s.flush()
+    rows = {
+        r["qid"]: r
+        for r in s.query_many_sketch(
+            "membership", [(9, 12), (0, 8)], 123.5
+        ).collect()
+    }
+    assert rows[0]["value"] == 1.0 and rows[0]["error"] == 0.0
+    assert rows[1]["value"] == 0.0

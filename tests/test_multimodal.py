@@ -96,9 +96,118 @@ def test_media_embedding_drives_similarity(spark, media):
     assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in got)
 
 
-def test_decode_stub_contract(spark, media):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media)
+def test_png_codec_roundtrip():
+    """Pure-numpy PNG codec: encode -> decode is identity for gray / RGB /
+    RGBA, and every filter type unfilters correctly (decode a stream
+    re-filtered per row)."""
+    from summarydb_spark.functions import png
+
+    rng = np.random.RandomState(11)
+    for shape in [(7, 5), (16, 16, 3), (9, 4, 4), (1, 1), (3, 8, 2)]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        out = png.decode_png(png.encode_png(arr))
+        expect = arr[:, :, None] if arr.ndim == 2 else arr
+        assert out.shape == expect.shape
+        assert np.array_equal(out, expect), shape
+
+
+def test_png_decoder_all_filter_types():
+    """Hand-build a PNG whose rows use filters 0..4 and check against the
+    reference unfiltering (spec §9)."""
+    import struct
+    import zlib
+
+    from summarydb_spark.functions import png
+
+    rng = np.random.RandomState(5)
+    h, w, c = 5, 6, 3
+    raster = rng.randint(0, 256, size=(h, w * c)).astype(np.int32)
+
+    def flt(y, ftype):
+        cur = raster[y]
+        prev = raster[y - 1] if y > 0 else np.zeros(w * c, dtype=np.int32)
+        out = np.zeros(w * c, dtype=np.int32)
+        for i in range(w * c):
+            left = cur[i - c] if i >= c else 0
+            up = prev[i]
+            ul = prev[i - c] if i >= c else 0
+            if ftype == 0:
+                out[i] = cur[i]
+            elif ftype == 1:
+                out[i] = cur[i] - left
+            elif ftype == 2:
+                out[i] = cur[i] - up
+            elif ftype == 3:
+                out[i] = cur[i] - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out[i] = cur[i] - pred
+        return np.concatenate([[ftype], out & 0xFF]).astype(np.uint8)
+
+    scanlines = b"".join(flt(y, y % 5).tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", zlib.compress(scanlines))
+        + png._chunk(b"IEND", b"")
+    )
+    out = png.decode_png(data)
+    assert np.array_equal(out.reshape(h, w * c), raster.astype(np.uint8))
+
+
+def test_decode_image_real_png(spark):
+    """decode_image really decodes: a PNG-encoded raster comes back
+    bit-identical through the distributed mapInPandas path; junk payloads
+    (including fake PNG-magic ones) surface ok=0, not a crash."""
+    from summarydb_spark.functions import png
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(6, 6), dtype=np.uint8)
+    rows = [
+        (1, png.encode_png(rgb)),
+        (2, png.encode_png(gray)),
+        (3, bytes.fromhex("89504e470d0a1a0a") + b"not really a png"),
+        (4, b"plain junk"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "data"])
+    got = {r["doc_id"]: r for r in multimodal.decode_image(df).collect()}
+    assert got[1]["ok"] == 1 and (got[1]["height"], got[1]["width"]) == (12, 9)
+    assert bytes(got[1]["pixels"]) == rgb.tobytes()
+    assert got[2]["ok"] == 1 and got[2]["channels"] == 1
+    assert bytes(got[2]["pixels"]) == gray.tobytes()
+    assert got[3]["ok"] == 0 and got[4]["ok"] == 0
+
+
+def test_resize_decodes_real_png(spark):
+    """A real PNG through resize_image(decode_png=True) resizes the DECODED
+    luma raster (numpy reference), while non-PNG payloads keep the
+    byte-raster fallback."""
+    from summarydb_spark.functions import png
+
+    rng = np.random.RandomState(4)
+    rgb = rng.randint(0, 256, size=(20, 14, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, png.encode_png(rgb)), (2, b"x" * 100)], ["doc_id", "data"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.resize_image(
+            df, out_h=8, out_w=8, decode_png=True
+        ).collect()
+    }
+    luma = png.to_gray(rgb)
+    ri = (np.arange(8) * 20) // 8
+    ci = (np.arange(8) * 14) // 8
+    assert (got[1]["in_h"], got[1]["in_w"]) == (20, 14)
+    assert bytes(got[1]["resized"]) == luma[np.ix_(ri, ci)].tobytes()
+    # fallback payload: sqrt-raster interpretation unchanged
+    arr = np.frombuffer(b"x" * 100, dtype=np.uint8)[:100].reshape(10, 10)
+    ri10 = (np.arange(8) * 10) // 8
+    assert bytes(got[2]["resized"]) == arr[np.ix_(ri10, ri10)].tobytes()
 
 
 def test_resize_matches_numpy_reference(spark, media):
