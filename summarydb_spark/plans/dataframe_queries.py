@@ -272,8 +272,9 @@ FROM m"""
 
 
 def q_media_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched byte-histogram featurization (mapInPandas path);
-    rows-only — the histogram itself isn't portable SQL."""
+    """Arrow-batched byte-histogram featurization (mapInPandas path).
+    The oracle replays the exposed bins per byte (ord-explode, the audio
+    oracle's trick), so the Arrow featurization is value-checked."""
     from summarydb_spark.functions import multimodal
 
     media = multimodal.fake_media_from_text(_docs(spark, sf_dir))
@@ -282,10 +283,47 @@ def q_media_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("bin0"),
+        F.round(F.element_at("features", 8), 6).alias("bin7"),
         F.round(
             F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6
         ).alias("mass"),
     ).orderBy("doc_id")
+
+
+# Per-byte replay: the fake payload is encode(text) (+ the 8-byte PNG
+# magic for doc_id % 7 == 0), so DuckDB can count bytes per 16-wide bin
+# with ord(substring(...)) over an index range — bin0 = [0,16), bin7 =
+# [112,128).  mass = sum over bins of h_i/n; both engines compute the same
+# float divisions, and round(...,6) absorbs summation-order ulps.
+ORACLE_MEDIA_HISTOGRAM = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)
+              ELSE encode(text) END AS data
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, hex(data) AS hx, octet_length(data) AS n FROM m
+),
+b AS (
+  -- byte i of a BLOB via its hex string (BLOBs aren't sliceable in
+  -- DuckDB): two hex chars -> '0x..'::INT
+  SELECT doc_id, n,
+         ('0x' || substring(hx, CAST(2 * i + 1 AS INTEGER), 2))::INTEGER // 16 AS bin
+  FROM sized, LATERAL (SELECT unnest(range(n)) AS i) ix
+),
+h AS (
+  SELECT doc_id, n,
+         count(*) FILTER (bin = 0) AS c0,
+         count(*) FILTER (bin = 7) AS c7
+  FROM b GROUP BY doc_id, n
+)
+SELECT s.doc_id, s.n AS n_bytes,
+       round(coalesce(h.c0, 0) / greatest(s.n, 1), 6) AS bin0,
+       round(coalesce(h.c7, 0) / greatest(s.n, 1), 6) AS bin7,
+       CASE WHEN s.n > 0 THEN 1.0 ELSE 0.0 END AS mass
+FROM sized s LEFT JOIN h ON h.doc_id = s.doc_id"""
 
 
 def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,7 +469,12 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("bucket"),
         F.col("m").alias("idx"),
     )
-    sk = build_sketch_windows(evb, {"bloom", "cms", "hll", "kll"})
+    # persist the window-sketch store: four range frames + the covering
+    # -span verifier all branch from it, and without the cache each branch
+    # re-runs the full sketch build (4x bloom/cms explode-aggregates).
+    # O(streams x months) rows — KBs; the ContextCleaner unpersists it
+    # when the DataFrame is garbage collected.
+    sk = build_sketch_windows(evb, {"bloom", "cms", "hll", "kll"}).persist()
 
     s = ev.groupBy("stream_id").agg(
         F.min("t").alias("tmin"),
@@ -632,7 +675,7 @@ DF_QUERIES = {
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),
     "media_resize_16x16": (q_media_resize, ORACLE_MEDIA_RESIZE),
-    "media_byte_histogram": (q_media_histogram, None),
+    "media_byte_histogram": (q_media_histogram, ORACLE_MEDIA_HISTOGRAM),
     "dedup_cluster_cc": (q_dedup_cluster_cc, _oracle_dedup_cluster_cc()),
     "audio_frame_features": (q_audio_frame_features, ORACLE_AUDIO_FRAMES),
     "sketch_range_batched": (q_sketch_range_batched, ORACLE_SKETCH_RANGE_BATCHED),
