@@ -47,7 +47,7 @@ def main() -> None:
 
     # best-of-N per query: single runs are noisy (GC, AQE re-planning);
     # the minimum is the engine's steady-state cost
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     suite_t0 = time.time()
     for name, fn in qs.items():

@@ -119,3 +119,52 @@ def test_q14_broadcasts_part(spark):
     plan = plan_of(spark, "tpch_q14_like_promo")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_queries_have_no_cartesian(spark):
+    """Planted-corpus ANN: candidate generation stays an equi-join on
+    (table, signature) / list_id buckets — never an all-pairs product."""
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sketch_range_batched_broadcasts_ranges(spark):
+    """The batched sketch query surface: ranges broadcast into the overlap
+    join (never shuffling the store on a non-equi key via NLJ both-ways),
+    and no cartesian anywhere."""
+    plan = plan_of(spark, "sketch_range_batched")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_incremental_merge_has_broadcast_counts(spark):
+    """Per-stream counters enter the incremental merge as a broadcast-join
+    side, not as plan literals (the 10k-stream guard in test_scale_state
+    pins size; this pins the join strategy)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.operators.incremental import merge_summary_increment
+    from summarydb_spark.windowing import ExpWindowing
+
+    batch = spark.range(100).select(
+        (F.col("id") % 10).alias("stream_id"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 3).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    base = spark.range(10).select(
+        F.col("id").alias("stream_id"), F.lit(50).cast("long").alias("n")
+    )
+    out = merge_summary_increment(
+        None, batch, ExpWindowing(2.0), base_counts=base, order_cols=("seq",)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
