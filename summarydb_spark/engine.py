@@ -510,6 +510,65 @@ class Stream:
 
 
 class SummaryDB:
+    def query_many(
+        self,
+        op: str,
+        triples: Sequence[Tuple[int, int, int]],
+        params: Optional[QueryParams] = None,
+    ) -> DataFrame:
+        """DB-level batched range queries ACROSS streams: evaluate ``op``
+        for every (stream_id, t0, t1) triple in one Spark job.
+
+        The per-stream ``Stream.query_many`` shape generalizes unchanged —
+        the overlap join and the estimator column math are already keyed on
+        (stream_id, qid), so a million queries spanning a million streams
+        is still one broadcast join + one hash aggregation (the reference
+        can only answer stream-by-stream, core/stream.go:156-192).
+        Returns (stream_id, qid, t0, t1, value, error, ...bounds).
+        """
+        from summarydb_spark.operators.query_df import (
+            approx_range_frame,
+            minmax_range_frame,
+        )
+
+        self.flush(stream_ids={s for s, _t0, _t1 in triples})
+        spark = self.spark
+        ranges_df = spark.createDataFrame(
+            [
+                (int(s), i, int(t0), int(t1))
+                for i, (s, t0, t1) in enumerate(triples)
+            ],
+            "stream_id long, qid long, t0 long, t1 long",
+        )
+        summary = (
+            spark.read.parquet(self._summary_path)
+            if os.path.isdir(self._summary_path)
+            else spark.createDataFrame(
+                [], "stream_id long, time_start long, time_end long, "
+                "count double, sum double, max double, min double"
+            )
+        )
+        lwin = lpts = None
+        if os.path.isdir(self._landmarks_path):
+            lraw = spark.read.parquet(self._landmarks_path)
+            lwin = lraw.select(
+                "stream_id", "window_id", "time_start", "time_end"
+            ).distinct()
+            lpts = lraw.where(F.col("ts").isNotNull()).select(
+                "stream_id", "window_id", "ts", "value"
+            )
+        if op in ("count", "sum"):
+            return approx_range_frame(
+                summary, ranges_df, op, params,
+                landmark_windows=lwin, landmark_points=lpts,
+            ).orderBy("qid")
+        if op in ("max", "min"):
+            return minmax_range_frame(
+                summary, ranges_df, op,
+                landmark_windows=lwin, landmark_points=lpts,
+            ).orderBy("qid")
+        raise ValueError(f"unknown operator: {op}")
+
     # appended pairs buffer on the driver up to this many rows before
     # spilling to parquet; bounds driver memory under append-heavy loads
     # while keeping flush-time file count O(streams), not O(append calls)

@@ -73,3 +73,43 @@ def test_query_many_matches_driver_path_with_landmark(spark, tmp_path, op):
     s.end_landmark(95)
     s.append_pairs([(i, float(i)) for i in range(96, 100)])
     _assert_parity(s, op, with_bounds=op in ("count", "sum"))
+
+
+def test_db_level_query_many_across_streams(spark, tmp_path):
+    """DB-level batched queries span streams in one job and agree with the
+    per-stream paths (both the single-query estimator and query_many)."""
+    from summarydb_spark.engine import QueryParams, SummaryDB
+    from summarydb_spark.windowing import ExpWindowing
+
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s0 = db.new_stream(ops=["count", "sum", "max"], windowing=ExpWindowing(2.0))
+    s1 = db.new_stream(ops=["count", "sum", "max"], windowing=ExpWindowing(2.0))
+    s0.append_pairs([(i, float(i)) for i in range(200)])
+    s1.append_pairs([(i, 2.0 * i) for i in range(300)])
+    db.flush()
+
+    params = QueryParams(confidence=0.95, sd_multiplier=1.0)
+    triples = [
+        (s0.stream_id, 0, 199),
+        (s1.stream_id, 0, 299),
+        (s0.stream_id, 13, 57),
+        (s1.stream_id, 100, 250),
+        (s1.stream_id, 400, 500),  # empty range
+    ]
+    for op in ("count", "sum", "max"):
+        rows = {
+            r["qid"]: r
+            for r in db.query_many(
+                op, triples, params if op != "max" else None
+            ).collect()
+        }
+        assert len(rows) == len(triples)
+        for i, (sid, t0, t1) in enumerate(triples):
+            single = db.get_stream(sid).query(op, t0, t1, params)
+            got = rows[i]
+            if single.value != single.value:  # NaN (empty max)
+                assert got["value"] != got["value"], (op, i)
+            else:
+                assert abs(got["value"] - single.value) <= max(
+                    1e-9, 1e-12 * abs(single.value)
+                ), (op, i, got["value"], single.value)
