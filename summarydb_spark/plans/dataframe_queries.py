@@ -177,8 +177,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantizer is trained once per corpus on the ORIGINAL embeddings and
     reused (build/search split — the production IVF lifecycle); planted
     copies are assigned to lists at search time like any new vector."""
+    from summarydb_spark.sources.tables import _source_fingerprint
+
     embs = _embs(spark, sf_dir)
-    key = (os.path.normpath(sf_dir), 8)
+    # fingerprint-keyed (not path-keyed): a regenerated embeddings.parquet
+    # must retrain the quantizer, not reuse centroids of the old data
+    key = (_source_fingerprint(sf_dir), 8)
     if key not in _IVF_CACHE:
         _IVF_CACHE[key] = similarity.train_ivf_centroids(
             embs, n_centroids=8
