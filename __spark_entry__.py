@@ -137,62 +137,48 @@ def _df_queries() -> dict:
     return {**SKETCH_QUERIES, **DF_QUERIES}
 
 
-# The correctness driver checks the FIRST 50 entries of queries().  Round 2
-# verified positions 0-49 fully green (CORRECTNESS_r02.json) but left the 42
-# later additions with zero oracle signal; rotate those into the checked
-# window this round.  The previously-proven core set rides behind them —
-# still pinned meanwhile by the pytest store-parity and golden fixtures.
-_VERIFY_FIRST = (
-    "media_frame_stats",  # the one r1 hash-FAIL; fix must be oracle-confirmed
-    "embedding_near_dups",
-    "dedup_cluster_cc",
-    "audio_frame_features",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "media_metadata",
-    "media_resize_16x16",
-    "media_byte_histogram",
-    "sketch_range_batched",
-    "bloom_membership",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct_bound",
-    "sketch_kll_quantile_bound",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "session_window_builtin",
-    "ingest_clamp_monotonic",
-    "small_quantity_revenue_q17",
-    "tpch_q3_like_topk",
-    "tpch_q10_like_returns",
-    "tpch_q13_like_custdist",
-    "tpch_q14_like_promo",
-    "tpch_q15_like_top_supplier",
-    "tpch_q18_like_large_orders",
-    "tpch_q19_like_disjunctive",
-    "tpch_q21_like_late_suppliers",
-    "tpch_q22_like_idle_customers",
-    "min_cost_supplier_q2_like",
-    "supplier_count_not_in_q16_like",
-    "tfidf_top_terms",
-    "token_position_stats",
-    "token_vocab_top50",
-    "dow_histogram_events",
-    "fuzzy_part_names",
-    "stratified_sample_orders",
-    "grouping_sets_region_nation",
-    "corr_quantity_price",
-    "value_histogram_events",
-    "percent_rank_balance_decile",
-    "first_last_day_value",
-    "calendar_rollup_orders",
-    "string_functions_parts",
-)
+# The correctness driver checks only the FIRST 50 entries of queries(),
+# so ordering IS the verification schedule.  Order queries least-recently-
+# verified-first, derived from the CORRECTNESS_r*.json history the driver
+# leaves in the repo: a query that has never produced a green row (new
+# this round, or failed last time) sorts to the front; among equally
+# stale queries the registration order is kept.  Every round therefore
+# verifies the stalest 50 automatically — no hand-rotated list to forget.
+
+
+def _last_green_round() -> dict[str, int]:
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                not row.get("err")
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False  # None = rows-only
+            )
+            if green:
+                out[name] = max(out.get(name, -1), rnd)
+    return out
 
 
 def _ordered(names: list[str]) -> list[str]:
-    front = [n for n in _VERIFY_FIRST if n in names]
-    rest = [n for n in names if n not in set(_VERIFY_FIRST)]
-    return front + rest
+    last = _last_green_round()
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last.get(n, -1), pos[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
