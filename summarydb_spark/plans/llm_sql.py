@@ -265,6 +265,63 @@ SELECT query_id, neighbor_id, cosine, rnk
 FROM rk WHERE rnk <= 5"""
 
 
+def q_decontam_ngram(dialect: str, n: int = 5, threshold: float = 0.5) -> str:
+    """Benchmark decontamination: n-gram containment of every corpus doc
+    against a deterministic "benchmark" subset (doc_id % 37 == 0 stands in
+    for an eval-set table).  The standard training-data hygiene op: a doc
+    whose token {n}-grams are mostly contained in the benchmark set is a
+    leaked eval document and must be dropped before training.
+
+    Scale shape (and the only correct one at 100 TB): distinct benchmark
+    shingle hashes form a small relation; corpus shingles EXPLODE and
+    equi-join it (broadcastable, per-doc hit counts via hash aggregate).
+    Never an array-vs-giant-array intersect — the benchmark set wouldn't
+    fit in a row.  Containment is hash-invariant (same trick as
+    q_dedup_ngram_jaccard), so each engine uses its native 64-bit hash.
+    """
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        sh = (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+            f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))))) "
+            "ELSE array(xxhash64(concat_ws(' ', toks))) END"
+        )
+        bench_ex = "SELECT DISTINCT explode(sh) AS s FROM d WHERE doc_id % 37 = 0"
+        corp_ex = "SELECT doc_id, explode(sh) AS s FROM corpus"
+        sz = "size(c.sh)"
+    else:
+        toks = "string_split(text, ' ')"
+        sh = (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_distinct([hash(array_to_string(toks[i+1:i+{n}], ' ')) "
+            f"for i in range(0, len(toks) - {n - 1})]) "
+            "ELSE [hash(array_to_string(toks, ' '))] END"
+        )
+        bench_ex = "SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 37 = 0"
+        corp_ex = "SELECT doc_id, unnest(sh) AS s FROM corpus"
+        sz = "len(c.sh)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+d AS (SELECT doc_id, {sh} AS sh FROM t),
+bench AS ({bench_ex}),
+corpus AS (SELECT doc_id, sh FROM d WHERE doc_id % 37 != 0),
+ex AS ({corp_ex}),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_hit
+  FROM ex e JOIN bench b ON e.s = b.s
+  GROUP BY e.doc_id
+)
+SELECT c.doc_id,
+       CAST({sz} AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) / CAST({sz} AS DOUBLE), 6) AS containment,
+       coalesce(h.n_hit, 0) / CAST({sz} AS DOUBLE) >= {threshold} AS contaminated
+FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id"""
+
+
 LLM_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -272,5 +329,6 @@ LLM_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "decontam_ngram_containment": q_decontam_ngram,
     "knn_brute_cosine": q_knn_brute_cosine,
 }
