@@ -291,8 +291,79 @@ FROM part
 GROUP BY p_type"""
 
 
+def q_tpch_q12_like_late_lines(dialect: str) -> str:
+    """Shipping-delay priority split (TPC-H Q12 shape): join lineitem to
+    orders, bucket lines by ship delay, and count high- vs low-priority
+    orders per bucket with conditional aggregation.  (The testdata carries
+    no shipmode/commitdate; o_orderdate -> l_shipdate delay is the
+    equivalent dual-CASE-count-over-join shape.)"""
+    dd = (
+        "datediff(l.l_shipdate, o.o_orderdate)"
+        if dialect == "spark"
+        else "datediff('day', o.o_orderdate, l.l_shipdate)"
+    )
+    return f"""
+SELECT CASE WHEN {dd} > 90 THEN 'late' WHEN {dd} > 30 THEN 'slow'
+            ELSE 'fast' END AS delay_bucket,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY CASE WHEN {dd} > 90 THEN 'late' WHEN {dd} > 30 THEN 'slow'
+              ELSE 'fast' END"""
+
+
+def q_tpch_q11_like_value_parts(dialect: str) -> str:
+    """High-value parts (TPC-H Q11 shape): per-part shipped value kept
+    only when it exceeds a fraction of the GLOBAL total — group-by with a
+    HAVING against an uncorrelated scalar subquery.  Catalyst evaluates
+    the subquery once and broadcasts the scalar; the outer aggregate stays
+    one hash agg."""
+    val = "l_extendedprice * (1 - l_discount)"
+    # threshold = 1.4x the average per-part share, so the HAVING keeps the
+    # top ~1-2% of parts at any scale factor (a fixed share cutoff goes
+    # vacuous when the part count changes)
+    return f"""
+SELECT l_partkey, {dsum(val)} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {dsum(val)} > (
+  SELECT {dsum(val)} * 1.4 / count(DISTINCT l_partkey) FROM lineitem
+)"""
+
+
+def q_tpch_q20_like_heavy_suppliers(dialect: str) -> str:
+    """Nested-IN + correlated HAVING (TPC-H Q20 shape): suppliers who ship
+    more than 12% of some PROMO part's total quantity.  Inner:
+    per-(supplier, part) quantity with a correlated scalar subquery in
+    HAVING; outer: IN-subquery semi-join on supplier.  Both engines
+    decorrelate to joins — Spark compiles the chain to broadcast
+    semi-joins over two aggregations of lineitem."""
+    return f"""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+  )
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING CAST(sum(l.l_quantity) AS DOUBLE) > (
+    SELECT 0.12 * sum(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+)"""
+
+
 ADVANCED_QUERIES = {
     "tpch_q14_like_promo": q_tpch_q14_like_promo,
+    "tpch_q12_like_late_lines": q_tpch_q12_like_late_lines,
+    "tpch_q11_like_value_parts": q_tpch_q11_like_value_parts,
+    "tpch_q20_like_heavy_suppliers": q_tpch_q20_like_heavy_suppliers,
     "tpch_q19_like_disjunctive": q_tpch_q19_like_disjunctive,
     "tpch_q21_like_late_suppliers": q_tpch_q21_like_late_suppliers,
     "tpch_q22_like_idle_customers": q_tpch_q22_like_idle_customers,
