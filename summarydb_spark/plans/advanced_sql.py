@@ -359,9 +359,53 @@ WHERE s.s_suppkey IN (
 )"""
 
 
+def q_tpch_q7_like_nation_volume(dialect: str) -> str:
+    """Nation-pair trade volume (TPC-H Q7 shape): lineitem joined through
+    supplier AND through orders->customer to two nation dims, revenue per
+    ordered (supp_nation, cust_nation, year) with the pair-asymmetry
+    filter.  Both nation joins broadcast on the Spark side; the fact table
+    shuffles once for the aggregate."""
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)"""
+
+
+def q_tpch_q9_like_nation_profit(dialect: str) -> str:
+    """Product-line profit by nation and year (TPC-H Q9 shape): part-name
+    filter pushed to the broadcast part dim, profit = revenue minus a cost
+    model (no partsupp table here, so cost = retailprice * quantity / 10),
+    grouped by supplier nation x order year."""
+    profit = (
+        "l.l_extendedprice * (1 - l.l_discount) "
+        "- p.p_retailprice * l.l_quantity * 0.1"
+    )
+    return f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       {dsum(profit)} AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY n.n_name, year(o.o_orderdate)"""
+
+
 ADVANCED_QUERIES = {
     "tpch_q14_like_promo": q_tpch_q14_like_promo,
     "tpch_q12_like_late_lines": q_tpch_q12_like_late_lines,
+    "tpch_q7_like_nation_volume": q_tpch_q7_like_nation_volume,
+    "tpch_q9_like_nation_profit": q_tpch_q9_like_nation_profit,
     "tpch_q11_like_value_parts": q_tpch_q11_like_value_parts,
     "tpch_q20_like_heavy_suppliers": q_tpch_q20_like_heavy_suppliers,
     "tpch_q19_like_disjunctive": q_tpch_q19_like_disjunctive,
