@@ -32,7 +32,16 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (true Jaccard >= 0.8) surfaced by banded
-    MinHash LSH.  Rows-only check: band collisions aren't portable SQL."""
+    MinHash LSH.
+
+    Full-oracle: the output is the set of pairs whose TRUE shingle Jaccard
+    is >= 0.8 (verification is exact), so the oracle is the exact all-pairs
+    Jaccard computed portably in SQL (blocked on shared shingles).  This is
+    a live recall gate on the xxhash64 LSH path: a pair at J >= 0.8 that
+    never collides in any of the 16 bands would drop from the Spark result
+    and the row counts diverge.  P(miss) <= (1 - 0.8^4)^16 ~ 2e-4 per pair,
+    and the concrete dataset is deterministic — verified to match exactly.
+    """
     out = dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), num_hashes=64, bands=16, threshold=0.8
     )
@@ -41,11 +50,68 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Exact shingle-Jaccard >= 0.8, blocked on shared shingles (a pair with
+# J >= 0.8 shares a shingle a fortiori, so blocking loses nothing).  The
+# shingle construction mirrors functions/dedup.py::shingles exactly:
+# lowercase/trim/collapse-whitespace, split on ' ', distinct 3-token
+# shingles (whole text if < 3 tokens).
+ORACLE_DEDUP_MINHASH = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks)-1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE [array_to_string(toks, ' ')] END AS shl
+  FROM docs
+),
+ex AS (SELECT doc_id, len(shl) AS n, unnest(shl) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1,2,3,4
+)
+SELECT id_a, id_b, round(c::DOUBLE / (na + nb - c), 6) AS jaccard
+FROM inter
+WHERE c::DOUBLE / (na + nb - c) >= 0.8
+ORDER BY id_a, id_b"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 of the 63-bit
-    signature.  Rows-only check."""
-    out = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
-    return out.orderBy("id_a", "id_b")
+    """SimHash near-dup recall gate: plant a token-REVERSED copy of every
+    doc_id < 25 (different text, identical token multiset => identical
+    SimHash for ANY hash function, Hamming distance exactly 0), run the
+    full banded SimHash pipeline over the union corpus at max_hamming=3,
+    and emit the planted self-pairs.
+
+    The planted pairs' membership and hamming values are hash-independent,
+    so the oracle is closed-form — while still exercising signature,
+    banding, candidate join and Hamming verify end-to-end (a banding or
+    verify bug drops planted rows and the driver flags it).  Natural
+    near-dup pairs at hamming 1-3 have xxhash64-dependent distances (not
+    portable SQL); that surface is hash-match-verified by the md5-based
+    twin ``dedup_simhash_portable`` (plans/portable_dedup.py)."""
+    from summarydb_spark.functions.text import normalize_text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    planted = docs.where("doc_id < 25").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(toks)).alias("text"),
+    )
+    out = dedup.simhash_pairs(docs.unionByName(planted), max_hamming=3)
+    return out.where(F.col("id_b") == F.col("id_a") + 1000000).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_DEDUP_SIMHASH = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents WHERE doc_id < 25 ORDER BY id_a, id_b"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,8 +736,8 @@ FROM comp c"""
 
 # name -> (spark_builder, oracle_sql | None)
 DF_QUERIES = {
-    "dedup_minhash_lsh": (q_dedup_minhash, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "embedding_near_dups": (q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_oracle()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_oracle()),
