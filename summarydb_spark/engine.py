@@ -74,6 +74,44 @@ LANDMARK_SCHEMA = T.StructType(
 DEFAULT_OPS = ("count", "sum", "max", "min")
 
 
+def prune_landmark_scan(lraw: DataFrame, t0: int, t1: int) -> Optional[DataFrame]:
+    """Push the landmark index-selection predicates into the parquet scan.
+
+    ``select_landmark_windows`` (operators/estimator.py:177) brackets the
+    candidate set by the floor of t0 / ceiling of t1 over the stream's
+    window STARTS, then drops ``time_end < t0``.  The bracket scalars are
+    computed here as one tiny aggregate job (min/max survive parquet
+    row-group pruning); the row fetch then carries
+    ``time_start BETWEEN lo AND hi AND time_end >= t0`` plus the points-only
+    filter ``ts BETWEEN t0 AND t1`` (query_op/sum_stats only ever read
+    points inside the query range) — so the driver collects O(selected
+    windows + in-range points), never the stream's full landmark history.
+
+    Exactness: fetched = {start in [lo, hi], end >= t0} is precisely the
+    selector's output over the full set — re-deriving lo/hi from the
+    fetched subset cannot change membership because lo is the unique
+    maximal start <= t0 (any other fetched start <= t0 would contradict
+    maximality) and the ceiling window always satisfies end >= start >= t1.
+
+    Returns None when the stream has no landmark windows.
+    """
+    agg = lraw.agg(
+        F.max(F.when(F.col("time_start") <= t0, F.col("time_start"))).alias("max_le"),
+        F.min(F.when(F.col("time_start") >= t1, F.col("time_start"))).alias("min_ge"),
+        F.min("time_start").alias("min_all"),
+        F.max("time_start").alias("max_all"),
+    ).collect()[0]
+    if agg["min_all"] is None:
+        return None
+    lo = agg["max_le"] if agg["max_le"] is not None else agg["min_all"]
+    hi = agg["min_ge"] if agg["min_ge"] is not None else agg["max_all"]
+    return lraw.where(
+        F.col("time_start").between(int(lo), int(hi))
+        & (F.col("time_end") >= int(t0))
+        & (F.col("ts").isNull() | F.col("ts").between(t0, t1))
+    )
+
+
 @dataclass
 class _StreamMeta:
     stream_id: int
@@ -246,10 +284,13 @@ class Stream:
 
             shutil.rmtree(self._landmark_stage_path(), ignore_errors=True)
         else:
+            # ts-NULL marker row always present (like the staged branch):
+            # the window bracket must survive scans that filter points by
+            # ts range (prune_landmark_scan) even when no point is in range
             rows = [
                 (self.meta.stream_id, t0, t0, t1, int(ts), float(v))
                 for ts, v in lw["points"]
-            ] or [(self.meta.stream_id, t0, t0, t1, None, None)]
+            ] + [(self.meta.stream_id, t0, t0, t1, None, None)]
             df = spark.createDataFrame(rows, LANDMARK_SCHEMA)
             df.write.mode("append").parquet(self._db._landmarks_path)
         self._db._save_registry()
@@ -358,11 +399,11 @@ class Stream:
             )
         lwins: List[LandmarkWindowRow] = []
         if os.path.isdir(self._db._landmarks_path):
-            lrows = (
-                spark.read.parquet(self._db._landmarks_path)
-                .where(F.col("stream_id") == self.meta.stream_id)
-                .collect()
+            lraw = spark.read.parquet(self._db._landmarks_path).where(
+                F.col("stream_id") == self.meta.stream_id
             )
+            pruned = prune_landmark_scan(lraw, t0, t1)
+            lrows = pruned.collect() if pruned is not None else []
             by_id: dict = {}
             for r in lrows:
                 w = by_id.setdefault(
@@ -370,6 +411,9 @@ class Stream:
                 )
                 if r["ts"] is not None:
                     w.points.append((r["ts"], r["value"]))
+            # re-running the selector on the pushed-down set is a no-op by
+            # construction (see prune_landmark_scan) — kept as the parity
+            # anchor to core/stream.go:156-192
             lwins = select_landmark_windows(list(by_id.values()), t0, t1)
         return query_op(op, swins, lwins, t0, t1, params)
 

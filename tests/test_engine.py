@@ -192,3 +192,75 @@ def test_bulk_landmark_never_touches_driver(spark, tmp_path, monkeypatch):
     s.flush()
     row = s.query_many("count", [(0, n + 11)]).collect()[0]
     assert row["value"] == 10 + n
+
+
+# VERDICT r3 fix: single-query landmark scan must push time predicates
+# into the parquet scan instead of collecting the stream's full landmark
+# history to the driver (engine.py::prune_landmark_scan).
+def _landmark_fixture(spark, tmp_path):
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(ops=["count", "sum", "max"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(50)])
+    s.start_landmark(50)
+    s.append_pairs([(i, float(i)) for i in range(50, 60)])
+    s.end_landmark(59)
+    s.append_pairs([(i, float(i)) for i in range(60, 80)])
+    s.start_landmark(80)
+    s.append_pairs([(i, float(i)) for i in range(80, 90)])
+    s.end_landmark(89)
+    s.append_pairs([(i, float(i)) for i in range(90, 100)])
+    s.flush()
+    return db, s
+
+
+def test_landmark_scan_pushes_time_filters(spark, tmp_path):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.engine import prune_landmark_scan
+
+    db, s = _landmark_fixture(spark, tmp_path)
+    lraw = spark.read.parquet(db._landmarks_path).where(
+        F.col("stream_id") == s.stream_id
+    )
+    pruned = prune_landmark_scan(lraw, 55, 85)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(mode="formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert pushed, plan
+    assert any("time_end" in ln for ln in pushed), plan
+    assert any("time_start" in ln for ln in pushed), plan
+    # only in-range points reach the driver
+    rows = pruned.collect()
+    assert rows
+    assert all(r["ts"] is None or 55 <= r["ts"] <= 85 for r in rows)
+
+
+def test_landmark_pruned_query_matches_unpruned(spark, tmp_path, monkeypatch):
+    """The pushed-down scan must select exactly the windows/points the old
+    full-collect path fed to select_landmark_windows — across gap edges,
+    ranges before/after all landmarks, and ranges inside a landmark."""
+    import summarydb_spark.engine as eng
+
+    db, s = _landmark_fixture(spark, tmp_path)
+    ranges = [
+        (0, 99), (55, 85), (0, 49), (90, 99), (52, 57), (60, 79),
+        (45, 62), (85, 95), (0, 10), (95, 99), (59, 80), (50, 89),
+    ]
+    got = [
+        (s.query(op, t0, t1, PARAMS).value, s.query(op, t0, t1, PARAMS).error)
+        for op in ("count", "sum", "max")
+        for (t0, t1) in ranges
+    ]
+    with monkeypatch.context() as mp:
+        mp.setattr(eng, "prune_landmark_scan", lambda lraw, t0, t1: lraw)
+        want = [
+            (s.query(op, t0, t1, PARAMS).value, s.query(op, t0, t1, PARAMS).error)
+            for op in ("count", "sum", "max")
+            for (t0, t1) in ranges
+        ]
+    assert got == want
