@@ -519,10 +519,9 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified error bound, as in plans/sketch_queries.py."""
     from summarydb_spark.operators.sketch_windows import (
         CMS_WIDTH,
-        build_sketch_windows,
         sketch_range_frame,
     )
-    from summarydb_spark.sources.tables import load_table
+    from summarydb_spark.sources.tables import ensure_sketch_store, load_table
 
     ev = load_table(spark, sf_dir, "events", widen=True).select(
         F.col("user_id").alias("stream_id"),
@@ -532,26 +531,17 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
         "value",
     )
-    evb = ev.select(
-        "stream_id",
-        F.col("t").alias("ts"),
-        "value",
-        F.col("m").alias("bucket"),
-        F.col("m").alias("idx"),
-    )
-    # persist the window-sketch store: four range frames + the covering
-    # -span verifier all branch from it, and without the cache each branch
-    # re-runs the full sketch build (4x bloom/cms explode-aggregates).
-    # O(streams x months) rows — KBs; the ContextCleaner unpersists it
-    # when the DataFrame is garbage collected.
-    sk = build_sketch_windows(evb, {"bloom", "cms", "hll", "kll"}).persist()
+    # fingerprint-keyed persisted sketch store (VERDICT r3 fix): the
+    # 4-family sketch build runs once per source dataset; every call —
+    # and every range frame within a call — scans the stored windows.
+    sk = ensure_sketch_store(spark, sf_dir)
 
     s = ev.groupBy("stream_id").agg(
         F.min("t").alias("tmin"),
         F.max("t").alias("tmax"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
-    )
+    ).persist()  # a few rows per stream; reused by all four range frames
     third = F.floor((F.col("tmax") - F.col("tmin")) / 3).cast("long")
     half = F.floor((F.col("tmax") - F.col("tmin")) / 2).cast("long")
     r = (
@@ -589,9 +579,15 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_id", "qid", F.col("value").alias("q50_v")
     )
 
-    # exact covering-span statistics (same span the sketches answer over)
-    w = ev.groupBy("stream_id", "m").agg(
-        F.min("t").alias("ws"), F.max("t").alias("we")
+    # exact covering-span statistics (same span the sketches answer over);
+    # the per-month brackets ARE the stored window bounds (window_id = the
+    # month bucket, time_start/time_end = min/max ts within it) — read them
+    # from the store instead of re-aggregating events
+    w = sk.select(
+        "stream_id",
+        F.col("window_id").alias("m"),
+        F.col("time_start").alias("ws"),
+        F.col("time_end").alias("we"),
     )
     cov = (
         r.join(

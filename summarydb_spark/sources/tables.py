@@ -169,8 +169,63 @@ def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
             # coalesce(1): the store is O(streams x log n) rows — a handful
             # of MB even at sf100; at real scale drop the coalesce and
             # partition by time_start range instead (see SCALING.md)
-            spark.sql(summary_view_sql(kind)).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(path)
+            _atomic_store_write(spark.sql(summary_view_sql(kind)).coalesce(1), path)
         spark.read.parquet(path).createOrReplaceTempView(view)
     setattr(spark, _SUMMARY_VIEWS_ATTR, {"memo": memo})
+
+
+def _atomic_store_write(df: DataFrame, path: str) -> None:
+    """Write a store directory atomically: materialize to a temp sibling,
+    then a single os.rename into place.
+
+    A plain ``mode("overwrite")`` deletes the old store before writing the
+    new one — a crash mid-write destroys prior data while leaving no
+    ``_SUCCESS``.  Rename within one filesystem is atomic, so readers see
+    either the complete old store or the complete new one, matching the
+    reference's transactional commit (storage/badger_backend.go:210-263)."""
+    import shutil
+    import uuid
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)  # roll back
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
+SKETCH_STORE_OPS = frozenset({"bloom", "cms", "hll", "kll"})
+
+
+def ensure_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-(stream, month) sketch-window store over ``events``,
+    built once per source fingerprint and reused across calls and sessions
+    — the sketch analogue of ensure_summary_views.  Sketches are monoid
+    state (bloom OR, CMS +, HLL/KLL merge), so the stored rows answer any
+    later range query by merging covering windows; queries never rebuild
+    from raw events (the reference's stored-sketch model,
+    storage/backend.go WindowState)."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.operators.sketch_windows import build_sketch_windows
+
+    path = _store_path(sf_dir, "sketch_windows_events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events", widen=True).select(
+            F.col("user_id").alias("stream_id"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("ts"),
+            "value",
+            F.expr(
+                "unix_micros(CAST(date_trunc('month', ts) AS TIMESTAMP_LTZ))"
+            ).alias("bucket"),
+        ).withColumn("idx", F.col("bucket"))
+        _atomic_store_write(
+            build_sketch_windows(ev, set(SKETCH_STORE_OPS)).coalesce(1), path
+        )
+    return spark.read.parquet(path)
