@@ -239,6 +239,11 @@ class Stream:
     def start_landmark(self, timestamp: int) -> None:
         if self._landmark is not None:
             raise RuntimeError("already appending as landmarks")
+        # a crash after a previous end_landmark's commit but before its
+        # stage cleanup must not leak old points into this window
+        import shutil
+
+        shutil.rmtree(self._landmark_stage_path(), ignore_errors=True)
         self._landmark = {
             "time_start": int(timestamp),
             "points": [],
@@ -277,9 +282,8 @@ class Stream:
             marker = spark.createDataFrame(
                 [(self.meta.stream_id, t0, t0, t1, None, None)], LANDMARK_SCHEMA
             )
-            marker.unionByName(out).write.mode("append").parquet(
-                self._db._landmarks_path
-            )
+            self._db._write_landmarks(marker.unionByName(out))
+            self._db._save_registry()
             import shutil
 
             shutil.rmtree(self._landmark_stage_path(), ignore_errors=True)
@@ -292,8 +296,8 @@ class Stream:
                 for ts, v in lw["points"]
             ] + [(self.meta.stream_id, t0, t0, t1, None, None)]
             df = spark.createDataFrame(rows, LANDMARK_SCHEMA)
-            df.write.mode("append").parquet(self._db._landmarks_path)
-        self._db._save_registry()
+            self._db._write_landmarks(df)
+            self._db._save_registry()
 
     # -- flush / query --------------------------------------------------
 
@@ -312,17 +316,14 @@ class Stream:
         return self._db.spark.read.parquet(self._db._sketches_path)
 
     def _landmark_points(self, t0: int, t1: int) -> list:
-        if not os.path.isdir(self._db._landmarks_path):
+        lm = self._db.landmarks_df()
+        if lm is None:
             return []
-        rows = (
-            self._db.spark.read.parquet(self._db._landmarks_path)
-            .where(
-                (F.col("stream_id") == self.meta.stream_id)
-                & F.col("ts").isNotNull()
-                & F.col("ts").between(t0, t1)
-            )
-            .collect()
-        )
+        rows = lm.where(
+            (F.col("stream_id") == self.meta.stream_id)
+            & F.col("ts").isNotNull()
+            & F.col("ts").between(t0, t1)
+        ).collect()
         return [(r["ts"], r["value"]) for r in rows]
 
     def query_membership(self, member: float, t0: int, t1: int) -> AggResult:
@@ -398,10 +399,9 @@ class Stream:
                 t1,
             )
         lwins: List[LandmarkWindowRow] = []
-        if os.path.isdir(self._db._landmarks_path):
-            lraw = spark.read.parquet(self._db._landmarks_path).where(
-                F.col("stream_id") == self.meta.stream_id
-            )
+        lm = self._db.landmarks_df()
+        if lm is not None:
+            lraw = lm.where(F.col("stream_id") == self.meta.stream_id)
             pruned = prune_landmark_scan(lraw, t0, t1)
             lrows = pruned.collect() if pruned is not None else []
             by_id: dict = {}
@@ -457,10 +457,9 @@ class Stream:
             )
         )
         lwin = lpts = None
-        if os.path.isdir(self._db._landmarks_path):
-            lraw = spark.read.parquet(self._db._landmarks_path).where(
-                F.col("stream_id") == self.meta.stream_id
-            )
+        lm = self._db.landmarks_df()
+        if lm is not None:
+            lraw = lm.where(F.col("stream_id") == self.meta.stream_id)
             lwin = lraw.select(
                 "stream_id", "window_id", "time_start", "time_end"
             ).distinct()
@@ -524,15 +523,12 @@ class Stream:
                 "stream_id long, qid long, t0 long, t1 long",
             )
         lpts = None
-        if op == "membership" and os.path.isdir(self._db._landmarks_path):
-            lpts = (
-                spark.read.parquet(self._db._landmarks_path)
-                .where(
-                    (F.col("stream_id") == self.meta.stream_id)
-                    & F.col("ts").isNotNull()
-                )
-                .select("stream_id", "ts", "value")
-            )
+        lm = self._db.landmarks_df() if op == "membership" else None
+        if lm is not None:
+            lpts = lm.where(
+                (F.col("stream_id") == self.meta.stream_id)
+                & F.col("ts").isNotNull()
+            ).select("stream_id", "ts", "value")
         if op == "quantile":
             # the KLL quantile rank is a plan-time literal: batch mixed
             # quantiles as a union of per-distinct-q frames (one lazy job)
@@ -593,8 +589,8 @@ class SummaryDB:
             )
         )
         lwin = lpts = None
-        if os.path.isdir(self._landmarks_path):
-            lraw = spark.read.parquet(self._landmarks_path)
+        lraw = self.landmarks_df()
+        if lraw is not None:
             lwin = lraw.select(
                 "stream_id", "window_id", "time_start", "time_end"
             ).distinct()
@@ -626,16 +622,52 @@ class SummaryDB:
         self._pending: list = []
         self._registry_path = os.path.join(path, "streams.json")
         self._events_path = os.path.join(path, "events")
-        self._summary_path = os.path.join(path, "summary")
         self._landmarks_path = os.path.join(path, "landmarks")
-        self._sketches_path = os.path.join(path, "sketches")
         self._landmark_stage_root = os.path.join(path, "landmark_stage")
+        # committed state: events/landmark segment lists + summary/sketch
+        # store version pointers.  ALL of it commits in the single atomic
+        # os.replace of streams.json (_save_registry) — uncommitted segment
+        # or version directories are invisible to readers and swept here.
+        self._segments: dict = {"events": [], "landmarks": []}
+        self._stores: dict = {"summary": None, "sketches": None}
         if os.path.exists(self._registry_path):
             with open(self._registry_path) as f:
                 data = json.load(f)
             for sid, m in data["streams"].items():
                 meta = _StreamMeta(**m)
                 self._streams[int(sid)] = Stream(self, meta)
+            self._segments = data.get("segments", self._segments)
+            self._stores = data.get("stores", self._stores)
+        self._sweep_orphans()
+
+    def _sweep_orphans(self) -> None:
+        """Delete directories a crashed writer left behind: segment dirs
+        absent from the committed lists, store versions the pointers don't
+        reference, and landmark staging (no landmark can be open in a fresh
+        handle).  Single-writer by contract, like the reference DB."""
+        import shutil
+
+        for root, kind in ((self._events_path, "events"), (self._landmarks_path, "landmarks")):
+            if os.path.isdir(root):
+                live = {f"seg={s}" for s in self._segments[kind]}
+                for d in os.listdir(root):
+                    if d.startswith("seg=") and d not in live:
+                        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        for prefix, key in (("summary-", "summary"), ("sketches-", "sketches")):
+            for d in os.listdir(self.path):
+                if d.startswith(prefix) and d != self._stores.get(key):
+                    shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        shutil.rmtree(self._landmark_stage_root, ignore_errors=True)
+
+    @property
+    def _summary_path(self) -> str:
+        v = self._stores.get("summary")
+        return os.path.join(self.path, v) if v else os.path.join(self.path, "summary")
+
+    @property
+    def _sketches_path(self) -> str:
+        v = self._stores.get("sketches")
+        return os.path.join(self.path, v) if v else os.path.join(self.path, "sketches")
 
     # -- registry -------------------------------------------------------
 
@@ -654,7 +686,9 @@ class SummaryDB:
                     "dirty": s.meta.dirty,
                 }
                 for s in self._streams.values()
-            }
+            },
+            "segments": self._segments,
+            "stores": self._stores,
         }
         tmp = self._registry_path + ".tmp"
         with open(tmp, "w") as f:
@@ -698,12 +732,39 @@ class SummaryDB:
 
     # -- storage --------------------------------------------------------
 
+    @staticmethod
+    def _new_seg() -> str:
+        import uuid
+
+        return "s" + uuid.uuid4().hex[:10]
+
     def _write_events(self, df: DataFrame) -> None:
-        df.write.mode("append").partitionBy("stream_id").parquet(self._events_path)
+        """Write one immutable event segment.  The segment becomes visible
+        only when a subsequent _save_registry commits its name — a crash
+        mid-write (or between write and commit) leaves an orphan directory
+        that readers never list and _sweep_orphans removes.  This is the
+        manifest-commit model (the tiny-Delta analogue of the reference's
+        single-transaction batch put, storage/badger_backend.go:226-263)."""
+        seg = self._new_seg()
+        df.write.partitionBy("stream_id").parquet(
+            os.path.join(self._events_path, f"seg={seg}")
+        )
+        self._segments["events"].append(seg)
+
+    def _write_landmarks(self, df: DataFrame) -> None:
+        """Write one immutable landmark segment (same commit protocol as
+        _write_events; the caller must _save_registry to publish it)."""
+        seg = self._new_seg()
+        df.write.parquet(os.path.join(self._landmarks_path, f"seg={seg}"))
+        self._segments["landmarks"].append(seg)
 
     def _flush_pending(self) -> None:
         """Persist the buffered append_pairs rows (coalesced — one file per
-        touched stream per flush) and the registry counters that cover them."""
+        touched stream per flush) and the registry counters that cover them.
+        The rows and their counters commit together in _save_registry: a
+        crash at any point leaves either the pre-append state (orphan
+        segment, old counters — no acknowledged-on-disk rows) or the fully
+        committed one; duplicate seq/ts after restart is impossible."""
         if not self._pending:
             return
         df = self.spark.createDataFrame(self._pending, EVENT_SCHEMA)
@@ -713,7 +774,27 @@ class SummaryDB:
 
     def events(self) -> DataFrame:
         self._flush_pending()
-        return self.spark.read.parquet(self._events_path)
+        segs = self._segments["events"]
+        if not segs:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        df = self.spark.read.option("basePath", self._events_path).parquet(
+            *[os.path.join(self._events_path, f"seg={s}") for s in segs]
+        )
+        return df.select(
+            F.col("stream_id").cast("long"), "seq", "ts", "value"
+        )
+
+    def landmarks_df(self) -> Optional[DataFrame]:
+        """Committed landmark rows (LANDMARK_SCHEMA) or None when empty."""
+        segs = self._segments["landmarks"]
+        if not segs:
+            return None
+        df = self.spark.read.option("basePath", self._landmarks_path).parquet(
+            *[os.path.join(self._landmarks_path, f"seg={s}") for s in segs]
+        )
+        return df.select(
+            "stream_id", "window_id", "time_start", "time_end", "ts", "value"
+        )
 
     def summary_windows(self) -> DataFrame:
         return self.spark.read.parquet(self._summary_path)
@@ -722,9 +803,17 @@ class SummaryDB:
         """Rebuild the canonical summary table for dirty streams.
 
         One declarative job per windowing config (streams sharing a config
-        are rebuilt in a single groupBy), then an atomic per-stream partition
-        overwrite — the Delta-less analogue of the reference's atomic
-        writer/merger commits (storage/badger_backend.go:210-263).
+        are rebuilt in a single groupBy).  COMPUTE is incremental (only
+        dirty streams re-summarize; clean streams' rows are carried over
+        with a scan-copy of the O(streams x log n)-row store), but the
+        COMMIT is a whole-store version swap: new summary/sketch versions
+        are written to fresh directories and published — together with the
+        dirty flags and any pending event segment — by the single atomic
+        registry replace.  A crash at any point leaves the previous
+        versions fully intact (the reference's transactional commit,
+        storage/badger_backend.go:210-263; at petabyte summary sizes swap
+        the version dir for a Delta/Iceberg table to get partition-level
+        manifests — the commit point stays a single pointer swap).
         """
         targets = [
             s
@@ -733,9 +822,8 @@ class SummaryDB:
         ]
         if not targets:
             return
-        ev = self.events().where(
-            F.col("stream_id").isin([s.meta.stream_id for s in targets])
-        )
+        dirty_sids = [s.meta.stream_id for s in targets]
+        ev = self.events().where(F.col("stream_id").isin(dirty_sids))
         # group streams by identical windowing config
         by_cfg: dict = {}
         for s in targets:
@@ -763,20 +851,44 @@ class SummaryDB:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.withColumn("sid", F.col("stream_id")).write.mode("overwrite").partitionBy(
-            "sid"
-        ).parquet(self._summary_path)
+        old_stores = [self._stores.get("summary"), self._stores.get("sketches")]
+        self._stores["summary"] = self._write_store_version(
+            "summary", out, old_stores[0], dirty_sids
+        )
         if sketch_parts:
             sk = sketch_parts[0]
             for p in sketch_parts[1:]:
                 sk = sk.unionByName(p, allowMissingColumns=True)
-            sk.withColumn("sid", F.col("stream_id")).write.mode(
-                "overwrite"
-            ).partitionBy("sid").parquet(self._sketches_path)
+            self._stores["sketches"] = self._write_store_version(
+                "sketches", sk, old_stores[1], dirty_sids
+            )
         for s in targets:
             s.meta.dirty = False
-        self._save_registry()
+        self._save_registry()  # the commit point: pointers + dirty flags
+        import shutil
+
+        for old in old_stores:
+            if old and old not in self._stores.values():
+                shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+
+    def _write_store_version(
+        self, kind: str, new_rows: DataFrame, current: Optional[str], dirty_sids
+    ) -> str:
+        """Write <kind>-<uuid>/ = carried-over clean-stream rows + rebuilt
+        dirty-stream rows; returns the new version name (NOT yet committed)."""
+        total = new_rows
+        if current:
+            carry = (
+                self.spark.read.parquet(os.path.join(self.path, current))
+                .drop("sid")
+                .where(~F.col("stream_id").isin(dirty_sids))
+            )
+            total = carry.unionByName(new_rows, allowMissingColumns=True)
+        version = f"{kind}-{self._new_seg()}"
+        total.withColumn("sid", F.col("stream_id")).write.partitionBy("sid").parquet(
+            os.path.join(self.path, version)
+        )
+        return version
 
     def close(self) -> None:
         self.flush()

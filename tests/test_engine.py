@@ -184,7 +184,7 @@ def test_bulk_landmark_never_touches_driver(spark, tmp_path, monkeypatch):
         s.end_landmark(n + 11)
 
     # the staged points landed in the landmark table, window stamped
-    lm = spark.read.parquet(db._landmarks_path).where("stream_id = %d" % s.stream_id)
+    lm = db.landmarks_df().where("stream_id = %d" % s.stream_id)
     assert lm.where("ts IS NOT NULL").count() == n
     assert lm.select("time_start").distinct().collect()[0][0] == 10
 
@@ -222,9 +222,7 @@ def test_landmark_scan_pushes_time_filters(spark, tmp_path):
     from summarydb_spark.engine import prune_landmark_scan
 
     db, s = _landmark_fixture(spark, tmp_path)
-    lraw = spark.read.parquet(db._landmarks_path).where(
-        F.col("stream_id") == s.stream_id
-    )
+    lraw = db.landmarks_df().where(F.col("stream_id") == s.stream_id)
     pruned = prune_landmark_scan(lraw, 55, 85)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
