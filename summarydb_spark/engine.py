@@ -155,7 +155,12 @@ class Stream:
         file per call.  Durability boundary = flush/close — a crash loses the
         unflushed buffer AND its counters together, leaving the on-disk state
         consistent at the last flush (the WAL-less analogue of the
-        reference's buffered ingester, core/ingester.go).
+        reference's buffered ingester, core/ingester.go).  With
+        ``SummaryDB(durable_appends=True)`` every batch is journaled with an
+        fsync before this method returns (the reference's WAL-before-ack,
+        core/pipeline.go:97-107, strengthened from its 0-1 s async-fsync
+        window to per-batch), and reopen replays the journal — zero
+        acknowledged rows lost on crash.
         """
         if self._landmark is not None:
             self._landmark["points"].extend((int(t), float(v)) for t, v in pairs)
@@ -178,6 +183,8 @@ class Stream:
         m.n += len(rows)
         m.last_ts = rows[-1][2]
         m.dirty = True
+        if self._db.durable_appends:
+            self._db._wal_append(rows)
         if len(self._db._pending) >= self._db.PENDING_SPILL_ROWS:
             self._db._flush_pending()
 
@@ -614,9 +621,12 @@ class SummaryDB:
     # while keeping flush-time file count O(streams), not O(append calls)
     PENDING_SPILL_ROWS = 100_000
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, durable_appends: bool = False
+    ) -> None:
         self.spark = spark
         self.path = path
+        self.durable_appends = durable_appends
         os.makedirs(path, exist_ok=True)
         self._streams: dict[int, Stream] = {}
         self._pending: list = []
@@ -639,6 +649,9 @@ class SummaryDB:
             self._segments = data.get("segments", self._segments)
             self._stores = data.get("stores", self._stores)
         self._sweep_orphans()
+        self._wal_path = os.path.join(path, "append.wal")
+        self._wal_file = None
+        self._replay_wal()
 
     def _sweep_orphans(self) -> None:
         """Delete directories a crashed writer left behind: segment dirs
@@ -695,11 +708,62 @@ class SummaryDB:
             json.dump(data, f)
         os.replace(tmp, self._registry_path)
 
+    # -- durable-append WAL ---------------------------------------------
+
+    def _wal_append(self, rows: Sequence[Tuple[int, int, int, float]]) -> None:
+        """Journal acknowledged rows before append_pairs returns (opt-in,
+        ``durable_appends=True``): one fsync'd JSON line per batch.  The
+        reference WAL persists every append before ack
+        (core/pipeline.go:97-107) with a 0-1 s async fsync window; this
+        journal fsyncs per batch, so an acknowledged row is NEVER lost —
+        a crash replays the tail beyond the committed counters."""
+        if self._wal_file is None:
+            self._wal_file = open(self._wal_path, "a")
+        self._wal_file.write(json.dumps(rows) + "\n")
+        self._wal_file.flush()
+        os.fsync(self._wal_file.fileno())
+
+    def _wal_truncate(self) -> None:
+        """Drop the journal once a registry commit covers its rows (the
+        committed event segment supersedes it)."""
+        if self._wal_file is not None:
+            self._wal_file.close()
+            self._wal_file = None
+        if os.path.exists(self._wal_path):
+            os.remove(self._wal_path)
+
+    def _replay_wal(self) -> None:
+        """Recover acknowledged-but-unflushed rows into the pending buffer.
+        Rows with seq < the stream's committed next_seq are already in a
+        committed event segment (crash landed between the segment commit
+        and the WAL truncate) and are skipped; a torn final line (crash
+        mid-write of an unacknowledged batch) is ignored."""
+        if not os.path.exists(self._wal_path):
+            return
+        with open(self._wal_path) as f:
+            for line in f:
+                try:
+                    rows = json.loads(line)
+                except ValueError:
+                    break  # torn tail: the batch was never acknowledged
+                for sid, seq, ts, value in rows:
+                    s = self._streams.get(int(sid))
+                    if s is None or seq < s.meta.next_seq:
+                        continue
+                    self._pending.append((int(sid), int(seq), int(ts), float(value)))
+                    s.meta.next_seq = seq + 1
+                    s.meta.n += 1
+                    s.meta.last_ts = max(s.meta.last_ts, int(ts))
+                    s.meta.dirty = True
+
     @staticmethod
-    def open(spark: SparkSession, path: str) -> "SummaryDB":
+    def open(
+        spark: SparkSession, path: str, durable_appends: bool = False
+    ) -> "SummaryDB":
         """Reopen an existing DB (core/db.go:49-59); recovery is trivial
-        because all state lives in replayable tables."""
-        return SummaryDB(spark, path)
+        because all state lives in replayable tables (plus a WAL replay
+        when the previous handle ran with ``durable_appends``)."""
+        return SummaryDB(spark, path, durable_appends=durable_appends)
 
     def new_stream(
         self,
@@ -771,6 +835,9 @@ class SummaryDB:
         self._write_events(df.coalesce(1))
         self._pending.clear()
         self._save_registry()
+        # rows are in a committed segment now; the journal is obsolete
+        # (crash before this point replays; replay skips seq < next_seq)
+        self._wal_truncate()
 
     def events(self) -> DataFrame:
         self._flush_pending()
@@ -892,3 +959,4 @@ class SummaryDB:
 
     def close(self) -> None:
         self.flush()
+        self._wal_truncate()

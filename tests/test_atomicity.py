@@ -121,3 +121,53 @@ def test_end_landmark_crash_leaves_no_window(spark, tmp_path, monkeypatch):
     lm = db2.landmarks_df()
     assert lm.where("ts IS NOT NULL").count() == 1
     assert lm.select("time_start").distinct().collect()[0][0] == 200
+
+
+def test_durable_append_survives_kill(spark, tmp_path):
+    """durable_appends=True: every acknowledged append_pairs batch is
+    journaled with an fsync before return; a hard kill (no flush/close)
+    loses nothing — the WAL contract of core/pipeline.go:97-107."""
+    path = str(tmp_path / "db")
+    db = SummaryDB(spark, path, durable_appends=True)
+    s = db.new_stream(ops=["count", "sum"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(60)])
+    s.append_pairs([(i, float(i)) for i in range(60, 100)])
+    # hard kill: drop the handle without flush or close
+    del db, s
+
+    db2 = SummaryDB.open(spark, path, durable_appends=True)
+    s2 = list(db2._streams.values())[0]
+    assert s2.meta.n == 100 and s2.meta.next_seq == 100 and s2.meta.dirty
+    r = s2.query("count", 0, 99, PARAMS)
+    assert r.value == 100.0 and r.error == 0.0
+    r = s2.query("sum", 0, 99, PARAMS)
+    assert r.value == 4950.0 and r.error == 0.0
+    # the flush triggered by query() committed the rows and dropped the WAL
+    assert not os.path.exists(db2._wal_path)
+
+    # replay is idempotent across a crash AFTER the segment commit but
+    # BEFORE wal truncation: re-create that state artificially
+    s2.append_pairs([(100, 100.0)])
+    db2._wal_append([(s2.stream_id, s2.meta.next_seq - 1, 100, 100.0)])
+    db2.flush()
+    with open(db2._wal_path, "w") as f:  # resurrect a stale journal
+        f.write('[[%d, %d, 100, 100.0]]\n' % (s2.stream_id, s2.meta.next_seq - 1))
+    db3 = SummaryDB.open(spark, path)
+    s3 = db3.get_stream(s2.stream_id)
+    assert s3.meta.n == 101  # stale row NOT double-applied
+    assert db3.events().count() == 101
+
+
+def test_durable_append_tolerates_torn_tail(spark, tmp_path):
+    path = str(tmp_path / "db")
+    db = SummaryDB(spark, path, durable_appends=True)
+    s = db.new_stream(ops=["count"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(10)])
+    del db, s
+    with open(os.path.join(path, "append.wal"), "a") as f:
+        f.write('[[0, 10, 10')  # crash mid-write of an unacked batch
+    db2 = SummaryDB.open(spark, path)
+    s2 = list(db2._streams.values())[0]
+    assert s2.meta.n == 10
+    r = s2.query("count", 0, 9, PARAMS)
+    assert r.value == 10.0
