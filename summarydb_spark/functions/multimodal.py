@@ -251,6 +251,12 @@ def resize_image(
                     nbytes.append(len(buf))
                     hs.append(h)
                     ws.append(w)
+                    if h == 0 or w == 0:
+                        # a valid zero-dimension PNG decodes to an empty
+                        # raster; same contract as the byte-fallback branch
+                        outs.append(b"")
+                        outn.append(0)
+                        continue
                 else:
                     arr = np.frombuffer(buf, dtype=np.uint8)
                     h = int(np.sqrt(arr.size))
@@ -294,7 +300,7 @@ def _decode_raster(buf: bytes):
         from PIL import Image
 
         with Image.open(BytesIO(buf)) as im:
-            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+            return _pil_to_array(im)
     except ImportError:
         pass
     except Exception:
@@ -305,6 +311,21 @@ def _decode_raster(buf: bytes):
         return decode_png(buf)
     except PngError:
         return None
+
+
+def _pil_to_array(im) -> "np.ndarray":
+    """PIL image -> (h, w, c) uint8 preserving the native channel count,
+    so the PIL path and the pure-numpy decoder (functions.png) produce
+    identical output for the same file: L->1, LA->2, RGB->3, RGBA->4.
+    Only modes the PNG decoder also rejects (palette, bilevel, 16-bit,
+    CMYK, ...) are converted — to RGBA when they carry alpha, else RGB."""
+    if im.mode not in ("L", "LA", "RGB", "RGBA"):
+        has_alpha = "A" in im.mode or "transparency" in getattr(im, "info", {})
+        im = im.convert("RGBA" if has_alpha else "RGB")
+    arr = np.asarray(im, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
 
 
 DECODED_SCHEMA = StructType(

@@ -63,18 +63,34 @@ def _counts_df(ref: DataFrame, counts: CountsLike) -> Optional[DataFrame]:
 
 
 def _with_base(df: DataFrame, base_df: Optional[DataFrame], out_col: str) -> DataFrame:
-    """Broadcast-join per-stream base counts onto ``df`` as ``out_col``
-    (0 for streams with no prior state)."""
+    """Join per-stream base counts onto ``df`` as ``out_col`` (0 for
+    streams with no prior state).
+
+    The broadcast hint is applied only while the counts relation is small
+    enough to materialize on the driver/executors (cheap plan-time size
+    check, no job): at millions of streams a forced broadcast would blow
+    the broadcast size limit, so the hint is dropped and AQE picks the
+    strategy (it still broadcast-joins when runtime stats allow)."""
     if base_df is None:
         return df.withColumn(out_col, F.lit(0).cast("long"))
     b = base_df.select(
         F.col("stream_id").alias("_b_sid"), F.col("n").alias("_b_n")
     )
-    return (
-        df.join(F.broadcast(b), F.col("stream_id") == F.col("_b_sid"), "left")
-        .withColumn(out_col, F.coalesce(F.col("_b_n"), F.lit(0)).cast("long"))
-        .drop("_b_sid", "_b_n")
+    try:
+        small = (
+            b._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            <= 64 * 1024 * 1024
+        )
+    except Exception:
+        small = True
+    joined = df.join(
+        F.broadcast(b) if small else b,
+        F.col("stream_id") == F.col("_b_sid"),
+        "left",
     )
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("_b_n"), F.lit(0)).cast("long")
+    ).drop("_b_sid", "_b_n")
 
 
 def _events_as_units(

@@ -150,9 +150,18 @@ def sketch_range_frame(
     reference has for count/sum/max, core/stream.go:156-192, extended to
     the sketch ops it only declares).
 
-    Returns (stream_id, qid, t0, t1, value, error) with exactly the
-    single-query semantics of query_membership / query_frequency /
-    query_distinct / query_quantile, including empty-overlap defaults.
+    Returns, per op (all share the (stream_id, qid, t0, t1, value, error)
+    core; values have exactly the single-query semantics of
+    query_membership / query_frequency / query_distinct / query_quantile,
+    including empty-overlap defaults):
+
+    - membership | frequency: core + ``member`` (the probed value,
+      carried through from ``ranges``)
+    - distinct:   core only
+    - quantile:   core + ``q`` (the rank literal — mixed-quantile batches
+      union per-distinct-q frames, so each row stays self-describing)
+
+    To union result frames ACROSS ops, select the common core columns.
 
     ``landmark_points`` (stream_id, ts, value), membership only: a landmark
     point equal to the member inside [t0, t1] answers exactly (error 0),

@@ -252,3 +252,56 @@ def test_audio_frame_features_hand_reference(spark):
     assert rows[1].total_zc == int(((fr[:, :-1] * fr[:, 1:]) < 0).sum())
     # payload shorter than one frame: zero frames, zero features
     assert rows[2].n_frames == 0 and rows[2].total_ss == 0
+
+
+class _StubPil:
+    """Minimal PIL.Image stand-in (the container has no Pillow): enough
+    surface for _pil_to_array's mode mapping."""
+
+    def __init__(self, arr, mode, info=None):
+        self._arr, self.mode, self.info = arr, mode, info or {}
+
+    def convert(self, mode):
+        h, w = self._arr.shape[:2]
+        c = {"RGB": 3, "RGBA": 4}[mode]
+        flat = self._arr.reshape(h, w, -1)[:, :, :1]
+        return _StubPil(np.repeat(flat, c, axis=2), mode)
+
+    def __array__(self, dtype=None, copy=None):
+        return self._arr
+
+
+def test_pil_to_array_preserves_native_channels():
+    """ADVICE r3: the PIL path must match the pure-numpy decoder's channel
+    count (L->1, LA->2, RGB->3, RGBA->4), not force RGB."""
+    from summarydb_spark.functions.multimodal import _pil_to_array
+
+    h, w = 4, 5
+    gray = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    assert _pil_to_array(_StubPil(gray, "L")).shape == (h, w, 1)
+    la = np.dstack([gray, gray])
+    assert _pil_to_array(_StubPil(la, "LA")).shape == (h, w, 2)
+    rgb = np.dstack([gray] * 3)
+    assert _pil_to_array(_StubPil(rgb, "RGB")).shape == (h, w, 3)
+    rgba = np.dstack([gray] * 4)
+    assert _pil_to_array(_StubPil(rgba, "RGBA")).shape == (h, w, 4)
+    # unsupported modes convert: palette -> RGB, palette+alpha -> RGBA
+    assert _pil_to_array(_StubPil(gray, "P")).shape == (h, w, 3)
+    assert (
+        _pil_to_array(_StubPil(gray, "P", {"transparency": 0})).shape
+        == (h, w, 4)
+    )
+    # values preserved bit-exactly on the native path
+    assert (_pil_to_array(_StubPil(gray, "L"))[:, :, 0] == gray).all()
+
+
+def test_resize_zero_dimension_png(spark):
+    """ADVICE r3: a valid zero-dimension PNG decodes to an empty raster;
+    resize must emit empty output, not crash in the executor."""
+    from summarydb_spark.functions.multimodal import resize_image
+    from summarydb_spark.functions.png import encode_png
+
+    zero = encode_png(np.zeros((0, 3, 1), dtype=np.uint8))
+    df = spark.createDataFrame([(1, bytearray(zero))], "doc_id long, data binary")
+    row = resize_image(df, out_h=4, out_w=4, decode_png=True).collect()[0]
+    assert row["out_bytes"] == 0 and row["resized"] == b""
