@@ -616,6 +616,98 @@ class SummaryDB:
             ).orderBy("qid")
         raise ValueError(f"unknown operator: {op}")
 
+    def query_many_sketch(
+        self,
+        requests: Sequence[Tuple],
+    ) -> DataFrame:
+        """DB-level batched SKETCH range queries across streams and ops.
+
+        ``requests``: a sequence of ``(stream_id, op, t0, t1)`` or
+        ``(stream_id, op, t0, t1, arg)`` tuples, where ``op`` is one of
+        ``membership | frequency | distinct | quantile`` and ``arg`` is the
+        op's parameter (probed member for membership/frequency, quantile
+        fraction for quantile; ignored for distinct).
+
+        Returns (stream_id, qid, op, t0, t1, value, error) with qid = the
+        request's position in ``requests``; semantics per row match the
+        single-query ``Stream.query_*`` methods exactly.
+
+        Scale shape: requests are grouped by (op[, quantile literal]) —
+        a handful of groups, each one broadcast-overlap-join +
+        monoid-merge aggregation over the shared sketch store
+        (operators.sketch_windows.sketch_range_frame), unioned into ONE
+        lazy plan.  N requests over M streams cost O(#distinct ops) joins
+        against one store scan, not 2N driver round-trips — the
+        cross-stream surface the reference declares but never builds
+        (protos/summarydb.capnp:6-13; per-stream-only querying at
+        core/stream.go:156-192).
+        """
+        from summarydb_spark.operators.sketch_windows import sketch_range_frame
+
+        norm: List[Tuple[int, str, int, int, Optional[float]]] = []
+        for i, req in enumerate(requests):
+            if len(req) == 4:
+                sid, op, t0, t1 = req
+                arg = None
+            elif len(req) == 5:
+                sid, op, t0, t1, arg = req
+            else:
+                raise ValueError(f"request {i}: expected 4 or 5 fields")
+            if op in ("membership", "frequency") and arg is None:
+                raise ValueError(f"request {i}: {op} needs a member arg")
+            if op == "quantile" and arg is None:
+                arg = 0.5
+            norm.append((int(sid), op, int(t0), int(t1), arg))
+
+        self.flush(stream_ids={sid for sid, *_ in norm})
+        if not os.path.isdir(self._sketches_path):
+            raise ValueError(
+                f"no sketch state at {self._sketches_path}; declare sketch "
+                f"ops at new_stream()"
+            )
+        spark = self.spark
+        sketches = spark.read.parquet(self._sketches_path)
+
+        lpts = None
+        if any(op == "membership" for _s, op, *_ in norm):
+            lm = self.landmarks_df()
+            if lm is not None:
+                lpts = lm.where(F.col("ts").isNotNull()).select(
+                    "stream_id", "ts", "value"
+                )
+
+        # group requests: one sketch_range_frame per op (per distinct q for
+        # quantile — the KLL rank is a plan-time literal)
+        groups: dict = {}
+        for qid, (sid, op, t0, t1, arg) in enumerate(norm):
+            key = (op, arg) if op == "quantile" else (op, None)
+            groups.setdefault(key, []).append((sid, qid, t0, t1, arg))
+        core = ["stream_id", "qid", "t0", "t1", "value", "error"]
+        out = None
+        for (op, qv), rows in groups.items():
+            if op in ("membership", "frequency"):
+                rdf = spark.createDataFrame(
+                    [(s, q, t0, t1, float(a)) for s, q, t0, t1, a in rows],
+                    "stream_id long, qid long, t0 long, t1 long, member double",
+                )
+            else:
+                rdf = spark.createDataFrame(
+                    [(s, q, t0, t1) for s, q, t0, t1, _a in rows],
+                    "stream_id long, qid long, t0 long, t1 long",
+                )
+            frame = sketch_range_frame(
+                sketches,
+                rdf,
+                op,
+                landmark_points=lpts if op == "membership" else None,
+                **({"q": float(qv)} if op == "quantile" else {}),
+            )
+            frame = frame.select(*core, F.lit(op).alias("op"))
+            out = frame if out is None else out.unionByName(frame)
+        return out.select(
+            "stream_id", "qid", "op", "t0", "t1", "value", "error"
+        ).orderBy("qid")
+
     # appended pairs buffer on the driver up to this many rows before
     # spilling to parquet; bounds driver memory under append-heavy loads
     # while keeping flush-time file count O(streams), not O(append calls)

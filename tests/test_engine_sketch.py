@@ -161,6 +161,59 @@ def test_query_many_sketch_parity(db):
             assert abs(batched[i]["value"] - single.value) <= tol, (t0, t1, q)
 
 
+def test_db_query_many_sketch_cross_stream(spark, tmp_path):
+    """DB-level batched sketch queries: mixed (stream, op, range, arg)
+    requests across TWO streams answered in one plan must agree with the
+    per-stream single-query functions row for row."""
+    import math
+
+    db = SummaryDB(spark, str(tmp_path / "xsketch"))
+    ops = ["count", "sum", "max", "min", "bloom", "hll", "kll", "freq"]
+    s0 = db.new_stream(ops=ops, windowing=ExpWindowing(2.0))
+    s1 = db.new_stream(ops=ops, windowing=ExpWindowing(2.0))
+    s0.append_pairs([(i, float(i)) for i in range(300)])
+    s1.append_pairs([(i, float(1000 + i)) for i in range(200)])
+    db.flush()
+
+    requests = [
+        (0, "membership", 0, 299, 17.0),
+        (1, "membership", 0, 199, 17.0),          # absent in stream 1
+        (1, "membership", 0, 199, 1017.0),        # present in stream 1
+        (0, "frequency", 0, 299, 250.0),
+        (1, "frequency", 0, 199, 1050.0),
+        (0, "distinct", 0, 299),
+        (1, "distinct", 100, 199),
+        (0, "quantile", 0, 299, 0.5),
+        (1, "quantile", 0, 199, 0.9),
+        (0, "distinct", 600, 700),                # empty overlap
+    ]
+    rows = {r["qid"]: r for r in db.query_many_sketch(requests).collect()}
+    assert len(rows) == len(requests)
+
+    streams = {0: s0, 1: s1}
+    single_fn = {
+        "membership": lambda s, t0, t1, a: s.query_membership(a, t0, t1),
+        "frequency": lambda s, t0, t1, a: s.query_frequency(a, t0, t1),
+        "distinct": lambda s, t0, t1, a: s.query_distinct(t0, t1),
+        "quantile": lambda s, t0, t1, a: s.query_quantile(a, t0, t1),
+    }
+    for qid, req in enumerate(requests):
+        sid, op, t0, t1 = req[:4]
+        arg = req[4] if len(req) == 5 else None
+        got = rows[qid]
+        assert got["op"] == op and got["stream_id"] == sid
+        want = single_fn[op](streams[sid], t0, t1, arg)
+        if op == "quantile":
+            if math.isnan(want.value):
+                assert math.isnan(got["value"]), req
+            else:
+                tol = max(2.0, 0.05 * abs(want.value))
+                assert abs(got["value"] - want.value) <= tol, req
+        else:
+            assert got["value"] == pytest.approx(want.value), req
+            assert got["error"] == pytest.approx(want.error), req
+
+
 def test_query_many_sketch_landmark_exact(spark, tmp_path):
     db = SummaryDB(spark, str(tmp_path / "lm2"))
     s = db.new_stream(ops=["count", "sum", "bloom"], windowing=ExpWindowing(2.0))
