@@ -708,6 +708,81 @@ class SummaryDB:
             "stream_id", "qid", "op", "t0", "t1", "value", "error"
         ).orderBy("qid")
 
+    def register_sql(self) -> None:
+        """Register the SQL approx-query surface over this DB's persisted
+        stores: table functions ``dcount/dsum(sid, t0, t1, conf)`` and
+        ``dmax/dmin(sid, t0, t1)`` plus scalar ``sdb_z(conf)``, usable as
+        ``spark.sql("SELECT * FROM dsum(0, 10, 99, 0.95)")`` (SURVEY §4.1
+        item 3 — the reference only has the programmatic path,
+        core/stream.go:156-192).  Functions are SQL-defined (Spark 4 SQL
+        UDFs), so every call inlines into Catalyst — no Python in the plan.
+        """
+        from summarydb_spark.plans.sql_surface import (
+            EMPTY_LANDMARK_POINTS_SCHEMA,
+            EMPTY_LANDMARK_WINDOWS_SCHEMA,
+            register_approx_functions,
+        )
+
+        self.flush()
+        spark = self.spark
+        if os.path.isdir(self._summary_path):
+            # project the canonical columns only: the store's physical
+            # partition column (sid) must not leak into the view, where it
+            # would shadow same-named SQL identifiers
+            spark.read.parquet(self._summary_path).select(
+                "stream_id", "time_start", "time_end",
+                "count", "sum", "max", "min",
+            ).createOrReplaceTempView("sdb_summary")
+        else:
+            spark.createDataFrame(
+                [],
+                "stream_id long, time_start long, time_end long, "
+                "count double, sum double, max double, min double",
+            ).createOrReplaceTempView("sdb_summary")
+        lraw = self.landmarks_df()
+        if lraw is not None:
+            # materialize the deduped window brackets as a derived parquet:
+            # Catalyst cannot decorrelate the function's parameter filter
+            # over a Deduplicate/Aggregate view, but a plain file relation
+            # is fine — and the bracket set is tiny (O(#landmark windows))
+            lw_path = os.path.join(self.path, "_sql_lmk_windows")
+            from pyspark.sql.window import Window as W
+
+            per_stream = W.partitionBy("stream_id").orderBy("time_start")
+            lraw.groupBy(
+                "stream_id", "window_id", "time_start", "time_end"
+            ).agg(F.count(F.lit(1)).alias("_n")).drop("_n").select(
+                "*",
+                # precomputed floor/ceiling neighbors: lets the SQL
+                # functions select landmark candidates with a row-wise
+                # filter (the only decorrelatable shape under LATERAL)
+                F.lead("time_start").over(per_stream).alias("next_start"),
+                F.lag("time_start").over(per_stream).alias("prev_start"),
+            ).write.mode("overwrite").parquet(lw_path)
+            spark.read.parquet(lw_path).createOrReplaceTempView(
+                "sdb_lmk_windows"
+            )
+            lraw.where(F.col("ts").isNotNull()).select(
+                "stream_id", "window_id", "ts", "value"
+            ).createOrReplaceTempView("sdb_lmk_points")
+        else:
+            spark.createDataFrame(
+                [], EMPTY_LANDMARK_WINDOWS_SCHEMA
+            ).createOrReplaceTempView("sdb_lmk_windows")
+            spark.createDataFrame(
+                [], EMPTY_LANDMARK_POINTS_SCHEMA
+            ).createOrReplaceTempView("sdb_lmk_points")
+        register_approx_functions(
+            spark,
+            "sdb_summary",
+            count_col="count",
+            sum_col="sum",
+            max_col="max",
+            min_col="min",
+            landmark_windows_view="sdb_lmk_windows",
+            landmark_points_view="sdb_lmk_points",
+        )
+
     # appended pairs buffer on the driver up to this many rows before
     # spilling to parquet; bounds driver memory under append-heavy loads
     # while keeping flush-time file count O(streams), not O(append calls)

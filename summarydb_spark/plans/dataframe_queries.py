@@ -730,8 +730,76 @@ SELECT c.doc_id, c.component_id,
 FROM comp c"""
 
 
+def _q_sql_surface(op: str):
+    """Approx range queries through the SQL-registered function surface
+    (plans/sql_surface.py): ``SELECT ... FROM qr, LATERAL d{op}(...)`` —
+    the whole estimator inlines into Catalyst as SQL UDFs, exercising the
+    dsum/dcount/dmax ergonomics layer end-to-end.  The oracle recomputes
+    the identical semantics inline from raw events (q_approx_range /
+    q_approx_minmax_range, DuckDB dialect)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from summarydb_spark.plans.portable_sql import (
+            SW_FULL_VIEW,
+            _query_ranges,
+        )
+        from summarydb_spark.plans.sql_surface import (
+            register_approx_functions,
+        )
+        from summarydb_spark.sources.tables import ensure_summary_views
+
+        ensure_summary_views(spark, sf_dir)
+        register_approx_functions(
+            spark,
+            SW_FULL_VIEW,
+            count_col="cnt",
+            sum_col="sum_v",
+            max_col="max_v",
+            min_col="min_v",
+        )
+        if op in ("count", "sum"):
+            select = """
+       round(f.value, 6) AS estimate,
+       round(f.lower_ci, 6) AS lower_ci,
+       round(f.upper_ci, 6) AS upper_ci,
+       round(f.lower_bound, 6) AS lower_bound,
+       round(f.upper_bound, 6) AS upper_bound"""
+            lateral = f"LATERAL d{op}(q.stream_id, q.t0, q.t1, 0.95) f"
+        else:
+            select = f"\n       f.value AS {op}_value"
+            lateral = f"LATERAL d{op}(q.stream_id, q.t0, q.t1) f"
+        return spark.sql(
+            f"""WITH sb AS (
+  SELECT stream_id, min(time_start) AS tmin, max(time_end) AS tmax
+  FROM {SW_FULL_VIEW} GROUP BY stream_id
+),
+{_query_ranges()}
+SELECT q.stream_id, q.qid, q.t0, q.t1,{select}
+FROM qr q, {lateral}"""
+        )
+
+    return run
+
+
+def _sql_surface_oracle(op: str) -> str:
+    from summarydb_spark.plans.portable_sql import (
+        q_approx_minmax_range,
+        q_approx_range,
+    )
+
+    if op in ("count", "sum"):
+        return q_approx_range("duckdb", op)
+    return q_approx_minmax_range("duckdb", op)
+
+
 # name -> (spark_builder, oracle_sql | None)
 DF_QUERIES = {
+    "sql_surface_dsum": (_q_sql_surface("sum"), _sql_surface_oracle("sum")),
+    "sql_surface_dcount": (
+        _q_sql_surface("count"),
+        _sql_surface_oracle("count"),
+    ),
+    "sql_surface_dmax": (_q_sql_surface("max"), _sql_surface_oracle("max")),
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "embedding_near_dups": (q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS),
