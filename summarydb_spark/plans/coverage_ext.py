@@ -1,0 +1,142 @@
+"""Coverage extensions, round 4: TPC-H Q8 market share, LLM sequence
+packing, and a Gopher-style within-document repetition filter.
+
+Same one-template-two-dialects scheme as portable_sql (the DuckDB
+rendering is the oracle).
+
+Scale notes (100 TB discipline):
+- Q8 is the canonical two-path snowflake: lineitem joins supplier->nation
+  (share numerator) and orders->customer->nation->region (market filter).
+  All five dims broadcast on the Spark side; the fact table shuffles once
+  for the (year) aggregate.  The share is a ratio of two conditional
+  decimal-exact sums computed in the same hash aggregate — one pass.
+- seq_packing is the concatenate-and-chunk packing every LLM training
+  pipeline runs before batching: one window cumsum per (shard) partition
+  + pure column math for the chunk id.  At 100 TB the window partitions
+  by shard/file (here: lang), so no global ordering bottleneck — each
+  shard packs independently, which is exactly how distributed packing is
+  deployed (global order across shards is meaningless for training).
+- text_repetition is pure per-row column math (tokenize once, build
+  3-gram hashes, count distinct vs total) — embarrassingly parallel,
+  no shuffle except the final top-k (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_sql import dsum
+
+# fixed packing budget (tokens per packed sequence); small enough that
+# sf0.01 documents (10-99 tokens) produce multi-doc chunks
+PACK_BUDGET = 512
+
+
+def q_tpch_q8_like_market_share(dialect: str) -> str:
+    """National market share (TPC-H Q8 shape): for ASIA-market orders, the
+    share of revenue supplied by NATION_5 per order year.
+
+    Two independent dimension paths off the same fact row — supplier
+    nation for the numerator flag, customer nation->region for the market
+    filter — then share = conditional sum / total sum in one aggregate.
+    """
+    rev = "l.l_extendedprice * (1 - l.l_discount)"
+    flag = f"CASE WHEN n2.n_name = 'NATION_5' THEN {rev} ELSE CAST(0 AS DOUBLE) END"
+    return f"""
+SELECT year(o.o_orderdate) AS o_year,
+       round({dsum(flag)} / {dsum(rev)}, 6) AS mkt_share,
+       {dsum(rev)} AS total_revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY year(o.o_orderdate)"""
+
+
+def q_seq_packing(dialect: str) -> str:
+    """Concatenate-and-chunk sequence packing (the GPT-style pre-training
+    batcher): per language shard, documents are laid end-to-end in doc_id
+    order and cut into {PACK_BUDGET}-token chunks; a document belongs to
+    the chunk where its first token lands.
+
+    chunk_id = floor(token_offset / budget) with token_offset = the
+    exclusive prefix sum of token counts — closed-form column math over
+    one window cumsum, no sequential loop.  Output: per-chunk occupancy
+    (docs, tokens, boundary doc ids).
+    """
+    if dialect == "spark":
+        ntok = "size(split(text, ' '))"
+    else:
+        ntok = "len(string_split(text, ' '))"
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id, {ntok} AS n_tok FROM documents
+),
+ofs AS (
+  SELECT lang, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_cum
+  FROM d
+),
+asn AS (
+  SELECT lang, doc_id, n_tok,
+         CAST(floor(coalesce(prev_cum, 0) / {PACK_BUDGET}.0) AS BIGINT)
+           AS chunk_id
+  FROM ofs
+)
+SELECT lang, chunk_id,
+       count(*) AS n_docs,
+       {dsum('CAST(n_tok AS DOUBLE)', 0)} AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM asn
+GROUP BY lang, chunk_id"""
+
+
+def q_text_repetition(dialect: str) -> str:
+    """Within-document repetition (Gopher-style quality filter): the
+    fraction of duplicate 3-gram shingles inside each document,
+    dup_frac = 1 - distinct/total.  Top 50 most repetitive documents
+    (>= 3 tokens), doc_id tiebreak — the rows a curation pipeline would
+    route to the repetition-filter reject set."""
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        total = "size(toks) - 2"
+        distinct = (
+            "size(array_distinct(transform(sequence(0, size(toks) - 3), "
+            "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))))"
+        )
+    else:
+        toks = "string_split(text, ' ')"
+        total = "len(toks) - 2"
+        distinct = (
+            "len(list_distinct([hash(array_to_string(toks[i+1:i+3], ' ')) "
+            "for i in range(0, len(toks) - 2)]))"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {toks} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         CAST({total} AS BIGINT) AS n_grams,
+         CAST({distinct} AS BIGINT) AS n_distinct
+  FROM t
+  WHERE {total} >= 1
+)
+SELECT doc_id, lang, n_grams, n_distinct,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_frac
+FROM g
+ORDER BY dup_frac DESC, doc_id
+LIMIT 50"""
+
+
+COVERAGE_EXT_QUERIES = {
+    "tpch_q8_like_market_share": q_tpch_q8_like_market_share,
+    "seq_packing": q_seq_packing,
+    "text_repetition": q_text_repetition,
+}

@@ -168,3 +168,36 @@ def test_incremental_merge_has_broadcast_counts(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q8_broadcasts_all_dims(spark):
+    """Q8's two dimension paths (supplier->nation; orders->customer->
+    nation->region) must all be broadcast joins — only the fact table
+    shuffles, once, for the per-year aggregate."""
+    plan = plan_of(spark, "tpch_q8_like_market_share")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_seq_packing_partitions_by_shard(spark):
+    """The packing cumsum must window per lang shard (no global ordering
+    bottleneck) and tokenize each document exactly once."""
+    plan = plan_of(spark, "seq_packing")
+    assert "Window" in plan
+    # partitioned window: exchange hashes on lang, never a single partition
+    assert "SinglePartition" not in plan
+
+
+def test_text_repetition_is_scan_plus_topk(spark):
+    plan = plan_of(spark, "text_repetition")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_surface_inlines_to_relational_plan(spark):
+    """The SQL-registered dsum must compile to pure relational operators —
+    no Python UDF evaluation nodes anywhere in the plan."""
+    plan = plan_of(spark, "sql_surface_dsum")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
