@@ -771,7 +771,7 @@ def _q_sql_surface(op: str):
         return spark.sql(
             f"""WITH sb AS (
   SELECT stream_id, min(time_start) AS tmin, max(time_end) AS tmax
-  FROM {SW_FULL_VIEW} GROUP BY stream_id
+  FROM {SW_FULL_VIEW} WHERE stream_id % 50 = 0 GROUP BY stream_id
 ),
 {_query_ranges()}
 SELECT q.stream_id, q.qid, q.t0, q.t1,{select}
@@ -787,9 +787,12 @@ def _sql_surface_oracle(op: str) -> str:
         q_approx_range,
     )
 
-    if op in ("count", "sum"):
-        return q_approx_range("duckdb", op)
-    return q_approx_minmax_range("duckdb", op)
+    inner = (
+        q_approx_range("duckdb", op)
+        if op in ("count", "sum")
+        else q_approx_minmax_range("duckdb", op)
+    )
+    return f"SELECT * FROM ({inner}) o WHERE o.stream_id % 50 = 0"
 
 
 # name -> (spark_builder, oracle_sql | None)

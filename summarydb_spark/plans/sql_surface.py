@@ -302,7 +302,12 @@ def register_approx_functions(
     """Register the SQL approx-query surface over ``summary_view``.
 
     ``summary_view`` must expose (stream_id, time_start, time_end) plus the
-    four aggregate columns.  If no landmark views are given, empty stand-in
+    four aggregate columns.  ``landmark_windows_view`` needs (stream_id,
+    window_id, time_start, time_end, next_start, prev_start) — the lead/lag
+    of time_start per stream, precomputed so the floor/ceiling candidate
+    selection stays a row-wise filter (see ``SummaryDB.register_sql`` for
+    the materialization).  ``landmark_points_view`` needs (stream_id,
+    window_id, ts, value).  If no landmark views are given, empty stand-in
     views are registered (queries behave as landmark-free).
     """
     lwv = landmark_windows_view
