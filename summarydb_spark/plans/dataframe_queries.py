@@ -608,21 +608,28 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("stream_id", "qid", "member", "value")
     )
-    exact = cov.groupBy("stream_id", "qid").agg(
-        F.max((F.col("value") == F.col("member")).cast("int")).alias("present_exact"),
-        F.sum((F.col("value") == F.col("member")).cast("long")).alias("true_cnt"),
-        F.countDistinct("value").alias("nd_exact"),
-        F.count(F.lit(1)).alias("n_cov"),
-    )
-    rank = (
+    # one pass over the covering rows for ALL exact statistics (membership,
+    # true count, distinct, quantile rank): joining the (tiny) quantile
+    # frame in first lets a single aggregation replace the two separate
+    # ones that each re-ran the ranges x windows x events join
+    stats = (
         cov.join(quan, ["stream_id", "qid"])
         .groupBy("stream_id", "qid")
         .agg(
-            (
-                F.sum((F.col("value") <= F.col("q50_v")).cast("long"))
-                / F.count(F.lit(1))
-            ).alias("q50_rank")
+            F.max((F.col("value") == F.col("member")).cast("int")).alias(
+                "present_exact"
+            ),
+            F.sum((F.col("value") == F.col("member")).cast("long")).alias(
+                "true_cnt"
+            ),
+            F.countDistinct("value").alias("nd_exact"),
+            F.count(F.lit(1)).alias("n_cov"),
+            F.sum((F.col("value") <= F.col("q50_v")).cast("long")).alias(
+                "q50_le"
+            ),
         )
+        .withColumn("q50_rank", F.col("q50_le") / F.col("n_cov"))
+        .drop("q50_le")
     )
 
     out = (
@@ -630,8 +637,7 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(memb, ["stream_id", "qid"])
         .join(freq, ["stream_id", "qid"])
         .join(dist, ["stream_id", "qid"])
-        .join(exact, ["stream_id", "qid"])
-        .join(rank, ["stream_id", "qid"])
+        .join(stats, ["stream_id", "qid"])
     )
     bound = F.floor(F.lit(math.e) * F.col("n_cov") / F.lit(float(CMS_WIDTH))) + 1
     return out.select(

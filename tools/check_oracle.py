@@ -81,11 +81,24 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # usage: check_oracle.py [sf_dir] [name ...]
+    # names may also be comma-separated or follow an (optional) --only flag
+    args = [a for a in sys.argv[1:] if a != "--only"]
+    sf_dir = (
+        args.pop(0)
+        if args and os.path.isdir(args[0])
+        else "/root/testdata/sf0.01"
+    )
+    only = {n for a in args for n in a.split(",") if n}
 
     import __spark_entry__ as entrymod
     from summarydb_spark.session import get_spark
+
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # fail LOUDLY: a typo'd name must not produce a vacuous ALL MATCH
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
 
     spark = get_spark("check-oracle")
     con = duckdb.connect()
