@@ -135,8 +135,122 @@ ORDER BY dup_frac DESC, doc_id
 LIMIT 50"""
 
 
+def q_curation_pipeline(dialect: str) -> str:
+    """End-to-end corpus curation in ONE statement — the composition a
+    training-data pipeline actually runs, with per-stage loss accounting:
+
+    1. quality gate: >= 10 tokens and alpha ratio >= 0.5;
+    2. exact dedup: md5 of the normalized text, keep the smallest doc_id
+       per hash;
+    3. near-dup removal: 3-gram-shingle Jaccard >= 0.8 among survivors
+       (blocked on (lang, length bucket) like dedup_ngram_jaccard), drop
+       the larger doc_id of each pair;
+    4. report per-language survivors + tokens + docs dropped per stage.
+
+    Every stage reuses a verified operator's exact SQL shape, so the
+    pipeline result is end-to-end oracle-checkable.  Scale shape: stages
+    1-2 are scan + one hash aggregate; stage 3 is the banded near-dup
+    join on survivors only (quadratic only inside blocks); the report is
+    one aggregate — no stage widens data.
+    """
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        ntoks = "size(split(text, ' '))"
+        nalpha = "length(regexp_replace(text, '[^A-Za-z]', ''))"
+        shingles = (
+            "CASE WHEN size(toks) >= 3 THEN "
+            "array_distinct(transform(sequence(0, size(toks) - 3), "
+            "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))) "
+            "ELSE array(xxhash64(concat_ws(' ', toks))) END"
+        )
+        inter = "size(array_intersect(a.sh, b.sh))"
+        uni = "size(array_union(a.sh, b.sh))"
+        # Two Spark-only hints keep the verify join healthy above the
+        # dedup Window: BROADCAST(b) (no size estimate through a Window,
+        # so the planner would sort-merge on the handful of block keys),
+        # and REPARTITION(32) on sh — AQE coalesces the tiny post-window
+        # shuffle to ONE partition, which would serialize the ~600k
+        # candidate Jaccard evaluations onto a single core.
+        hint = "/*+ BROADCAST(b) */ "
+        sh_hint = "/*+ REPARTITION(32) */ "
+    else:
+        toks = "string_split(text, ' ')"
+        ntoks = "len(string_split(text, ' '))"
+        nalpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        shingles = (
+            "CASE WHEN len(toks) >= 3 THEN "
+            "list_distinct([hash(array_to_string(toks[i+1:i+3], ' ')) "
+            "for i in range(0, len(toks) - 2)]) "
+            "ELSE [hash(array_to_string(toks, ' '))] END"
+        )
+        inter = "len(list_intersect(a.sh, b.sh))"
+        uni = "len(list_distinct(list_concat(a.sh, b.sh)))"
+        hint = ""
+        sh_hint = ""
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text, length(text) AS n_chars,
+         CAST({ntoks} AS BIGINT) AS n_tok,
+         CASE WHEN CAST({ntoks} AS BIGINT) >= 10
+               AND CAST({nalpha} AS DOUBLE) / length(text) >= 0.5
+              THEN 1 ELSE 0 END AS q_ok
+  FROM documents
+),
+keepers AS (
+  -- exact-dup keeper among quality survivors only; one text-hash window
+  SELECT *, min(CASE WHEN q_ok = 1 THEN doc_id END)
+              OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+  FROM base
+),
+sh AS (
+  SELECT {sh_hint}doc_id, lang,
+         CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+         {shingles} AS sh
+  FROM (SELECT doc_id, lang, n_chars, {toks} AS toks
+        FROM keepers WHERE q_ok = 1 AND doc_id = keeper) t
+),
+pairs AS (
+  -- exact (lang, len_bucket) blocking keeps this an EQUI-join (the same
+  -- blocking the verified dedup_ngram_jaccard uses); a range condition
+  -- here degrades to a nested-loop join per language
+  SELECT {hint}a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  WHERE CAST({inter} AS DOUBLE) / {uni} >= 0.8
+),
+dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+annot AS (
+  -- one row per input doc with its per-stage fate; the expensive pair
+  -- join ran once, everything downstream is flag math
+  SELECT k.lang, k.doc_id, k.n_tok, k.q_ok,
+         CASE WHEN k.q_ok = 1 AND k.doc_id = k.keeper THEN 1 ELSE 0 END AS exact_ok,
+         CASE WHEN k.q_ok = 1 AND k.doc_id = k.keeper AND d.doc_id IS NULL
+              THEN 1 ELSE 0 END AS final_ok
+  FROM keepers k LEFT JOIN dropped d ON d.doc_id = k.doc_id
+),
+per_lang AS (
+  SELECT lang,
+         sum(final_ok) AS n_docs,
+         {dsum('CASE WHEN final_ok = 1 THEN CAST(n_tok AS DOUBLE) ELSE 0.0 END', 0)} AS n_tokens,
+         min(CASE WHEN final_ok = 1 THEN doc_id END) AS first_doc,
+         count(*) AS lang_input,
+         sum(q_ok) AS lang_quality,
+         sum(exact_ok) AS lang_exact
+  FROM annot GROUP BY lang
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs, n_tokens, first_doc,
+       CAST(sum(lang_input) OVER () AS BIGINT) AS n_input,
+       CAST(sum(lang_quality) OVER () AS BIGINT) AS n_quality,
+       CAST(sum(lang_exact) OVER () AS BIGINT) AS n_exact,
+       CAST(sum(n_docs) OVER () AS BIGINT) AS n_final
+FROM per_lang WHERE n_docs > 0"""
+
+
 COVERAGE_EXT_QUERIES = {
     "tpch_q8_like_market_share": q_tpch_q8_like_market_share,
     "seq_packing": q_seq_packing,
     "text_repetition": q_text_repetition,
+    "curation_pipeline": q_curation_pipeline,
 }

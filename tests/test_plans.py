@@ -201,3 +201,14 @@ def test_sql_surface_inlines_to_relational_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_broadcast_verify_join(spark):
+    """The near-dup verify join must be a broadcast hash join (not a
+    sort-merge over the handful of block keys) and must not collapse to a
+    single partition (AQE coalesces the tiny post-window shuffle; the
+    REPARTITION hint keeps the ~600k candidate evaluations parallel)."""
+    plan = plan_of(spark, "curation_pipeline")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "REPARTITION_BY_NUM" in plan
