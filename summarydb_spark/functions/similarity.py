@@ -305,3 +305,172 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with exact re-ranking
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    emb_col: str = "embedding",
+    m: int = 4,
+    k: int = 32,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks: per-subspace k-means on a driver-collected,
+    L2-normalized sample (the same bounded build/search split as
+    :func:`train_ivf_centroids` — train once on <=1M rows, persist, reuse).
+
+    Returns an ``(m, k, d//m)`` array: ``m`` subspaces, ``k`` codes each.
+    Memory per corpus vector after encoding is ``m`` small ints instead of
+    ``d`` floats — the canonical billion-vector footprint reduction
+    (IVF+PQ); ADC scoring costs ``m`` table lookups per pair instead of a
+    ``d``-wide dot product.
+    """
+
+    def norm(col):
+        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
+        return F.transform(col, lambda x: x / nrm)
+
+    sample = np.array(
+        corpus.select(norm(_as_double(F.col(emb_col))).alias("cv"))
+        .limit(1_000_000)
+        .toPandas()["cv"]
+        .tolist()
+    )
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        X = sample[:, j * sub : (j + 1) * sub]
+        C = X[rng.choice(len(X), size=k, replace=False)]
+        for _ in range(max_iter):
+            # L2 assignment: argmin ||x - c||^2 = argmax (x.c - ||c||^2/2)
+            scores = X @ C.T - 0.5 * (C * C).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            for c_i in range(k):
+                pts = X[assign == c_i]
+                if len(pts):
+                    C[c_i] = pts.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoder: normalized array<double> -> array<int>
+    of ``m`` code ids (per-subspace nearest centroid, one matmul per
+    subspace per batch)."""
+    m, k, sub = codebooks.shape
+    mats = [np.ascontiguousarray(codebooks[j].T) for j in range(m)]
+    halves = [0.5 * (codebooks[j] * codebooks[j]).sum(axis=1) for j in range(m)]
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy())
+        codes = [
+            np.argmax(V[:, j * sub : (j + 1) * sub] @ mats[j] - halves[j], axis=1)
+            for j in range(m)
+        ]
+        return pd.Series(list(np.stack(codes, axis=1).astype(np.int32)))
+
+    return enc
+
+
+def _pq_lut_udf(codebooks: np.ndarray):
+    """Per-query ADC lookup table: normalized query array<double> ->
+    flat array<double> of m*k entries, T[j*k + c] = q_j . codebook[j][c]
+    (dot-product/cosine metric on normalized vectors)."""
+    m, k, sub = codebooks.shape
+    mats = [np.ascontiguousarray(codebooks[j].T) for j in range(m)]
+
+    @pandas_udf("array<double>")
+    def lut(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy())
+        parts = [V[:, j * sub : (j + 1) * sub] @ mats[j] for j in range(m)]
+        return pd.Series(list(np.concatenate(parts, axis=1)))
+
+    return lut
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank: int = 32,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization with exact
+    re-ranking (the standard PQ pipeline): ADC-score every (query,
+    candidate) pair with ``m`` table lookups, keep the top ``rerank``
+    candidates per query, then re-score those exactly and emit the top
+    ``k``.
+
+    Plan shape: encode the corpus once (Arrow-batched argmax per
+    subspace), broadcast the (tiny) query+LUT relation, score with pure
+    JVM column math (element_at lookups — no Python in the pair loop),
+    top-``rerank`` window, exact cosine on ``rerank`` rows per query.
+    At scale this composes with IVF (scan only probed lists) and the
+    encoded corpus is ``m`` bytes-ish per vector instead of ``4d``;
+    citation shape: FAISS IVFADC (Jegou et al., PAMI'11).
+    """
+    m, kk, _sub = codebooks.shape
+
+    def norm(col):
+        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
+        return F.transform(col, lambda x: x / nrm)
+
+    enc = _pq_encode_udf(codebooks)
+    lut = _pq_lut_udf(codebooks)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        norm(_as_double(F.col(emb_col))).alias("cv"),
+    ).withColumn("codes", enc(F.col("cv")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        norm(_as_double(F.col(emb_col))).alias("qv"),
+    ).withColumn("lut", lut(F.col("qv")))
+
+    # ADC score = sum_j lut[j*k + codes[j]] — m element_at lookups per
+    # pair, JVM-side
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: F.element_at(
+                F.col("lut"), (j * kk + code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cands = scored.withColumn("adc_rnk", F.row_number().over(w_adc)).where(
+        F.col("adc_rnk") <= rerank
+    )
+    rescored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )

@@ -263,6 +263,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+_PQ_CACHE: dict = {}
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-3 (ADC scoring + exact
+    re-ranking, the FAISS IVFADC shape) for 20 probe vectors over the
+    planted-neighbor corpus; same closed-form oracle as the LSH/IVF twins.
+    Codebooks are trained once per corpus fingerprint on the ORIGINAL
+    embeddings and reused (build/search split); the exact re-rank stage
+    makes the emitted cosines exact, so the oracle checks recall, rank
+    order, and values — a planted copy pushed out of the ADC top-rerank
+    would surface a ~0.5-cosine natural row and the hash diverges."""
+    from summarydb_spark.sources.tables import _source_fingerprint
+
+    embs = _embs(spark, sf_dir)
+    key = (_source_fingerprint(sf_dir), 4, 32)
+    if key not in _PQ_CACHE:
+        _PQ_CACHE[key] = similarity.train_pq_codebooks(embs, m=4, k=32)
+    corpus = _planted_corpus(embs)
+    queries = embs.where("vec_id < 20")
+    out = similarity.pq_topk(
+        corpus, queries, _PQ_CACHE[key], k=3, rerank=32
+    )
+    return out.select(
+        "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rnk")
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (size, container sniff, chunk accounting)
     over deterministic fake media payloads derived from documents.  The
@@ -814,6 +842,7 @@ DF_QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_oracle()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_oracle()),
+    "ann_pq_topk": (q_ann_pq_topk, _ann_oracle()),
     "session_window_builtin": (q_session_window_builtin, ORACLE_SESSION_WINDOW),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),

@@ -124,7 +124,7 @@ def test_q14_broadcasts_part(spark):
 def test_ann_queries_have_no_cartesian(spark):
     """Planted-corpus ANN: candidate generation stays an equi-join on
     (table, signature) / list_id buckets — never an all-pairs product."""
-    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk"):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
 
