@@ -745,11 +745,13 @@ class SummaryDB:
             # Catalyst cannot decorrelate the function's parameter filter
             # over a Deduplicate/Aggregate view, but a plain file relation
             # is fine — and the bracket set is tiny (O(#landmark windows))
-            lw_path = os.path.join(self.path, "_sql_lmk_windows")
             from pyspark.sql.window import Window as W
 
+            from summarydb_spark.sources.tables import _atomic_store_write
+
+            lw_path = os.path.join(self.path, "_sql_lmk_windows")
             per_stream = W.partitionBy("stream_id").orderBy("time_start")
-            lraw.groupBy(
+            brackets = lraw.groupBy(
                 "stream_id", "window_id", "time_start", "time_end"
             ).agg(F.count(F.lit(1)).alias("_n")).drop("_n").select(
                 "*",
@@ -758,7 +760,8 @@ class SummaryDB:
                 # filter (the only decorrelatable shape under LATERAL)
                 F.lead("time_start").over(per_stream).alias("next_start"),
                 F.lag("time_start").over(per_stream).alias("prev_start"),
-            ).write.mode("overwrite").parquet(lw_path)
+            )
+            _atomic_store_write(brackets, lw_path)
             spark.read.parquet(lw_path).createOrReplaceTempView(
                 "sdb_lmk_windows"
             )
