@@ -274,3 +274,41 @@ class StreamingSummarizer:
         if df is not None:
             return df.select(*SUMMARY_COLS)
         return None
+
+    def query_many(self, op: str, triples, params=None) -> DataFrame:
+        """Batched approx range queries over the LATEST committed streaming
+        snapshot — the engine's uniform estimator surface pointed at live
+        streaming state.
+
+        ``triples``: (stream_id, t0, t1) tuples; ``op``: count | sum |
+        max | min.  Returns (stream_id, qid, t0, t1, value, error, ...)
+        exactly like ``SummaryDB.query_many``.  The reference must flush
+        its pipeline before any query (core/stream.go:156-160); here every
+        committed micro-batch is immediately queryable, and Q queries
+        still cost one broadcast-overlap-join job.
+        """
+        from summarydb_spark.operators.query_df import (
+            approx_range_frame,
+            minmax_range_frame,
+        )
+
+        summary = self.summary()
+        if summary is None:
+            summary = self.spark.createDataFrame(
+                [], "stream_id long, time_start long, time_end long, "
+                "count double, sum double, max double, min double"
+            )
+        ranges_df = self.spark.createDataFrame(
+            [
+                (int(s), i, int(t0), int(t1))
+                for i, (s, t0, t1) in enumerate(triples)
+            ],
+            "stream_id long, qid long, t0 long, t1 long",
+        )
+        if op in ("count", "sum"):
+            return approx_range_frame(summary, ranges_df, op, params).orderBy(
+                "qid"
+            )
+        if op in ("max", "min"):
+            return minmax_range_frame(summary, ranges_df, op).orderBy("qid")
+        raise ValueError(f"unknown operator: {op}")

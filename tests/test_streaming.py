@@ -438,3 +438,58 @@ def test_streaming_sketch_state_end_to_end(spark, tmp_path):
             a = fn(got, sid, *args, t0, t1)
             b = fn(batch, sid, *args, t0, t1)
             assert a.value == b.value, (fn.__name__, sid, args, a, b)
+
+
+def test_streaming_state_query_many_parity(spark, tmp_path):
+    """Queries over the live streaming snapshot must agree with the
+    driver-side estimator evaluated on the same windows — the uniform
+    query surface works mid-ingest (the reference must flush first,
+    core/stream.go:156-160)."""
+    from summarydb_spark.operators.estimator import (
+        QueryParams,
+        SummaryWindowRow,
+        query_op,
+        select_summary_windows,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    rows = _events(60, streams=(0, 1))
+    for lo, hi in ((0, 25), (25, 60)):
+        _write_chunk(spark, src, [r for r in rows if lo <= r.seq < hi], f"{lo}")
+    summ = StreamingSummarizer(spark, ExpWindowing(2.0), state)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    summ.start(stream, cp).awaitTermination()
+
+    wins = {
+        sid: [
+            SummaryWindowRow(
+                time_start=r["time_start"],
+                time_end=r["time_end"],
+                count=float(r["count"]),
+                sum=r["sum"],
+                max=r["max"],
+                min=r["min"],
+            )
+            for r in summ.summary()
+            .where(F.col("stream_id") == sid)
+            .collect()
+        ]
+        for sid in (0, 1)
+    }
+    triples = [(0, 0, 590), (0, 100, 333), (1, 0, 101), (1, 550, 600), (0, 700, 800)]
+    for op in ("count", "sum", "max", "min"):
+        got = {r["qid"]: r for r in summ.query_many(op, triples).collect()}
+        for qid, (sid, t0, t1) in enumerate(triples):
+            want = query_op(
+                op,
+                select_summary_windows(wins[sid], t0, t1),
+                [],
+                t0,
+                t1,
+                QueryParams(),
+            )
+            assert got[qid]["value"] == pytest.approx(want.value, abs=1e-9), (
+                op, sid, t0, t1,
+            )
