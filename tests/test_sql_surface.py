@@ -116,3 +116,50 @@ def test_lateral_batches_many_calls(db):
     for row, want in zip(out, singles):
         assert row["value"] == pytest.approx(want.value, abs=1e-9)
         assert row["error"] == pytest.approx(want.error, abs=1e-9)
+
+
+def test_multi_bracket_landmark_parity(spark, tmp_path):
+    """Three separate landmark brackets: the floor/ceiling candidate
+    selection (lead/lag row-wise filter) must agree with the driver-side
+    select_landmark_windows across ranges that touch zero, one, several,
+    or all brackets — including the reference quirk where a window
+    starting after t1 survives as the ceiling candidate."""
+    db = SummaryDB(spark, str(tmp_path / "multibr"))
+    s = db.new_stream(ops=["count", "sum", "max", "min"], windowing=ExpWindowing(2.0))
+    t = 0
+    for i in range(400):
+        if t in (80, 200, 320):  # bracket starts
+            s.start_landmark(t)
+            s.append_pairs([(u, 500.0 + u) for u in range(t, t + 21)])
+            s.end_landmark(t + 21)
+            t += 21
+        else:
+            s.append_pairs([(t, float(t % 31))])
+            t += 1
+    db.flush()
+    db.register_sql()
+
+    cases = [
+        (0, 60),      # before all brackets (ceiling quirk: bracket 1 may
+                      # be selected but has no points in range)
+        (0, t - 1),   # all three brackets
+        (85, 95),     # inside bracket 1
+        (60, 230),    # brackets 1 and 2, prorated edges
+        (150, 190),   # between brackets
+        (330, 399),   # tail spanning bracket 3's end
+        (95, 325),    # straddles all three
+    ]
+    for op in ("count", "sum"):
+        for t0, t1 in cases:
+            got = spark.sql(f"SELECT * FROM d{op}(0, {t0}, {t1}, 0.95)").collect()[0]
+            want = db.get_stream(0).query(op, t0, t1, QueryParams())
+            assert got["value"] == pytest.approx(want.value, abs=1e-9), (op, t0, t1)
+            assert got["lower_bound"] == pytest.approx(want.lower_bound, abs=1e-9), (op, t0, t1)
+            assert got["upper_bound"] == pytest.approx(want.upper_bound, abs=1e-9), (op, t0, t1)
+            assert got["error"] == pytest.approx(want.error, abs=1e-9), (op, t0, t1)
+    for op in ("max", "min"):
+        for t0, t1 in cases:
+            got = spark.sql(f"SELECT * FROM d{op}(0, {t0}, {t1})").collect()[0]
+            want = db.get_stream(0).query(op, t0, t1)
+            assert got["value"] == pytest.approx(want.value), (op, t0, t1)
+            assert got["error"] == want.error, (op, t0, t1)
