@@ -95,20 +95,31 @@ def bloom_aggregate(
     )
 
 
-def bloom_contains(
+def bloom_probe_hits(
     bloom: Column, value: Column, m_bits: int = 1 << 13, k: int = 5
 ) -> Column:
-    """Membership probe against a ``bloom_aggregate`` map (no false
-    negatives; false-positive rate ~ (1-e^{-kn/m})^k)."""
+    """Per-position probe hits (array<boolean>, length k) against ONE
+    bloom map.  Because the merged filter's bit p is the OR of bit p over
+    the merged windows, range membership = AND over positions of
+    (bool_or over windows) — so pushing the probe into each window row
+    lets a range query aggregate k booleans instead of merging whole
+    maps (operators/sketch_windows.sketch_range_frame uses this)."""
     positions = _bloom_positions(value, m_bits, k)
-    hits = F.transform(
+    return F.transform(
         positions,
         lambda p: F.coalesce(
             F.element_at(bloom, (p / 64).cast("long")), F.lit(0).cast("long")
         ).bitwiseAND(_bit_mask(p % 64))
         != 0,
     )
-    return F.forall(hits, lambda b: b)
+
+
+def bloom_contains(
+    bloom: Column, value: Column, m_bits: int = 1 << 13, k: int = 5
+) -> Column:
+    """Membership probe against a ``bloom_aggregate`` map (no false
+    negatives; false-positive rate ~ (1-e^{-kn/m})^k)."""
+    return F.forall(bloom_probe_hits(bloom, value, m_bits, k), lambda b: b)
 
 
 def bloom_merge(a: Column, b: Column) -> Column:

@@ -29,7 +29,7 @@ returned ``AggResult.error`` carries the sketch's own error figure.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -206,22 +206,31 @@ def sketch_range_frame(
     )
 
     if op == "membership":
-        base = j.groupBy(*key).agg(F.sum("count").alias("n_items"))
-        words = (
-            j.select(*key, F.explode("bloom").alias("w", "bits"))
-            .groupBy(*key, "w")
-            .agg(F.bit_or("bits").alias("bits"))
-            .groupBy(*key)
-            .agg(
-                F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
-                    "bloom"
-                )
-            )
-        )
-        res = base.join(words, key)
-        hit = sketch.bloom_contains(
+        # probe pushdown: the merged filter's bit p is the OR of bit p
+        # over the covering windows, so membership = AND over the k probe
+        # positions of (bool_or over windows).  k int columns + one hash
+        # aggregate replace the explode -> word-merge -> map-rebuild ->
+        # probe pipeline (one shuffle instead of three, rows of k ints
+        # instead of whole bloom maps).
+        hits = sketch.bloom_probe_hits(
             F.col("bloom"), F.col("member"), m_bits=bloom_m, k=bloom_k
         )
+        proj = j.select(
+            *key,
+            F.col("count"),
+            *[
+                F.element_at(hits, i + 1).cast("int").alias(f"_h{i}")
+                for i in range(bloom_k)
+            ],
+        )
+        res = proj.groupBy(*key).agg(
+            F.sum("count").alias("n_items"),
+            *[F.max(f"_h{i}").alias(f"_h{i}") for i in range(bloom_k)],
+        )
+        hit = None
+        for i in range(bloom_k):
+            c = F.col(f"_h{i}") == 1
+            hit = c if hit is None else (hit & c)
         fp = F.pow(
             F.lit(1.0)
             - F.exp(F.lit(-float(bloom_k)) * F.col("n_items") / F.lit(float(bloom_m))),
@@ -266,20 +275,11 @@ def sketch_range_frame(
         return out
 
     if op == "frequency":
-        base = j.groupBy(*key).agg(F.sum("count").alias("n_items"))
-        cm = (
-            j.select(*key, F.explode("cms").alias("ck", "cnt"))
-            .groupBy(*key, "ck")
-            .agg(F.sum("cnt").alias("cnt"))
-            .groupBy(*key)
-            .agg(
-                F.map_from_entries(F.collect_list(F.struct("ck", "cnt"))).alias(
-                    "cms"
-                )
-            )
-        )
-        res = base.join(cm, key)
-        cells = [
+        # probe pushdown (same argument as membership): the merged CMS
+        # cell is the SUM over windows of that cell, so the estimate =
+        # min over depths of (sum over windows of the probed cell) —
+        # depth long columns + one hash aggregate, no map merge.
+        cells_row = [
             F.coalesce(
                 F.element_at(
                     "cms",
@@ -290,12 +290,19 @@ def sketch_range_frame(
                     ),
                 ),
                 F.lit(0).cast("long"),
-            )
+            ).alias(f"_c{i}")
             for i in range(cms_depth)
         ]
+        proj = j.select(*key, F.col("count"), *cells_row)
+        res = proj.groupBy(*key).agg(
+            F.sum("count").alias("n_items"),
+            *[F.sum(f"_c{i}").alias(f"_c{i}") for i in range(cms_depth)],
+        )
         res = res.select(
             *key,
-            F.least(*cells).cast("double").alias("value"),
+            F.least(*[F.col(f"_c{i}") for i in range(cms_depth)])
+            .cast("double")
+            .alias("value"),
             (F.lit(math.e) * F.col("n_items") / F.lit(float(cms_width))).alias(
                 "error"
             ),
@@ -481,3 +488,192 @@ def query_quantile(
         return AggResult(value=float("nan"), error=float("nan"))
     # normalized rank error for KLL with k=200 is ~1.65% (DataSketches)
     return AggResult(value=float(row["v"]), error=0.0165)
+
+
+def sketch_range_frame_multi(
+    sketches: DataFrame,
+    ranges: DataFrame,
+    ops: Sequence[str] = ("membership", "frequency", "distinct", "quantile"),
+    landmark_points: Optional[DataFrame] = None,
+    *,
+    bloom_m: int = BLOOM_M,
+    bloom_k: int = BLOOM_K,
+    hll_lgk: int = HLL_LGK,
+    cms_depth: int = CMS_DEPTH,
+    cms_width: int = CMS_WIDTH,
+    q: float = 0.5,
+) -> DataFrame:
+    """ALL requested sketch ops per range row in ONE overlap join + ONE
+    hash aggregation — the fused form of ``sketch_range_frame`` for
+    callers that want several ops over the same ranges (each op answered
+    separately pays the full join+aggregate plan per op; fused, the store
+    is scanned once and every op is just extra aggregate columns).
+
+    ``ranges``: (stream_id, qid, t0, t1[, member]).  Returns one row per
+    range with ``<op>_value`` / ``<op>_error`` column pairs carrying
+    exactly the per-op ``sketch_range_frame`` semantics (probe-pushdown
+    membership/frequency, HLL union, sorted KLL fold; empty-overlap
+    defaults included).
+    """
+    ops = tuple(ops)
+    need_member = any(o in ops for o in ("membership", "frequency"))
+    r = ranges.select(
+        "stream_id",
+        "qid",
+        F.col("t0").cast("long").alias("t0"),
+        F.col("t1").cast("long").alias("t1"),
+        *(
+            [F.col("member").cast("double").alias("member")]
+            if need_member
+            else []
+        ),
+    )
+    key = _RANGE_KEY + (["member"] if need_member else [])
+    sk_cols = {"count"}
+    if "membership" in ops:
+        sk_cols.add("bloom")
+    if "frequency" in ops:
+        sk_cols.add("cms")
+    if "distinct" in ops:
+        sk_cols.add("hll")
+    if "quantile" in ops:
+        sk_cols.add("kll")
+    s = sketches.select(
+        F.col("stream_id").alias("_s_sid"), "time_start", "time_end", *sk_cols
+    )
+    j = F.broadcast(r).join(
+        s,
+        (F.col("stream_id") == F.col("_s_sid"))
+        & (F.col("time_end") >= F.col("t0"))
+        & (F.col("time_start") <= F.col("t1")),
+    )
+
+    proj_cols, aggs = [F.col("count")], [F.sum("count").alias("n_items")]
+    if "membership" in ops:
+        hits = sketch.bloom_probe_hits(
+            F.col("bloom"), F.col("member"), m_bits=bloom_m, k=bloom_k
+        )
+        proj_cols += [
+            F.element_at(hits, i + 1).cast("int").alias(f"_h{i}")
+            for i in range(bloom_k)
+        ]
+        aggs += [F.max(f"_h{i}").alias(f"_h{i}") for i in range(bloom_k)]
+    if "frequency" in ops:
+        proj_cols += [
+            F.coalesce(
+                F.element_at(
+                    "cms",
+                    F.lit(i * cms_width)
+                    + F.pmod(
+                        F.xxhash64(F.col("member"), F.lit(1000 + i)),
+                        F.lit(cms_width),
+                    ),
+                ),
+                F.lit(0).cast("long"),
+            ).alias(f"_c{i}")
+            for i in range(cms_depth)
+        ]
+        aggs += [F.sum(f"_c{i}").alias(f"_c{i}") for i in range(cms_depth)]
+    if "distinct" in ops:
+        proj_cols.append(F.col("hll"))
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("_nd")
+        )
+    if "quantile" in ops:
+        proj_cols.append(F.col("kll"))
+        aggs.append(F.array_sort(F.collect_list("kll")).alias("_ks"))
+
+    res = j.select(*key, *proj_cols).groupBy(*key).agg(*aggs)
+
+    out_cols = []
+    if "membership" in ops:
+        hit = None
+        for i in range(bloom_k):
+            c = F.col(f"_h{i}") == 1
+            hit = c if hit is None else (hit & c)
+        fp = F.pow(
+            F.lit(1.0)
+            - F.exp(
+                F.lit(-float(bloom_k)) * F.col("n_items") / F.lit(float(bloom_m))
+            ),
+            F.lit(float(bloom_k)),
+        )
+        out_cols += [
+            F.when(hit, F.lit(1.0)).otherwise(F.lit(0.0)).alias("membership_value"),
+            F.when(hit, fp).otherwise(F.lit(0.0)).alias("membership_error"),
+        ]
+    if "frequency" in ops:
+        out_cols += [
+            F.least(*[F.col(f"_c{i}") for i in range(cms_depth)])
+            .cast("double")
+            .alias("frequency_value"),
+            (F.lit(math.e) * F.col("n_items") / F.lit(float(cms_width))).alias(
+                "frequency_error"
+            ),
+        ]
+    if "distinct" in ops:
+        rse = 1.04 / math.sqrt(1 << hll_lgk)
+        out_cols += [
+            F.col("_nd").cast("double").alias("distinct_value"),
+            (F.lit(rse) * F.col("_nd").cast("double")).alias("distinct_error"),
+        ]
+    if "quantile" in ops:
+        merged = F.reduce(
+            F.slice("_ks", 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
+            F.try_element_at(F.col("_ks"), F.lit(1)),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        )
+        out_cols += [
+            F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(
+                "quantile_value"
+            ),
+            F.lit(0.0165).alias("quantile_error"),
+        ]
+    res = res.select(*key, *out_cols)
+
+    # empty-overlap defaults per op (membership/frequency/distinct -> 0.0;
+    # quantile -> NaN), mirroring the per-op frames
+    fill = []
+    for o in ops:
+        if o == "quantile":
+            fill += [
+                F.coalesce(
+                    F.col("quantile_value"), F.lit(float("nan"))
+                ).alias("quantile_value"),
+                F.when(F.col("quantile_value").isNotNull(), F.lit(0.0165))
+                .otherwise(F.lit(float("nan")))
+                .alias("quantile_error"),
+            ]
+        else:
+            fill += [
+                F.coalesce(F.col(f"{o}_value"), F.lit(0.0)).alias(f"{o}_value"),
+                F.coalesce(F.col(f"{o}_error"), F.lit(0.0)).alias(f"{o}_error"),
+            ]
+    out = r.join(res, key, "left").select(*key, *fill)
+
+    if "membership" in ops and landmark_points is not None:
+        lm = (
+            F.broadcast(r)
+            .join(
+                landmark_points.select(
+                    F.col("stream_id").alias("_l_sid"), "ts", "value"
+                ),
+                (F.col("stream_id") == F.col("_l_sid"))
+                & F.col("ts").between(F.col("t0"), F.col("t1"))
+                & (F.col("value") == F.col("member")),
+            )
+            .groupBy(*key)
+            .agg(F.lit(True).alias("_lm_hit"))
+        )
+        keep = [c for c in out.columns if c not in key + ["membership_value", "membership_error"]]
+        out = out.join(lm, key, "left").select(
+            *key,
+            F.when(F.col("_lm_hit"), F.lit(1.0))
+            .otherwise(F.col("membership_value"))
+            .alias("membership_value"),
+            F.when(F.col("_lm_hit"), F.lit(0.0))
+            .otherwise(F.col("membership_error"))
+            .alias("membership_error"),
+            *keep,
+        )
+    return out

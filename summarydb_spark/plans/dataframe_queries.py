@@ -547,7 +547,7 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified error bound, as in plans/sketch_queries.py."""
     from summarydb_spark.operators.sketch_windows import (
         CMS_WIDTH,
-        sketch_range_frame,
+        sketch_range_frame_multi,
     )
     from summarydb_spark.sources.tables import ensure_sketch_store, load_table
 
@@ -594,18 +594,20 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    memb = sketch_range_frame(sk, r, "membership").select(
-        "stream_id", "qid", F.col("value").alias("memb_v")
+    # ONE overlap join + ONE aggregation answers all four ops per range
+    # (sketch_range_frame_multi); the per-op frames each paid a full
+    # join+aggregate plan over the same store
+    fused = sketch_range_frame_multi(
+        sk, r, ("membership", "frequency", "distinct", "quantile"), q=0.5
+    ).select(
+        "stream_id",
+        "qid",
+        F.col("membership_value").alias("memb_v"),
+        F.col("frequency_value").alias("freq_v"),
+        F.col("distinct_value").alias("nd_v"),
+        F.col("quantile_value").alias("q50_v"),
     )
-    freq = sketch_range_frame(sk, r, "frequency").select(
-        "stream_id", "qid", F.col("value").alias("freq_v")
-    )
-    dist = sketch_range_frame(sk, r, "distinct").select(
-        "stream_id", "qid", F.col("value").alias("nd_v")
-    )
-    quan = sketch_range_frame(sk, r, "quantile", q=0.5).select(
-        "stream_id", "qid", F.col("value").alias("q50_v")
-    )
+    quan = fused.select("stream_id", "qid", "q50_v")
 
     # exact covering-span statistics (same span the sketches answer over);
     # the per-month brackets ARE the stored window bounds (window_id = the
@@ -662,9 +664,7 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = (
         r.select("stream_id", "qid")
-        .join(memb, ["stream_id", "qid"])
-        .join(freq, ["stream_id", "qid"])
-        .join(dist, ["stream_id", "qid"])
+        .join(fused, ["stream_id", "qid"])
         .join(stats, ["stream_id", "qid"])
     )
     bound = F.floor(F.lit(math.e) * F.col("n_cov") / F.lit(float(CMS_WIDTH))) + 1

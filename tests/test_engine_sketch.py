@@ -230,3 +230,50 @@ def test_query_many_sketch_landmark_exact(spark, tmp_path):
     }
     assert rows[0]["value"] == 1.0 and rows[0]["error"] == 0.0
     assert rows[1]["value"] == 0.0
+
+
+def test_fused_multi_frame_matches_per_op_frames(db):
+    """sketch_range_frame_multi (one join + one aggregation for all ops)
+    must reproduce each per-op sketch_range_frame row for row, including
+    empty-overlap defaults."""
+    import math as _math
+
+    from summarydb_spark.operators.sketch_windows import (
+        sketch_range_frame,
+        sketch_range_frame_multi,
+    )
+
+    s = db.get_stream(0)
+    spark = db.spark
+    ranges = spark.createDataFrame(
+        [
+            (0, 0, 0, 499, 17.0),
+            (0, 1, 450, 499, 499.0),
+            (0, 2, 100, 300, 90210.5),
+            (0, 3, 600, 700, 1.0),   # empty overlap
+        ],
+        "stream_id long, qid long, t0 long, t1 long, member double",
+    )
+    fused = {
+        r["qid"]: r
+        for r in sketch_range_frame_multi(
+            s._sketch_df(), ranges, q=0.5
+        ).collect()
+    }
+    for op in ("membership", "frequency", "distinct", "quantile"):
+        kw = {"q": 0.5} if op == "quantile" else {}
+        per = {
+            r["qid"]: r
+            for r in sketch_range_frame(s._sketch_df(), ranges, op, **kw).collect()
+        }
+        for qid in range(4):
+            want_v, want_e = per[qid]["value"], per[qid]["error"]
+            got_v, got_e = fused[qid][f"{op}_value"], fused[qid][f"{op}_error"]
+            if isinstance(want_v, float) and _math.isnan(want_v):
+                assert _math.isnan(got_v), (op, qid)
+            else:
+                assert got_v == pytest.approx(want_v), (op, qid)
+            if isinstance(want_e, float) and _math.isnan(want_e):
+                assert _math.isnan(got_e), (op, qid)
+            else:
+                assert got_e == pytest.approx(want_e), (op, qid)
