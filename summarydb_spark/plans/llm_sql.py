@@ -287,9 +287,7 @@ def q_decontam_ngram(dialect: str, n: int = 5, threshold: float = 0.5) -> str:
             f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))))) "
             "ELSE array(xxhash64(concat_ws(' ', toks))) END"
         )
-        bench_ex = "SELECT DISTINCT explode(sh) AS s FROM d WHERE doc_id % 37 = 0"
-        corp_ex = "SELECT doc_id, explode(sh) AS s FROM corpus"
-        sz = "size(c.sh)"
+        un = "explode(sh)"
     else:
         toks = "string_split(text, ' ')"
         sh = (
@@ -298,28 +296,40 @@ def q_decontam_ngram(dialect: str, n: int = 5, threshold: float = 0.5) -> str:
             f"for i in range(0, len(toks) - {n - 1})]) "
             "ELSE [hash(array_to_string(toks, ' '))] END"
         )
-        bench_ex = "SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 37 = 0"
-        corp_ex = "SELECT doc_id, unnest(sh) AS s FROM corpus"
-        sz = "len(c.sh)"
+        un = "unnest(sh)"
+    # Spark inlines CTEs (no materialization), so every reference to a
+    # shingle-building CTE re-tokenizes and re-hashes its input.  The
+    # benchmark and corpus doc sets are DISJOINT, so building each side's
+    # shingles directly from its own filtered scan keeps the total work at
+    # exactly one corpus pass; per-doc totals and hit counts come from ONE
+    # left-join aggregation over the exploded corpus shingles (no re-join
+    # back to the shingle arrays).
     return f"""
-WITH t AS (
-  SELECT doc_id, {toks} AS toks FROM documents
+WITH bench AS (
+  SELECT DISTINCT {un} AS s
+  FROM (SELECT doc_id, {sh} AS sh
+        FROM (SELECT doc_id, {toks} AS toks FROM documents
+              WHERE doc_id % 37 = 0) tb) db
 ),
-d AS (SELECT doc_id, {sh} AS sh FROM t),
-bench AS ({bench_ex}),
-corpus AS (SELECT doc_id, sh FROM d WHERE doc_id % 37 != 0),
-ex AS ({corp_ex}),
+ex AS (
+  SELECT doc_id, {un} AS s
+  FROM (SELECT doc_id, {sh} AS sh
+        FROM (SELECT doc_id, {toks} AS toks FROM documents
+              WHERE doc_id % 37 != 0) tc) dc
+),
 hits AS (
-  SELECT e.doc_id, count(*) AS n_hit
-  FROM ex e JOIN bench b ON e.s = b.s
+  SELECT e.doc_id,
+         count(*) AS n_sh,
+         count(b.s) AS n_hit
+  FROM ex e LEFT JOIN bench b ON e.s = b.s
   GROUP BY e.doc_id
 )
-SELECT c.doc_id,
-       CAST({sz} AS BIGINT) AS n_shingles,
-       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-       round(coalesce(h.n_hit, 0) / CAST({sz} AS DOUBLE), 6) AS containment,
-       coalesce(h.n_hit, 0) / CAST({sz} AS DOUBLE) >= {threshold} AS contaminated
-FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id"""
+SELECT doc_id,
+       CAST(n_sh AS BIGINT) AS n_shingles,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(n_hit / CAST(n_sh AS DOUBLE), 6) AS containment,
+       n_hit / CAST(n_sh AS DOUBLE) >= {threshold} AS contaminated
+FROM hits"""
 
 
 LLM_QUERIES = {
