@@ -642,71 +642,29 @@ class SummaryDB:
         (protos/summarydb.capnp:6-13; per-stream-only querying at
         core/stream.go:156-192).
         """
-        from summarydb_spark.operators.sketch_windows import sketch_range_frame
+        from summarydb_spark.operators.sketch_windows import (
+            batched_sketch_requests,
+        )
 
-        norm: List[Tuple[int, str, int, int, Optional[float]]] = []
-        for i, req in enumerate(requests):
-            if len(req) == 4:
-                sid, op, t0, t1 = req
-                arg = None
-            elif len(req) == 5:
-                sid, op, t0, t1, arg = req
-            else:
-                raise ValueError(f"request {i}: expected 4 or 5 fields")
-            if op in ("membership", "frequency") and arg is None:
-                raise ValueError(f"request {i}: {op} needs a member arg")
-            if op == "quantile" and arg is None:
-                arg = 0.5
-            norm.append((int(sid), op, int(t0), int(t1), arg))
-
-        self.flush(stream_ids={sid for sid, *_ in norm})
+        self.flush(stream_ids={req[0] for req in requests})
         if not os.path.isdir(self._sketches_path):
             raise ValueError(
                 f"no sketch state at {self._sketches_path}; declare sketch "
                 f"ops at new_stream()"
             )
-        spark = self.spark
-        sketches = spark.read.parquet(self._sketches_path)
-
         lpts = None
-        if any(op == "membership" for _s, op, *_ in norm):
+        if any(req[1] == "membership" for req in requests):
             lm = self.landmarks_df()
             if lm is not None:
                 lpts = lm.where(F.col("ts").isNotNull()).select(
                     "stream_id", "ts", "value"
                 )
-
-        # group requests: one sketch_range_frame per op (per distinct q for
-        # quantile — the KLL rank is a plan-time literal)
-        groups: dict = {}
-        for qid, (sid, op, t0, t1, arg) in enumerate(norm):
-            key = (op, arg) if op == "quantile" else (op, None)
-            groups.setdefault(key, []).append((sid, qid, t0, t1, arg))
-        core = ["stream_id", "qid", "t0", "t1", "value", "error"]
-        out = None
-        for (op, qv), rows in groups.items():
-            if op in ("membership", "frequency"):
-                rdf = spark.createDataFrame(
-                    [(s, q, t0, t1, float(a)) for s, q, t0, t1, a in rows],
-                    "stream_id long, qid long, t0 long, t1 long, member double",
-                )
-            else:
-                rdf = spark.createDataFrame(
-                    [(s, q, t0, t1) for s, q, t0, t1, _a in rows],
-                    "stream_id long, qid long, t0 long, t1 long",
-                )
-            frame = sketch_range_frame(
-                sketches,
-                rdf,
-                op,
-                landmark_points=lpts if op == "membership" else None,
-                **({"q": float(qv)} if op == "quantile" else {}),
-            )
-            frame = frame.select(*core, F.lit(op).alias("op"))
-            out = frame if out is None else out.unionByName(frame)
-        return out.select(
-            "stream_id", "qid", "op", "t0", "t1", "value", "error"
-        ).orderBy("qid")
+        return batched_sketch_requests(
+            self.spark,
+            self.spark.read.parquet(self._sketches_path),
+            requests,
+            landmark_points=lpts,
+        )
 
     def register_sql(self) -> None:
         """Register the SQL approx-query surface over this DB's persisted

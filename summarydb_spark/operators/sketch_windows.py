@@ -677,3 +677,63 @@ def sketch_range_frame_multi(
             *keep,
         )
     return out
+
+
+def batched_sketch_requests(
+    spark,
+    sketches: DataFrame,
+    requests: Sequence[tuple],
+    landmark_points: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Answer mixed (stream_id, op, t0, t1[, arg]) sketch requests in one
+    lazy plan: requests group by op (and by quantile literal — the KLL
+    rank must be plan-time foldable), each group is one
+    ``sketch_range_frame`` overlap join against the shared store, groups
+    union.  Returns (stream_id, qid, op, t0, t1, value, error) with qid =
+    request position.  Shared by ``SummaryDB.query_many_sketch`` and
+    ``StreamingSummarizer.query_many_sketch``.
+    """
+    norm = []
+    for i, req in enumerate(requests):
+        if len(req) == 4:
+            sid, op, t0, t1 = req
+            arg = None
+        elif len(req) == 5:
+            sid, op, t0, t1, arg = req
+        else:
+            raise ValueError(f"request {i}: expected 4 or 5 fields")
+        if op in ("membership", "frequency") and arg is None:
+            raise ValueError(f"request {i}: {op} needs a member arg")
+        if op == "quantile" and arg is None:
+            arg = 0.5
+        norm.append((int(sid), op, int(t0), int(t1), arg))
+
+    groups: dict = {}
+    for qid, (sid, op, t0, t1, arg) in enumerate(norm):
+        key = (op, arg) if op == "quantile" else (op, None)
+        groups.setdefault(key, []).append((sid, qid, t0, t1, arg))
+    core = ["stream_id", "qid", "t0", "t1", "value", "error"]
+    out = None
+    for (op, qv), rows in groups.items():
+        if op in ("membership", "frequency"):
+            rdf = spark.createDataFrame(
+                [(s, q, t0, t1, float(a)) for s, q, t0, t1, a in rows],
+                "stream_id long, qid long, t0 long, t1 long, member double",
+            )
+        else:
+            rdf = spark.createDataFrame(
+                [(s, q, t0, t1) for s, q, t0, t1, _a in rows],
+                "stream_id long, qid long, t0 long, t1 long",
+            )
+        frame = sketch_range_frame(
+            sketches,
+            rdf,
+            op,
+            landmark_points=landmark_points if op == "membership" else None,
+            **({"q": float(qv)} if op == "quantile" else {}),
+        )
+        frame = frame.select(*core, F.lit(op).alias("op"))
+        out = frame if out is None else out.unionByName(frame)
+    return out.select(
+        "stream_id", "qid", "op", "t0", "t1", "value", "error"
+    ).orderBy("qid")

@@ -312,3 +312,23 @@ class StreamingSummarizer:
         if op in ("max", "min"):
             return minmax_range_frame(summary, ranges_df, op).orderBy("qid")
         raise ValueError(f"unknown operator: {op}")
+
+    def query_many_sketch(self, requests) -> DataFrame:
+        """Batched SKETCH range queries over the latest committed streaming
+        snapshot: mixed (stream_id, op, t0, t1[, arg]) requests
+        (membership | frequency | distinct | quantile) answered in one
+        lazy plan against the incrementally-maintained per-window sketch
+        state (requires ``sketch_ops`` at construction).  Same request/
+        result contract as ``SummaryDB.query_many_sketch``.
+        """
+        from summarydb_spark.operators.sketch_windows import (
+            batched_sketch_requests,
+        )
+
+        sketches = load_sketches(self.spark, self.state_dir)
+        if sketches is None:
+            raise ValueError(
+                f"no sketch state under {self.state_dir}; start the "
+                f"summarizer with sketch_ops=(...)"
+            )
+        return batched_sketch_requests(self.spark, sketches, requests)

@@ -493,3 +493,59 @@ def test_streaming_state_query_many_parity(spark, tmp_path):
             assert got[qid]["value"] == pytest.approx(want.value, abs=1e-9), (
                 op, sid, t0, t1,
             )
+
+
+def test_streaming_query_many_sketch_parity(spark, tmp_path):
+    """Batched sketch requests over the streaming snapshot must agree with
+    the per-op single-query functions evaluated on the same state."""
+    from summarydb_spark.operators.sketch_windows import (
+        query_distinct,
+        query_frequency,
+        query_membership,
+        query_quantile,
+    )
+    from summarydb_spark.streaming.ingest import load_sketches
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    rows = _events(64, streams=(0, 1))
+    for lo, hi in ((0, 30), (30, 64)):
+        _write_chunk(spark, src, [r for r in rows if lo <= r.seq < hi], f"{lo}")
+    summ = StreamingSummarizer(
+        spark,
+        ExpWindowing(2.0),
+        state,
+        order_cols=("seq",),
+        sketch_ops=("bloom", "cms", "hll", "kll"),
+    )
+    summ.start(
+        spark.readStream.schema(EVENT_SCHEMA).parquet(src), cp
+    ).awaitTermination()
+
+    requests = [
+        (0, "membership", 0, 630, 10.5),
+        (1, "membership", 0, 630, 9999.0),
+        (0, "frequency", 0, 630, 3.0),
+        (1, "distinct", 101, 401),
+        (0, "quantile", 0, 630, 0.5),
+    ]
+    got = {r["qid"]: r for r in summ.query_many_sketch(requests).collect()}
+    sk = load_sketches(spark, state)
+    single = [
+        query_membership(sk, 0, 10.5, 0, 630),
+        query_membership(sk, 1, 9999.0, 0, 630),
+        query_frequency(sk, 0, 3.0, 0, 630),
+        query_distinct(sk, 1, 101, 401),
+        query_quantile(sk, 0, 0.5, 0, 630),
+    ]
+    import math
+
+    for qid, want in enumerate(single):
+        g = got[qid]
+        if isinstance(want.value, float) and math.isnan(want.value):
+            assert math.isnan(g["value"]), qid
+        elif qid == 4:  # KLL merge randomization tolerance
+            assert abs(g["value"] - want.value) <= max(2.0, 0.05 * abs(want.value))
+        else:
+            assert g["value"] == pytest.approx(want.value), qid
