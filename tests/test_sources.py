@@ -1,0 +1,83 @@
+"""Source-format agnosticism: the engine ingests from ANY Spark source.
+
+The reference's only ingress is its own Append() API (core/stream.go:104);
+here ``Stream.append`` takes a DataFrame, so parquet, JSON-lines, and CSV
+sources (and by extension Kafka/file streams) all feed the same pipeline.
+These tests pin that the SAME data arriving via different formats yields
+BYTE-IDENTICAL summary state and query answers."""
+
+import pytest
+
+from summarydb_spark.engine import SummaryDB
+from summarydb_spark.windowing import ExpWindowing
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def event_slice(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(SRC)
+        .where("user_id = 1")
+        .select(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("ts"),
+            "value",
+        )
+        .orderBy("ts")
+        .limit(500)
+        .cache()
+    )
+
+
+def _ingest(spark, path, df):
+    db = SummaryDB(spark, path)
+    s = db.new_stream(ops=["count", "sum", "max", "min"], windowing=ExpWindowing(2.0))
+    s.append(df.orderBy("ts"))
+    db.flush()
+    return db
+
+
+def test_json_csv_parquet_sources_identical(spark, tmp_path, event_slice):
+    from pyspark.sql import functions as F
+
+    jdir = str(tmp_path / "events_jsonl")
+    cdir = str(tmp_path / "events_csv")
+    event_slice.write.mode("overwrite").json(jdir)
+    event_slice.write.mode("overwrite").option("header", True).csv(cdir)
+
+    from_parquet = _ingest(spark, str(tmp_path / "db_parquet"), event_slice)
+    from_json = _ingest(
+        spark,
+        str(tmp_path / "db_json"),
+        spark.read.schema("ts long, value double").json(jdir),
+    )
+    from_csv = _ingest(
+        spark,
+        str(tmp_path / "db_csv"),
+        spark.read.option("header", True)
+        .schema("ts long, value double")
+        .csv(cdir),
+    )
+
+    def canon(db):
+        rows = (
+            spark.read.parquet(db._summary_path)
+            .select("stream_id", "time_start", "time_end", "count", "sum", "max", "min")
+            .collect()
+        )
+        return sorted(tuple(r) for r in rows)
+
+    base = canon(from_parquet)
+    assert len(base) > 3
+    assert canon(from_json) == base
+    assert canon(from_csv) == base
+
+    t0, t1 = base[0][1], base[-1][2]
+    for op in ("count", "sum", "max", "min"):
+        want = from_parquet.get_stream(0).query(op, t0, t1)
+        for db in (from_json, from_csv):
+            got = db.get_stream(0).query(op, t0, t1)
+            assert got.value == want.value, op
+            assert got.error == want.error, op
