@@ -156,11 +156,16 @@ class Stream:
         unflushed buffer AND its counters together, leaving the on-disk state
         consistent at the last flush (the WAL-less analogue of the
         reference's buffered ingester, core/ingester.go).  With
-        ``SummaryDB(durable_appends=True)`` every batch is journaled with an
-        fsync before this method returns (the reference's WAL-before-ack,
-        core/pipeline.go:97-107, strengthened from its 0-1 s async-fsync
-        window to per-batch), and reopen replays the journal — zero
-        acknowledged rows lost on crash.
+        ``SummaryDB(durable_appends=True)`` every DECAYED-path batch is
+        journaled with an fsync before this method returns (the reference's
+        WAL-before-ack, core/pipeline.go:97-107, strengthened from its
+        0-1 s async-fsync window to per-batch), and reopen replays the
+        journal — zero acknowledged rows lost on crash.  Points inside an
+        OPEN landmark bracket are the exception on both engines: they
+        buffer/stage until ``end_landmark`` commits the bracket (the
+        reference holds them in the in-memory landmark window,
+        core/landmark_window.go), so a crash mid-bracket loses the open
+        bracket — never any committed one.
         """
         if self._landmark is not None:
             self._landmark["points"].extend((int(t), float(v)) for t, v in pairs)
@@ -774,6 +779,19 @@ class SummaryDB:
             for sid, m in data["streams"].items():
                 meta = _StreamMeta(**m)
                 self._streams[int(sid)] = Stream(self, meta)
+            if "segments" not in data and (
+                os.path.isdir(self._events_path)
+                and any(os.scandir(self._events_path))
+            ):
+                # registry predates the manifest-committed layout but event
+                # data exists: opening would silently serve an empty stream
+                # set and the next flush would replace the committed summary
+                # — refuse instead of destroying data
+                raise ValueError(
+                    f"{path} uses a pre-manifest store layout (streams.json "
+                    "has no 'segments'); rebuild the DB from its source "
+                    "events — in-place migration is not supported"
+                )
             self._segments = data.get("segments", self._segments)
             self._stores = data.get("stores", self._stores)
         self._sweep_orphans()
@@ -846,7 +864,17 @@ class SummaryDB:
         journal fsyncs per batch, so an acknowledged row is NEVER lost —
         a crash replays the tail beyond the committed counters."""
         if self._wal_file is None:
+            created = not os.path.exists(self._wal_path)
             self._wal_file = open(self._wal_path, "a")
+            if created:
+                # fsync the parent directory too: file data fsync alone
+                # does not persist the new directory entry, so on power
+                # loss the journal file itself could vanish
+                dfd = os.open(os.path.dirname(self._wal_path), os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
         self._wal_file.write(json.dumps(rows) + "\n")
         self._wal_file.flush()
         os.fsync(self._wal_file.fileno())

@@ -77,10 +77,13 @@ def _with_base(df: DataFrame, base_df: Optional[DataFrame], out_col: str) -> Dat
         F.col("stream_id").alias("_b_sid"), F.col("n").alias("_b_n")
     )
     try:
-        small = (
-            b._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            <= 64 * 1024 * 1024
-        )
+        size = int(b._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # relations without real statistics (driver-built LocalRelations,
+        # aggregates over them) report spark.sql.defaultSizeInBytes =
+        # Long.MaxValue — that is "unknown", not "huge": keep the hint
+        # there (the dict-built counts path is bounded by construction)
+        # and drop it only when REAL stats exceed the threshold
+        small = size <= 64 * 1024 * 1024 or size >= (1 << 62)
     except Exception:
         small = True
     joined = df.join(

@@ -140,220 +140,50 @@ def sketch_range_frame(
     """Batched sketch range queries: evaluate ``op`` for every range row in
     ONE Spark job — the sketch analogue of ``operators.query_df``.
 
-    ``ranges``: (stream_id, qid, t0, t1[, member][, q]) — ``member`` (double)
-    for membership/frequency, ``q`` for quantile.  ``sketches``: the
-    per-window sketch store (``build_sketch_windows`` output).  Plan shape:
-    broadcast(ranges) interval-overlap join against the store, then per-qid
-    monoid merges as column math — bloom word ``bit_or``, CMS keywise sum,
-    ``hll_union_agg``, KLL fold — and a JVM-side probe, so Q queries cost
-    one job instead of 2Q driver round-trips (the uniform query surface the
-    reference has for count/sum/max, core/stream.go:156-192, extended to
-    the sketch ops it only declares).
+    Thin per-op view over :func:`sketch_range_frame_multi` (one overlap
+    join + one hash aggregation; probe-pushdown membership/frequency, HLL
+    union, sorted KLL fold — see that function for the plan shape).
 
-    Returns, per op (all share the (stream_id, qid, t0, t1, value, error)
-    core; values have exactly the single-query semantics of
-    query_membership / query_frequency / query_distinct / query_quantile,
-    including empty-overlap defaults):
+    ``ranges``: (stream_id, qid, t0, t1[, member]) — ``member`` (double)
+    required for membership/frequency.  Returns, per op (all share the
+    (stream_id, qid, t0, t1, value, error) core; values have exactly the
+    single-query semantics of query_membership / query_frequency /
+    query_distinct / query_quantile, including empty-overlap defaults):
 
-    - membership | frequency: core + ``member`` (the probed value,
-      carried through from ``ranges``)
+    - membership | frequency: core + ``member`` (the probed value)
     - distinct:   core only
     - quantile:   core + ``q`` (the rank literal — mixed-quantile batches
-      union per-distinct-q frames, so each row stays self-describing)
-
-    To union result frames ACROSS ops, select the common core columns.
+      union per-distinct-q frames; kll_sketch_get_quantile needs a
+      foldable rank)
 
     ``landmark_points`` (stream_id, ts, value), membership only: a landmark
-    point equal to the member inside [t0, t1] answers exactly (error 0),
-    mirroring the single-query path.
+    point equal to the member inside [t0, t1] answers exactly (error 0).
     """
-    # quantile rank must be a plan-time literal (kll_sketch_get_quantile's
-    # foldable-input requirement), so it arrives via the ``q`` parameter;
-    # callers batch mixed quantiles by unioning per-distinct-q frames
-    # (still one lazy job).
-    extra = {"membership": ["member"], "frequency": ["member"]}.get(op, [])
-    sk_cols = {
-        "membership": ["bloom", "count"],
-        "frequency": ["cms", "count"],
-        "distinct": ["hll"],
-        "quantile": ["kll"],
-    }
-    if op not in sk_cols:
+    if op not in ("membership", "frequency", "distinct", "quantile"):
         raise ValueError(f"unknown sketch op: {op}")
-    r = ranges.select(
-        "stream_id",
-        "qid",
-        F.col("t0").cast("long").alias("t0"),
-        F.col("t1").cast("long").alias("t1"),
-        *(
-            [F.col("member").cast("double").alias("member")]
-            if "member" in extra
-            else []
-        ),
+    out = sketch_range_frame_multi(
+        sketches,
+        ranges,
+        (op,),
+        landmark_points=landmark_points,
+        bloom_m=bloom_m,
+        bloom_k=bloom_k,
+        hll_lgk=hll_lgk,
+        cms_depth=cms_depth,
+        cms_width=cms_width,
+        q=q,
     )
-    key = _RANGE_KEY + extra
-    s = sketches.select(
-        F.col("stream_id").alias("_s_sid"),
-        "time_start",
-        "time_end",
-        *sk_cols[op],
-    )
-    j = F.broadcast(r).join(
-        s,
-        (F.col("stream_id") == F.col("_s_sid"))
-        & (F.col("time_end") >= F.col("t0"))
-        & (F.col("time_start") <= F.col("t1")),
-    )
-
-    if op == "membership":
-        # probe pushdown: the merged filter's bit p is the OR of bit p
-        # over the covering windows, so membership = AND over the k probe
-        # positions of (bool_or over windows).  k int columns + one hash
-        # aggregate replace the explode -> word-merge -> map-rebuild ->
-        # probe pipeline (one shuffle instead of three, rows of k ints
-        # instead of whole bloom maps).
-        hits = sketch.bloom_probe_hits(
-            F.col("bloom"), F.col("member"), m_bits=bloom_m, k=bloom_k
-        )
-        proj = j.select(
-            *key,
-            F.col("count"),
-            *[
-                F.element_at(hits, i + 1).cast("int").alias(f"_h{i}")
-                for i in range(bloom_k)
-            ],
-        )
-        res = proj.groupBy(*key).agg(
-            F.sum("count").alias("n_items"),
-            *[F.max(f"_h{i}").alias(f"_h{i}") for i in range(bloom_k)],
-        )
-        hit = None
-        for i in range(bloom_k):
-            c = F.col(f"_h{i}") == 1
-            hit = c if hit is None else (hit & c)
-        fp = F.pow(
-            F.lit(1.0)
-            - F.exp(F.lit(-float(bloom_k)) * F.col("n_items") / F.lit(float(bloom_m))),
-            F.lit(float(bloom_k)),
-        )
-        res = res.select(
-            *key,
-            F.when(hit, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
-            F.when(hit, fp).otherwise(F.lit(0.0)).alias("error"),
-        )
-        out = r.join(res, key, "left").select(
-            *key,
-            F.coalesce("value", F.lit(0.0)).alias("value"),
-            F.coalesce("error", F.lit(0.0)).alias("error"),
-        )
-        if landmark_points is not None:
-            lm = (
-                F.broadcast(r)
-                .join(
-                    landmark_points.select(
-                        F.col("stream_id").alias("_l_sid"), "ts", "value"
-                    ),
-                    (F.col("stream_id") == F.col("_l_sid"))
-                    & F.col("ts").between(F.col("t0"), F.col("t1"))
-                    & (F.col("value") == F.col("member")),
-                )
-                .groupBy(*key)
-                .agg(F.lit(True).alias("_lm_hit"))
-            )
-            out = (
-                out.join(lm, key, "left")
-                .select(
-                    *key,
-                    F.when(F.col("_lm_hit"), F.lit(1.0))
-                    .otherwise(F.col("value"))
-                    .alias("value"),
-                    F.when(F.col("_lm_hit"), F.lit(0.0))
-                    .otherwise(F.col("error"))
-                    .alias("error"),
-                )
-            )
-        return out
-
-    if op == "frequency":
-        # probe pushdown (same argument as membership): the merged CMS
-        # cell is the SUM over windows of that cell, so the estimate =
-        # min over depths of (sum over windows of the probed cell) —
-        # depth long columns + one hash aggregate, no map merge.
-        cells_row = [
-            F.coalesce(
-                F.element_at(
-                    "cms",
-                    F.lit(i * cms_width)
-                    + F.pmod(
-                        F.xxhash64(F.col("member"), F.lit(1000 + i)),
-                        F.lit(cms_width),
-                    ),
-                ),
-                F.lit(0).cast("long"),
-            ).alias(f"_c{i}")
-            for i in range(cms_depth)
-        ]
-        proj = j.select(*key, F.col("count"), *cells_row)
-        res = proj.groupBy(*key).agg(
-            F.sum("count").alias("n_items"),
-            *[F.sum(f"_c{i}").alias(f"_c{i}") for i in range(cms_depth)],
-        )
-        res = res.select(
-            *key,
-            F.least(*[F.col(f"_c{i}") for i in range(cms_depth)])
-            .cast("double")
-            .alias("value"),
-            (F.lit(math.e) * F.col("n_items") / F.lit(float(cms_width))).alias(
-                "error"
-            ),
-        )
-        return r.join(res, key, "left").select(
-            *key,
-            F.coalesce("value", F.lit(0.0)).alias("value"),
-            F.coalesce("error", F.lit(0.0)).alias("error"),
-        )
-
-    if op == "distinct":
-        res = j.groupBy(*key).agg(
-            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("nd")
-        )
-        rse = 1.04 / math.sqrt(1 << hll_lgk)
-        return r.join(res, key, "left").select(
-            *key,
-            F.coalesce(F.col("nd").cast("double"), F.lit(0.0)).alias("value"),
-            (F.lit(rse) * F.coalesce(F.col("nd").cast("double"), F.lit(0.0))).alias(
-                "error"
-            ),
-        )
-
-    # quantile
-    # sort the sketch list before folding: KLL merge results are
-    # order-sensitive, and collect_list order is nondeterministic — the
-    # sort makes batched and single-query paths bit-identical
-    merged = (
-        j.groupBy(*key)
-        .agg(F.array_sort(F.collect_list("kll")).alias("_ks"))
-        .select(
-            *key,
-            F.reduce(
-                F.slice("_ks", 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
-                F.try_element_at(F.col("_ks"), F.lit(1)),
-                lambda acc, x: F.kll_sketch_merge_double(acc, x),
-            ).alias("kll"),
-        )
-    )
-    res = merged.select(
-        *key,
-        F.kll_sketch_get_quantile_double("kll", F.lit(float(q))).alias("value"),
-    )
-    return r.join(res, key, "left").select(
-        *key,
-        F.lit(float(q)).alias("q"),
-        F.coalesce(F.col("value"), F.lit(float("nan"))).alias("value"),
-        F.when(F.col("value").isNotNull(), F.lit(0.0165))
-        .otherwise(F.lit(float("nan")))
-        .alias("error"),
-    )
+    cols = list(_RANGE_KEY)
+    if op in ("membership", "frequency"):
+        cols.append("member")
+    sel = [F.col(c) for c in cols]
+    if op == "quantile":
+        sel.append(F.lit(float(q)).alias("q"))
+    sel += [
+        F.col(f"{op}_value").alias("value"),
+        F.col(f"{op}_error").alias("error"),
+    ]
+    return out.select(*sel)
 
 
 def _overlap(df: DataFrame, stream_id: int, t0: int, t1: int) -> DataFrame:
@@ -693,6 +523,12 @@ def batched_sketch_requests(
     request position.  Shared by ``SummaryDB.query_many_sketch`` and
     ``StreamingSummarizer.query_many_sketch``.
     """
+    if not requests:
+        return spark.createDataFrame(
+            [],
+            "stream_id long, qid long, op string, t0 long, t1 long, "
+            "value double, error double",
+        )
     norm = []
     for i, req in enumerate(requests):
         if len(req) == 4:

@@ -239,13 +239,19 @@ per_lang AS (
          sum(exact_ok) AS lang_exact
   FROM annot GROUP BY lang
 )
-SELECT lang,
-       CAST(n_docs AS BIGINT) AS n_docs, n_tokens, first_doc,
-       CAST(sum(lang_input) OVER () AS BIGINT) AS n_input,
-       CAST(sum(lang_quality) OVER () AS BIGINT) AS n_quality,
-       CAST(sum(lang_exact) OVER () AS BIGINT) AS n_exact,
-       CAST(sum(n_docs) OVER () AS BIGINT) AS n_final
-FROM per_lang WHERE n_docs > 0"""
+SELECT lang, n_docs, n_tokens, first_doc, n_input, n_quality, n_exact, n_final
+FROM (
+  -- whole-corpus totals are windowed BEFORE the survivors filter: a
+  -- language whose docs all washed out must still count toward the
+  -- per-stage loss accounting (WHERE evaluates before SELECT windows)
+  SELECT lang,
+         CAST(n_docs AS BIGINT) AS n_docs, n_tokens, first_doc,
+         CAST(sum(lang_input) OVER () AS BIGINT) AS n_input,
+         CAST(sum(lang_quality) OVER () AS BIGINT) AS n_quality,
+         CAST(sum(lang_exact) OVER () AS BIGINT) AS n_exact,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS n_final
+  FROM per_lang
+) t WHERE n_docs > 0"""
 
 
 COVERAGE_EXT_QUERIES = {

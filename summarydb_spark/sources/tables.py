@@ -165,6 +165,7 @@ def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
         (SW_LMKROWS_VIEW, "lmk_rows"),
     ):
         path = _store_path(sf_dir, view)
+        _recover_store(path)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             # coalesce(1): the store is O(streams x log n) rows — a handful
             # of MB even at sf100; at real scale drop the coalesce and
@@ -174,18 +175,40 @@ def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:
     setattr(spark, _SUMMARY_VIEWS_ATTR, {"memo": memo})
 
 
+def _recover_store(path: str) -> None:
+    """Heal a store directory after a crashed swap and clear debris.
+
+    A writer that died between the two renames of ``_atomic_store_write``
+    leaves the complete previous store at the newest ``.old-*`` sibling
+    with nothing at ``path`` — rename it back.  All other ``.old-*`` /
+    ``.tmp-*`` siblings are leftovers of crashed attempts and are deleted.
+    Single-writer by contract (like the engine)."""
+    import glob
+    import shutil
+
+    olds = sorted(glob.glob(path + ".old-*"), key=os.path.getmtime)
+    if olds and not os.path.exists(path):
+        os.rename(olds.pop(), path)
+    for d in olds + glob.glob(path + ".tmp-*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _atomic_store_write(df: DataFrame, path: str) -> None:
     """Write a store directory atomically: materialize to a temp sibling,
-    then a single os.rename into place.
+    then swap via renames.
 
     A plain ``mode("overwrite")`` deletes the old store before writing the
     new one — a crash mid-write destroys prior data while leaving no
-    ``_SUCCESS``.  Rename within one filesystem is atomic, so readers see
-    either the complete old store or the complete new one, matching the
-    reference's transactional commit (storage/badger_backend.go:210-263)."""
+    ``_SUCCESS``.  Here no committed data is ever lost: a crash before the
+    first rename leaves the old store in place; a crash between the two
+    renames leaves it at the ``.old-*`` sibling, which ``_recover_store``
+    (run before every write, and from ``ensure_*`` readers) renames back.
+    Matches the reference's transactional commit guarantee
+    (storage/badger_backend.go:210-263)."""
     import shutil
     import uuid
 
+    _recover_store(path)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
@@ -216,6 +239,7 @@ def ensure_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from summarydb_spark.operators.sketch_windows import build_sketch_windows
 
     path = _store_path(sf_dir, "sketch_windows_events")
+    _recover_store(path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events", widen=True).select(
             F.col("user_id").alias("stream_id"),
