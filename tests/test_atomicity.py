@@ -171,3 +171,69 @@ def test_durable_append_tolerates_torn_tail(spark, tmp_path):
     assert s2.meta.n == 10
     r = s2.query("count", 0, 9, PARAMS)
     assert r.value == 10.0
+
+
+def test_open_refuses_pre_manifest_layout(spark, tmp_path):
+    """A registry without 'segments' plus existing event data is the old
+    layout: opening must fail loudly, not serve an empty stream set (and
+    then destroy the committed summary on the next flush)."""
+    import json
+
+    import pytest
+
+    from summarydb_spark.engine import SummaryDB
+
+    d = tmp_path / "legacy"
+    (d / "events" / "stream_id=0").mkdir(parents=True)
+    (d / "events" / "stream_id=0" / "part-0.parquet").write_bytes(b"x")
+    (d / "streams.json").write_text(
+        json.dumps(
+            {
+                "streams": {
+                    "0": {
+                        "stream_id": 0,
+                        "ops": ["count", "sum"],
+                        "window_kind": "exp",
+                        "window_params": {"base": 2.0},
+                    }
+                }
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="pre-manifest"):
+        SummaryDB.open(spark, str(d))
+
+
+def test_store_write_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between the two renames leaves the complete store at .old-*;
+    the next writer or reader must heal it (no committed data lost)."""
+    import os
+
+    from summarydb_spark.sources.tables import (
+        _atomic_store_write,
+        _recover_store,
+    )
+
+    path = str(tmp_path / "store")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    _atomic_store_write(df, path)
+    # simulate the crash window: store renamed away, new tmp half-written
+    os.rename(path, path + ".old-deadbeef")
+    os.makedirs(path + ".tmp-cafe")
+    _recover_store(path)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(path + ".tmp-cafe")
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_query_many_sketch_empty_requests(spark, tmp_path):
+    from summarydb_spark.engine import SummaryDB
+    from summarydb_spark.windowing import ExpWindowing
+
+    db = SummaryDB(spark, str(tmp_path / "emptyreq"))
+    s = db.new_stream(ops=["count", "sum", "bloom"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, float(i)) for i in range(10)])
+    db.flush()
+    out = db.query_many_sketch([])
+    assert out.count() == 0
+    assert out.columns == ["stream_id", "qid", "op", "t0", "t1", "value", "error"]
