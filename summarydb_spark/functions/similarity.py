@@ -141,8 +141,34 @@ def train_ivf_centroids(
     return centroids
 
 
-def ivf_topk(
+def ivf_encode(
     corpus: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index-build half of IVF: assign every corpus vector to its nearest
+    centroid in one Arrow-batched linear scan (no shuffle).  Returns
+    (neighbor_id, cv [L2-normalized], list_id) — the persistable inverted
+    file.  At 100 TB this runs once and is written partitioned by
+    ``list_id`` so searches scan only probed lists."""
+    cdots = _mat_dots_udf(centroids)
+
+    def norm(col):
+        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
+        return F.transform(col, lambda x: x / nrm)
+
+    def argmax_idx(dots: Column) -> Column:
+        return F.array_position(dots, F.array_max(dots)).cast("int") - 1
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        norm(_as_double(F.col(emb_col))).alias("cv"),
+    ).withColumn("list_id", argmax_idx(cdots(F.col("cv"))))
+
+
+def ivf_topk(
+    corpus: Optional[DataFrame],
     queries: DataFrame,
     k: int = 5,
     emb_col: str = "embedding",
@@ -153,17 +179,21 @@ def ivf_topk(
     max_iter: int = 8,
     seed: int = 42,
     centroids: Optional[np.ndarray] = None,
+    encoded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) coarse quantizer.
 
-    The quantizer is trained by :func:`train_ivf_centroids` (pass
-    ``centroids`` to reuse a prebuilt index — the production path).
-    Everything distributed is Arrow-batched numpy: every corpus vector is
-    assigned to its nearest centroid (one linear scan, no shuffle), queries
-    probe their ``n_probe`` nearest centroid lists, and exact cosine runs
-    only inside probed lists.  Candidate volume per query ~
-    corpus * n_probe / n_centroids.
+    The quantizer is trained by :func:`train_ivf_centroids` and the corpus
+    assigned by :func:`ivf_encode` (pass ``centroids`` + ``encoded`` to
+    reuse a prebuilt, persisted index — the production path; otherwise both
+    are built inline from ``corpus``).  Everything distributed is
+    Arrow-batched numpy: every corpus vector is assigned to its nearest
+    centroid (one linear scan, no shuffle), queries probe their ``n_probe``
+    nearest centroid lists, and exact cosine runs only inside probed lists.
+    Candidate volume per query ~ corpus * n_probe / n_centroids.
     """
+    if encoded is not None and centroids is None:
+        raise ValueError("encoded corpus requires the centroids it was built with")
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus,
@@ -173,6 +203,11 @@ def ivf_topk(
             max_iter=max_iter,
             seed=seed,
         )
+    c = (
+        encoded
+        if encoded is not None
+        else ivf_encode(corpus, centroids, emb_col=emb_col, id_col=id_col)
+    )
 
     # L2-normalize so max-dot == max-cosine
     def norm(col):
@@ -182,14 +217,6 @@ def ivf_topk(
         return F.transform(col, lambda x: x / nrm)
 
     cdots = _mat_dots_udf(centroids)
-
-    def argmax_idx(dots: Column) -> Column:
-        return F.array_position(dots, F.array_max(dots)).cast("int") - 1
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        norm(_as_double(F.col(emb_col))).alias("cv"),
-    ).withColumn("list_id", argmax_idx(cdots(F.col("cv"))))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -228,8 +255,30 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
-def lsh_topk(
+def lsh_encode(
     corpus: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Index-build half of multi-table LSH: one Arrow-batched linear pass
+    signs every corpus vector into all ``n_tables`` signature sets at once.
+    Returns (neighbor_id, cv, sigs array<long>) — the persistable index
+    (un-exploded: one row per vector; searches explode JVM-side).  The
+    hyperplanes are derived deterministically from ``seed``, so a search
+    session reconstructs the same planes without storing them."""
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    sigsf = _sigs_all_tables_udf(tables)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("cv")
+    ).withColumn("sigs", sigsf(F.col("cv")))
+
+
+def lsh_topk(
+    corpus: Optional[DataFrame],
     queries: DataFrame,
     k: int = 5,
     emb_col: str = "embedding",
@@ -239,13 +288,15 @@ def lsh_topk(
     n_tables: int = 4,
     probe_hamming: int = 1,
     seed: int = 42,
+    encoded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
     ``n_tables`` independent signatures (different hyperplane sets) are the
     classic recall lever: a true neighbor missed by one table is caught by
     another (recall ~ 1-(1-p)^L).  The corpus is bucketed once per table in
-    a single linear pass (explode over table structs); queries additionally
+    a single linear pass (:func:`lsh_encode`; pass ``encoded`` to reuse a
+    persisted index — the production path); queries additionally
     multi-probe buckets within Hamming ``probe_hamming`` of their own.
     Exact cosine is computed only on in-bucket candidates, once per distinct
     (query, neighbor).  Returns (query_id, neighbor_id, cosine, rnk).
@@ -254,15 +305,21 @@ def lsh_topk(
     sigsf = _sigs_all_tables_udf(tables)
 
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("cv")
+        encoded
+        if encoded is not None
+        else lsh_encode(
+            corpus,
+            emb_col=emb_col,
+            id_col=id_col,
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            seed=seed,
         )
-        .withColumn("sigs", sigsf(F.col("cv")))
-        .select(
-            "neighbor_id",
-            "cv",
-            F.posexplode("sigs").alias("tbl", "sig"),
-        )
+    ).select(
+        "neighbor_id",
+        "cv",
+        F.posexplode("sigs").alias("tbl", "sig"),
     )
 
     q = queries.select(
@@ -398,14 +455,38 @@ def _pq_lut_udf(codebooks: np.ndarray):
     return lut
 
 
-def pq_topk(
+def pq_encode(
     corpus: DataFrame,
+    codebooks: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index-build half of PQ: encode every corpus vector to its ``m``
+    subspace code ids in one Arrow-batched pass.  Returns (neighbor_id, cv
+    [L2-normalized], codes array<int>) — the persistable encoded corpus.
+    At billion-vector scale only (neighbor_id, codes) need stay hot; cv is
+    cold storage fetched for the exact re-rank of ~``rerank`` rows/query."""
+    enc = _pq_encode_udf(codebooks)
+
+    def norm(col):
+        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
+        return F.transform(col, lambda x: x / nrm)
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        norm(_as_double(F.col(emb_col))).alias("cv"),
+    ).withColumn("codes", enc(F.col("cv")))
+
+
+def pq_topk(
+    corpus: Optional[DataFrame],
     queries: DataFrame,
     codebooks: np.ndarray,
     k: int = 5,
     rerank: int = 32,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    encoded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization with exact
     re-ranking (the standard PQ pipeline): ADC-score every (query,
@@ -427,13 +508,13 @@ def pq_topk(
         nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
         return F.transform(col, lambda x: x / nrm)
 
-    enc = _pq_encode_udf(codebooks)
     lut = _pq_lut_udf(codebooks)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        norm(_as_double(F.col(emb_col))).alias("cv"),
-    ).withColumn("codes", enc(F.col("cv")))
+    c = (
+        encoded
+        if encoded is not None
+        else pq_encode(corpus, codebooks, emb_col=emb_col, id_col=id_col)
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -218,73 +218,107 @@ SELECT query_id,
 FROM scored"""
 
 
+def _np_bytes(arr) -> bytes:
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _np_from_bytes(blob: bytes):
+    import io
+
+    import numpy as np
+
+    return np.load(io.BytesIO(blob))
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str, method: str):
+    """Persisted ANN index over the planted corpus, built once per source
+    fingerprint and reused across calls AND sessions (ensure_store): the
+    encoded corpus parquet plus — for ivf/pq — the trained model as a
+    ``_model.npy`` sidecar committed atomically with it, so a search always
+    decodes with exactly the model that encoded the store.  This is the
+    FAISS build/search lifecycle: train + encode once, amortize over every
+    query batch; per-call work is only the (tiny) query-side signatures and
+    the bucketed candidate join.  Returns (encoded DataFrame, model|None)."""
+    from summarydb_spark.sources.tables import ensure_store, store_sidecar
+
+    def build(spark):
+        embs = _embs(spark, sf_dir)
+        corpus = _planted_corpus(embs)
+        if method == "ivf":
+            cent = similarity.train_ivf_centroids(embs, n_centroids=8)
+            return similarity.ivf_encode(corpus, cent), {"_model.npy": _np_bytes(cent)}
+        if method == "pq":
+            books = similarity.train_pq_codebooks(embs, m=4, k=32)
+            return similarity.pq_encode(corpus, books), {"_model.npy": _np_bytes(books)}
+        enc = similarity.lsh_encode(
+            corpus, dim=64, n_planes=8, n_tables=6, seed=42
+        )
+        return enc, None
+
+    path = ensure_store(spark, sf_dir, f"ann_{method}_index", build)
+    model = (
+        _np_from_bytes(store_sidecar(path, "_model.npy"))
+        if method in ("ivf", "pq")
+        else None
+    )
+    return spark.read.parquet(path), model
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors for 20 probe vectors via multi-table
     hyperplane LSH over the planted-neighbor corpus.  The oracle knows the
     exact expected top-3 (the planted copies), so this checks recall, rank
-    order, and cosine values end-to-end."""
+    order, and cosine values end-to-end.  The signed corpus is a persisted
+    index (_ensure_ann_index) — per-call work is query-side only."""
     embs = _embs(spark, sf_dir)
-    corpus = _planted_corpus(embs)
+    encoded, _ = _ensure_ann_index(spark, sf_dir, "lsh")
     queries = embs.where("vec_id < 20")
     out = similarity.lsh_topk(
-        corpus, queries, k=3, n_planes=8, n_tables=6, probe_hamming=2
+        None, queries, k=3, n_planes=8, n_tables=6, probe_hamming=2,
+        encoded=encoded,
     )
     return out.select(
         "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rnk")
-
-
-_IVF_CACHE: dict = {}
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (coarse-quantizer) approximate top-3 for 20 probe vectors over
     the planted-neighbor corpus; same closed-form oracle as the LSH twin.
-    The quantizer is trained once per corpus on the ORIGINAL embeddings and
-    reused (build/search split — the production IVF lifecycle); planted
-    copies are assigned to lists at search time like any new vector."""
-    from summarydb_spark.sources.tables import _source_fingerprint
-
+    The quantizer is trained on the ORIGINAL embeddings and the assigned
+    corpus persisted with it (build/search split — the production IVF
+    lifecycle); searches read the inverted file and probe 4 of 8 lists."""
     embs = _embs(spark, sf_dir)
-    # fingerprint-keyed (not path-keyed): a regenerated embeddings.parquet
-    # must retrain the quantizer, not reuse centroids of the old data
-    key = (_source_fingerprint(sf_dir), 8)
-    if key not in _IVF_CACHE:
-        _IVF_CACHE[key] = similarity.train_ivf_centroids(
-            embs, n_centroids=8
-        )
-    corpus = _planted_corpus(embs)
+    encoded, cent = _ensure_ann_index(spark, sf_dir, "ivf")
     queries = embs.where("vec_id < 20")
     out = similarity.ivf_topk(
-        corpus, queries, k=3, n_centroids=8, n_probe=4, centroids=_IVF_CACHE[key]
+        None, queries, k=3, n_probe=4, centroids=cent, encoded=encoded
     )
     return out.select(
         "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rnk")
-
-
-_PQ_CACHE: dict = {}
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-3 (ADC scoring + exact
     re-ranking, the FAISS IVFADC shape) for 20 probe vectors over the
     planted-neighbor corpus; same closed-form oracle as the LSH/IVF twins.
-    Codebooks are trained once per corpus fingerprint on the ORIGINAL
-    embeddings and reused (build/search split); the exact re-rank stage
+    Codebooks are trained on the ORIGINAL embeddings and the encoded corpus
+    persisted with them (build/search split); the exact re-rank stage
     makes the emitted cosines exact, so the oracle checks recall, rank
     order, and values — a planted copy pushed out of the ADC top-rerank
     would surface a ~0.5-cosine natural row and the hash diverges."""
-    from summarydb_spark.sources.tables import _source_fingerprint
-
     embs = _embs(spark, sf_dir)
-    key = (_source_fingerprint(sf_dir), 4, 32)
-    if key not in _PQ_CACHE:
-        _PQ_CACHE[key] = similarity.train_pq_codebooks(embs, m=4, k=32)
-    corpus = _planted_corpus(embs)
+    encoded, books = _ensure_ann_index(spark, sf_dir, "pq")
     queries = embs.where("vec_id < 20")
     out = similarity.pq_topk(
-        corpus, queries, _PQ_CACHE[key], k=3, rerank=32
+        None, queries, books, k=3, rerank=32, encoded=encoded
     )
     return out.select(
         "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
@@ -829,6 +863,73 @@ def _sql_surface_oracle(op: str) -> str:
     return f"SELECT * FROM ({inner}) o WHERE o.stream_id % 50 = 0"
 
 
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a Bloom prefilter: the two-phase
+    shape for when the benchmark shingle set is too large to broadcast as
+    an exact hash relation.  Phase 1 builds a bloom over the benchmark
+    5-gram hashes (~m/8 bytes regardless of set size) and probes every
+    corpus shingle against the broadcast bits — pure column math, no
+    shuffle, no false negatives.  Phase 2 equi-joins ONLY the surviving
+    shingles (true hits + ~0.1% FPs) against the exact benchmark relation,
+    so the shuffled join volume shrinks by the corpus's true non-hit rate.
+    Results are therefore EXACTLY the one-phase containment
+    (plans/llm_sql.q_decontam_ngram) and share its oracle — a bloom FP can
+    only add a candidate that the verify join then rejects."""
+    from summarydb_spark.functions import sketch
+
+    n, threshold = 5, 0.5
+    m_bits, k = 1 << 17, 5
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))))"
+            )
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("toks")))))
+    bench = (
+        base.where("doc_id % 37 = 0").select(F.explode(sh).alias("s")).distinct()
+    )
+    corpus = base.where("doc_id % 37 != 0").select(
+        "doc_id", F.explode(sh).alias("s")
+    )
+    bloom = sketch.bloom_aggregate(
+        bench.withColumn("g", F.lit(1)), ["g"], "s", m_bits=m_bits, k=k
+    ).select("bloom")
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    cand = corpus.crossJoin(F.broadcast(bloom)).where(
+        sketch.bloom_contains(F.col("bloom"), F.col("s"), m_bits=m_bits, k=k)
+    )
+    hits = (
+        cand.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("containment"),
+            (F.col("n_hit") / F.col("n_shingles") >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def _oracle_decontam_bloom() -> str:
+    from summarydb_spark.plans.llm_sql import q_decontam_ngram
+
+    return q_decontam_ngram("duckdb")
+
+
 # name -> (spark_builder, oracle_sql | None)
 DF_QUERIES = {
     "sql_surface_dsum": (_q_sql_surface("sum"), _sql_surface_oracle("sum")),
@@ -851,4 +952,5 @@ DF_QUERIES = {
     "dedup_cluster_cc": (q_dedup_cluster_cc, _oracle_dedup_cluster_cc()),
     "audio_frame_features": (q_audio_frame_features, ORACLE_AUDIO_FRAMES),
     "sketch_range_batched": (q_sketch_range_batched, ORACLE_SKETCH_RANGE_BATCHED),
+    "decontam_bloom_prefilter": (q_decontam_bloom, _oracle_decontam_bloom()),
 }

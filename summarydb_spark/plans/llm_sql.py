@@ -332,6 +332,147 @@ SELECT doc_id,
 FROM hits"""
 
 
+def q_pii_scrub(dialect: str) -> str:
+    """PII detection + redaction over documents: emails, US-style phone
+    numbers, and IPv4 addresses are counted and replaced with typed
+    placeholder tags — the standard pre-training scrub pass.
+
+    The synthetic corpus has no natural PII, so both engines plant the
+    SAME deterministic PII into the text first (doc_id-derived addresses on
+    doc_id%3/4/5 residues) and then scrub it: the oracle verifies the full
+    regex machinery — match counts, replacement, and the md5 of the
+    redacted text — against known-truth plants, including the
+    three-quarters of docs where some or all patterns must find nothing.
+    Patterns stay within the common Java-regex/RE2 subset (character
+    classes, bounded repeats, word boundaries) so both engines match
+    identically."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}-\d{3}-\d{4}\b"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    aug = """text
+      || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS STRING)
+              || '@mail' || CAST(doc_id % 5 AS STRING) || '.com' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+              || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-'
+              || lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0') ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS STRING)
+              || '.' || CAST((doc_id * 13) % 256 AS STRING) || '.1' ELSE '' END"""
+    red = rx_replace(
+        rx_replace(
+            rx_replace("aug", email, "<EMAIL>", dialect),
+            phone,
+            "<PHONE>",
+            dialect,
+        ),
+        ipv4,
+        "<IP>",
+        dialect,
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST({rx_count("aug", email, dialect)} AS BIGINT) AS n_emails,
+         CAST({rx_count("aug", phone, dialect)} AS BIGINT) AS n_phones,
+         CAST({rx_count("aug", ipv4, dialect)} AS BIGINT) AS n_ips,
+         {red} AS redacted
+  FROM a
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       n_emails + n_phones + n_ips > 0 AS has_pii,
+       length(redacted) AS n_chars_redacted,
+       md5(redacted) AS redacted_md5
+FROM s"""
+
+
+def q_cdc_chunks(dialect: str, window: int = 3, mask: int = 17) -> str:
+    """Content-defined chunking (Rabin/Gear-style): documents are split at
+    positions where a rolling hash of the last ``window`` words hits a
+    boundary condition (``roll % mask == 0``), so chunk boundaries move
+    WITH the content — an insertion early in a document shifts at most one
+    chunk, keeping chunk-level dedup stable (the rsync/LBFS property;
+    fixed-size chunking would shift every subsequent boundary).
+
+    Emits one row per (doc, chunk) with word count and an order-sensitive
+    chunk fingerprint — the unit of chunk-level exact dedup.  Plan shape:
+    tokenize -> explode with position -> two lag()s + a running sum per
+    doc_id (all windowed over the doc partition: docs are independent, so
+    the shuffle is one repartition by doc_id and scales linearly)."""
+    if dialect == "spark":
+        toks_tbl = """
+  SELECT doc_id, pos, w
+  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+  LATERAL VIEW posexplode(toks) t AS pos, w"""
+    else:
+        toks_tbl = """
+  SELECT doc_id, i AS pos, toks[i + 1] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       unnest(range(0, len(toks))) u(i)"""
+    # per-word content hash: first/last codepoints + length — portable
+    # (identical in both engines), cheap, and plenty for boundary entropy
+    h = (
+        "CASE WHEN length(w) = 0 THEN 0 ELSE "
+        "ascii(substr(w, 1, 1)) * 131 + ascii(substr(w, length(w), 1)) * 31 "
+        "+ length(w) * 7 END"
+    )
+    return f"""
+WITH toks AS ({toks_tbl}),
+h AS (SELECT doc_id, pos, CAST({h} AS BIGINT) AS h FROM toks),
+roll AS (
+  SELECT doc_id, pos, h,
+         h + 31 * coalesce(lag(h, 1) OVER w, 0)
+           + 961 * coalesce(lag(h, 2) OVER w, 0) AS r
+  FROM h
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT doc_id, pos, h,
+         CASE WHEN pos = 0 OR r % {mask} = 0 THEN 1 ELSE 0 END AS is_b
+  FROM roll
+),
+ch AS (
+  SELECT doc_id, pos, h,
+         sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM b
+),
+rel AS (
+  SELECT doc_id, chunk_id, pos, h,
+         pos - min(pos) OVER (PARTITION BY doc_id, chunk_id) + 1 AS rpos
+  FROM ch
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(sum(h * rpos) AS BIGINT) AS chunk_fingerprint
+FROM rel
+GROUP BY doc_id, chunk_id"""
+
+
+def q_mix_weights(dialect: str, weight_cap: float = 4.0) -> str:
+    """Training-mix reweighting: per-language token totals -> actual token
+    share -> the per-doc sampling weight that moves the mix toward a
+    uniform language target (capped at ``weight_cap`` to bound upsampling
+    of rare languages — the standard multilingual rebalancing step).
+    Pure aggregation: one corpus pass, O(#langs) result."""
+    ntok = rx_count("text", r"\S+", dialect)
+    return f"""
+WITH t AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({ntok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens) AS all_tokens, count(*) AS n_langs FROM t)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(all_tokens AS DOUBLE), 6) AS actual_share,
+       round(1e0 / n_langs, 6) AS target_share,
+       round(least((1e0 / n_langs) / (n_tokens / CAST(all_tokens AS DOUBLE)),
+                   {weight_cap}), 6) AS sample_weight,
+       CAST(floor(least((1e0 / n_langs) / (n_tokens / CAST(all_tokens AS DOUBLE)),
+                        {weight_cap}) * n_tokens) AS BIGINT) AS expected_tokens
+FROM t CROSS JOIN tot"""
+
+
 LLM_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -341,4 +482,7 @@ LLM_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "decontam_ngram_containment": q_decontam_ngram,
     "knn_brute_cosine": q_knn_brute_cosine,
+    "pii_scrub_redact": q_pii_scrub,
+    "cdc_chunk_stats": q_cdc_chunks,
+    "mix_weights_by_lang": q_mix_weights,
 }

@@ -193,7 +193,9 @@ def _recover_store(path: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _atomic_store_write(df: DataFrame, path: str) -> None:
+def _atomic_store_write(
+    df: DataFrame, path: str, extra_files: dict[str, bytes] | None = None
+) -> None:
     """Write a store directory atomically: materialize to a temp sibling,
     then swap via renames.
 
@@ -204,13 +206,23 @@ def _atomic_store_write(df: DataFrame, path: str) -> None:
     renames leaves it at the ``.old-*`` sibling, which ``_recover_store``
     (run before every write, and from ``ensure_*`` readers) renames back.
     Matches the reference's transactional commit guarantee
-    (storage/badger_backend.go:210-263)."""
+    (storage/badger_backend.go:210-263).
+
+    ``extra_files`` are sidecar blobs (e.g. a serialized ANN model) written
+    into the temp directory BEFORE the swap, so data + model commit as one
+    atomic unit.  Names must start with ``_`` so Spark's parquet reader
+    ignores them as metadata."""
     import shutil
     import uuid
 
     _recover_store(path)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
+    for name, blob in (extra_files or {}).items():
+        if not name.startswith("_"):
+            raise ValueError(f"sidecar {name!r} must start with '_'")
+        with open(os.path.join(tmp, name), "wb") as f:
+            f.write(blob)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)
@@ -253,3 +265,30 @@ def ensure_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_sketch_windows(ev, set(SKETCH_STORE_OPS)).coalesce(1), path
         )
     return spark.read.parquet(path)
+
+
+def ensure_store(spark, sf_dir: str, name: str, build, coalesce: int = 1) -> str:
+    """Generic fingerprint-keyed persisted parquet store: build once per
+    source dataset, reuse across calls and sessions (the pattern behind
+    ensure_summary_views / ensure_sketch_store, factored out for index-like
+    artifacts such as the ANN encoded corpora).
+
+    ``build(spark) -> (DataFrame, extra_files | None)`` runs only when the
+    store for the CURRENT source fingerprint is absent; ``extra_files``
+    sidecars (serialized models) commit atomically with the data.  Returns
+    the store path — read it with ``spark.read.parquet`` and open sidecars
+    with :func:`store_sidecar`."""
+    path = _store_path(sf_dir, name)
+    _recover_store(path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df, extra = build(spark)
+        if coalesce:
+            df = df.coalesce(coalesce)
+        _atomic_store_write(df, path, extra_files=extra)
+    return path
+
+
+def store_sidecar(path: str, name: str) -> bytes:
+    """Read a sidecar blob written by :func:`ensure_store`."""
+    with open(os.path.join(path, name), "rb") as f:
+        return f.read()
