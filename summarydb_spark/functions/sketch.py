@@ -122,6 +122,39 @@ def bloom_contains(
     return F.forall(bloom_probe_hits(bloom, value, m_bits, k), lambda b: b)
 
 
+def bloom_to_dense(bloom: Column, m_bits: int) -> Column:
+    """Sparse bloom map -> dense ``array<long>`` of all m/64 words.
+
+    Spark's map ``element_at`` is a linear scan over the entries array, so
+    probing a well-filled bloom (every word non-zero) costs O(m/64) per
+    lookup — ruinous when ONE merged bloom is probed by millions of rows
+    (the decontamination prefilter).  Densify once on the single-row
+    broadcast side and each probe becomes an O(1) array index.  Keep the
+    sparse map for per-window state (many small blooms, few probes)."""
+    nwords = m_bits // 64
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nwords - 1)),
+        lambda w: F.coalesce(
+            F.element_at(bloom, w.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+
+
+def bloom_contains_dense(
+    bits: Column, value: Column, m_bits: int = 1 << 13, k: int = 5
+) -> Column:
+    """Membership probe against a :func:`bloom_to_dense` word array —
+    same semantics as :func:`bloom_contains`, O(1) per position."""
+    positions = _bloom_positions(value, m_bits, k)
+    return F.forall(
+        positions,
+        lambda p: F.element_at(bits, (p / 64).cast("int") + 1).bitwiseAND(
+            _bit_mask(p % 64)
+        )
+        != 0,
+    )
+
+
 def bloom_merge(a: Column, b: Column) -> Column:
     """Union of two blooms (keywise OR over the union of set words) — the
     mergeable-op law that lets per-window blooms answer range membership."""

@@ -30,6 +30,18 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _emb_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 ANN probe vectors, read UN-widened: the query side is tiny
+    by definition, and the widening repartition would smear 20 rows over
+    32 partitions — every downstream pandas-UDF stage then pays 32 Python
+    worker round-trips to process 20 rows."""
+    from summarydb_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings", widen=False).where(
+        "vec_id < 20"
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (true Jaccard >= 0.8) surfaced by banded
     MinHash LSH.
@@ -276,9 +288,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact expected top-3 (the planted copies), so this checks recall, rank
     order, and cosine values end-to-end.  The signed corpus is a persisted
     index (_ensure_ann_index) — per-call work is query-side only."""
-    embs = _embs(spark, sf_dir)
     encoded, _ = _ensure_ann_index(spark, sf_dir, "lsh")
-    queries = embs.where("vec_id < 20")
+    queries = _emb_probes(spark, sf_dir)
     out = similarity.lsh_topk(
         None, queries, k=3, n_planes=8, n_tables=6, probe_hamming=2,
         encoded=encoded,
@@ -294,9 +305,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantizer is trained on the ORIGINAL embeddings and the assigned
     corpus persisted with it (build/search split — the production IVF
     lifecycle); searches read the inverted file and probe 4 of 8 lists."""
-    embs = _embs(spark, sf_dir)
     encoded, cent = _ensure_ann_index(spark, sf_dir, "ivf")
-    queries = embs.where("vec_id < 20")
+    queries = _emb_probes(spark, sf_dir)
     out = similarity.ivf_topk(
         None, queries, k=3, n_probe=4, centroids=cent, encoded=encoded
     )
@@ -314,9 +324,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the emitted cosines exact, so the oracle checks recall, rank
     order, and values — a planted copy pushed out of the ADC top-rerank
     would surface a ~0.5-cosine natural row and the hash diverges."""
-    embs = _embs(spark, sf_dir)
     encoded, books = _ensure_ann_index(spark, sf_dir, "pq")
-    queries = embs.where("vec_id < 20")
+    queries = _emb_probes(spark, sf_dir)
     out = similarity.pq_topk(
         None, queries, books, k=3, rerank=32, encoded=encoded
     )
@@ -897,12 +906,19 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.where("doc_id % 37 != 0").select(
         "doc_id", F.explode(sh).alias("s")
     )
+    # densify the single merged bloom before broadcasting: the benchmark
+    # bloom is well-filled, and probing its sparse MAP costs a linear scan
+    # of ~m/64 entries per element_at — O(1) array indexing instead
     bloom = sketch.bloom_aggregate(
         bench.withColumn("g", F.lit(1)), ["g"], "s", m_bits=m_bits, k=k
-    ).select("bloom")
-    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ).select(sketch.bloom_to_dense(F.col("bloom"), m_bits).alias("bits"))
+    # per-doc totals are size(sh) — pure column math on the un-exploded
+    # arrays, no second explode+aggregate pass over every shingle
+    totals = base.where("doc_id % 37 != 0").select(
+        "doc_id", F.size(sh).cast("long").alias("n_shingles")
+    )
     cand = corpus.crossJoin(F.broadcast(bloom)).where(
-        sketch.bloom_contains(F.col("bloom"), F.col("s"), m_bits=m_bits, k=k)
+        sketch.bloom_contains_dense(F.col("bits"), F.col("s"), m_bits=m_bits, k=k)
     )
     hits = (
         cand.join(F.broadcast(bench), "s")
