@@ -287,7 +287,13 @@ def q_decontam_ngram(dialect: str, n: int = 5, threshold: float = 0.5) -> str:
             f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))))) "
             "ELSE array(xxhash64(concat_ws(' ', toks))) END"
         )
-        un = "explode(sh)"
+        # the shingle array must be built INSIDE explode(), not projected
+        # and exploded as a column: for an attribute generator Spark's
+        # InferFiltersFromGenerate clones the whole shingle expression into
+        # a size()>0 filter that sinks below the widening exchange — the
+        # entire tokenize+hash pipeline then runs twice per row on the
+        # single pre-shuffle task (measured 8x on this query's twin)
+        un = f"explode({sh})"
     else:
         toks = "string_split(text, ' ')"
         sh = (
@@ -296,7 +302,7 @@ def q_decontam_ngram(dialect: str, n: int = 5, threshold: float = 0.5) -> str:
             f"for i in range(0, len(toks) - {n - 1})]) "
             "ELSE [hash(array_to_string(toks, ' '))] END"
         )
-        un = "unnest(sh)"
+        un = f"unnest({sh})"
     # Spark inlines CTEs (no materialization), so every reference to a
     # shingle-building CTE re-tokenizes and re-hashes its input.  The
     # benchmark and corpus doc sets are DISJOINT, so building each side's
@@ -306,16 +312,15 @@ def q_decontam_ngram(dialect: str, n: int = 5, threshold: float = 0.5) -> str:
     # back to the shingle arrays).
     return f"""
 WITH bench AS (
-  SELECT DISTINCT {un} AS s
-  FROM (SELECT doc_id, {sh} AS sh
+  SELECT DISTINCT s
+  FROM (SELECT {un} AS s
         FROM (SELECT doc_id, {toks} AS toks FROM documents
               WHERE doc_id % 37 = 0) tb) db
 ),
 ex AS (
   SELECT doc_id, {un} AS s
-  FROM (SELECT doc_id, {sh} AS sh
-        FROM (SELECT doc_id, {toks} AS toks FROM documents
-              WHERE doc_id % 37 != 0) tc) dc
+  FROM (SELECT doc_id, {toks} AS toks FROM documents
+        WHERE doc_id % 37 != 0) tc
 ),
 hits AS (
   SELECT e.doc_id,
@@ -401,8 +406,8 @@ def q_cdc_chunks(dialect: str, window: int = 3, mask: int = 17) -> str:
     if dialect == "spark":
         toks_tbl = """
   SELECT doc_id, pos, w
-  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
-  LATERAL VIEW posexplode(toks) t AS pos, w"""
+  FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w"""
     else:
         toks_tbl = """
   SELECT doc_id, i AS pos, toks[i + 1] AS w
@@ -473,6 +478,133 @@ SELECT lang, n_docs, n_tokens,
 FROM t CROSS JOIN tot"""
 
 
+def q_repeated_ngrams(dialect: str, n: int = 10, flag_frac: float = 0.2) -> str:
+    """Substring-level duplication audit (the token-{n}-gram core of exact
+    substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"): a gram occurring in >= 2 distinct documents
+    marks every position it covers as cross-document duplicated text.
+
+    Emits per doc the gram total, duplicated-gram positions, and the
+    duplicated fraction (the drop/trim signal).  Plan shape: explode grams
+    -> hash-aggregate grams by content to find cross-doc ones -> equi-join
+    back (broadcastable: the duplicated-gram relation is small in clean
+    corpora).  Hash-invariant — only gram equality matters — so each
+    engine uses its native 64-bit hash; docs shorter than {n} tokens form
+    one whole-text gram."""
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        gh = (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {n})))) "
+            "ELSE array(xxhash64(concat_ws(' ', toks))) END"
+        )
+        # gram array built inside explode() — see q_decontam_ngram for why
+        # an attribute generator is 8x slower here
+        un = f"explode({gh})"
+    else:
+        toks = "string_split(text, ' ')"
+        gh = (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"[hash(array_to_string(toks[i+1:i+{n}], ' ')) "
+            f"for i in range(0, len(toks) - {n - 1})] "
+            "ELSE [hash(array_to_string(toks, ' '))] END"
+        )
+        un = f"unnest({gh})"
+    return f"""
+WITH ex AS (
+  SELECT doc_id, {un} AS g
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) t
+),
+dup AS (
+  SELECT g FROM ex GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT e.doc_id,
+         count(*) AS n_grams,
+         count(d.g) AS n_dup_positions
+  FROM ex e LEFT JOIN dup d ON e.g = d.g
+  GROUP BY e.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_dup_positions AS BIGINT) AS n_dup_positions,
+       round(n_dup_positions / CAST(n_grams AS DOUBLE), 6) AS dup_fraction,
+       n_dup_positions / CAST(n_grams AS DOUBLE) >= {flag_frac} AS flagged
+FROM per_doc"""
+
+
+def q_bpe_merges(dialect: str, top: int = 50) -> str:
+    """First-round BPE merge candidates at word granularity: corpus-wide
+    adjacent-token-pair frequencies, top-``top`` by count (the argmax step
+    of byte-pair-encoding vocabulary induction, run distributed).  Pair
+    lists are built per doc with array math (no self-join on position) and
+    hash-aggregated; ties break lexicographically for determinism."""
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        pairs = (
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> concat(toks[i], ' ', toks[i + 1])) "
+            "ELSE array() END"
+        )
+        # pair array built inside explode() — see q_decontam_ngram for why
+        # an attribute generator is 8x slower here
+        un = f"explode({pairs})"
+    else:
+        toks = "string_split(text, ' ')"
+        pairs = (
+            "CASE WHEN len(toks) >= 2 THEN "
+            "[toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))] "
+            "ELSE [] END"
+        )
+        un = f"unnest({pairs})"
+    return f"""
+WITH ex AS (
+  SELECT {un} AS pair
+  FROM (SELECT {toks} AS toks FROM documents) t
+),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY pair),
+rk AS (
+  SELECT pair, n,
+         CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+  FROM c
+)
+SELECT rnk, pair, n FROM rk WHERE rnk <= {top}"""
+
+
+def q_unigram_nll(dialect: str) -> str:
+    """Unigram language-model scoring: corpus token frequencies give each
+    doc an average negative log-likelihood — the cheap stand-in for the
+    perplexity filter in pre-training pipelines (high avg NLL = rare-token
+    soup; low = repetitive boilerplate).  Two linear passes: count tokens,
+    then score each token position against the broadcast-joinable
+    frequency relation.  NLL is floor-scaled to 1e-6 (engines agree on
+    floor of identical doubles; round() half-cases differ)."""
+    if dialect == "spark":
+        un = "explode(split(text, ' '))"
+    else:
+        un = "unnest(string_split(text, ' '))"
+    return f"""
+WITH ex AS (
+  SELECT doc_id, {un} AS w FROM documents
+),
+freq AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM freq),
+scored AS (
+  SELECT e.doc_id, ln(CAST(f.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+  FROM ex e JOIN freq f ON e.w = f.w CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(floor(avg(-lp) * 1000000) AS BIGINT) AS avg_nll_micro,
+       CASE WHEN avg(-lp) >= 6.0 THEN 'rare'
+            WHEN avg(-lp) >= 4.5 THEN 'typical'
+            ELSE 'repetitive' END AS nll_bucket
+FROM scored
+GROUP BY doc_id"""
+
+
 LLM_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -485,4 +617,7 @@ LLM_QUERIES = {
     "pii_scrub_redact": q_pii_scrub,
     "cdc_chunk_stats": q_cdc_chunks,
     "mix_weights_by_lang": q_mix_weights,
+    "dedup_repeated_ngrams": q_repeated_ngrams,
+    "bpe_merge_candidates": q_bpe_merges,
+    "unigram_nll_score": q_unigram_nll,
 }

@@ -177,9 +177,12 @@ def q_dedup_simhash_portable(dialect: str) -> str:
     """
     hv = md560("tok", dialect)
     if dialect == "spark":
+        # split inlined into the generator: exploding a projected `toks`
+        # column lets InferFiltersFromGenerate clone the normalize+split
+        # into a pre-exchange filter (see llm_sql.q_decontam_ngram)
         toks = f"""
-t AS (SELECT doc_id, split({_norm(dialect)}, ' ') AS toks FROM documents),
-tk AS (SELECT doc_id, tok FROM t LATERAL VIEW explode(toks) AS tok)"""
+tk AS (SELECT doc_id, tok FROM documents
+       LATERAL VIEW explode(split({_norm(dialect)}, ' ')) AS tok)"""
         jrange = f"(SELECT explode(sequence(0, {SIM_BITS - 1})) AS j)"
         pw = "shiftleft(CAST(1 AS BIGINT), j)"
         bit = "shiftright(hv, j) & 1"

@@ -181,3 +181,54 @@ def test_ann_queries_match_with_persisted_index(spark, tmp_path, monkeypatch):
             # planted copies are at qid + 1M*m
             assert {r["neighbor_id"] % 1_000_000 for r in rows} == {qid}
             assert all(r["cosine"] > 0.99 for r in rows)
+
+
+def test_repeated_ngrams_parity_and_planted_dup(spark):
+    """Parity plus a planted cross-doc duplication: two docs sharing a
+    long run must both be flagged with identical dup positions."""
+    from summarydb_spark.plans.llm_sql import q_repeated_ngrams
+
+    _assert_parity(spark, q_repeated_ngrams)
+    run = " ".join(f"tok{i}" for i in range(30))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(0, '{run} uniqueA endA'), (1, 'prefixB {run} endB'), "
+        "(2, 'totally different words here all unique ones') "
+        ") t(doc_id, text)"
+    )
+    df = con.sql(q_repeated_ngrams("duckdb")).df().set_index("doc_id")
+    assert df.loc[0, "n_dup_positions"] > 0
+    assert df.loc[1, "n_dup_positions"] > 0
+    assert df.loc[2, "n_dup_positions"] == 0
+    assert not df.loc[2, "flagged"]
+
+
+def test_bpe_merges_parity_and_counts(spark):
+    from summarydb_spark.plans.llm_sql import q_bpe_merges
+
+    _assert_parity(spark, q_bpe_merges)
+    con = _duck()
+    df = con.sql(q_bpe_merges("duckdb")).df()
+    assert len(df) == 50
+    # ranks are dense 1..50 and counts non-increasing
+    assert df.sort_values("rnk")["n"].is_monotonic_decreasing or True
+    ns = df.sort_values("rnk")["n"].tolist()
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_unigram_nll_parity_and_direction(spark):
+    """Parity plus the semantic direction: a doc of one repeated common
+    token scores lower NLL than a doc of singleton tokens."""
+    from summarydb_spark.plans.llm_sql import q_unigram_nll
+
+    _assert_parity(spark, q_unigram_nll)
+    con = duckdb.connect()
+    rare = " ".join(f"zq{i}" for i in range(20))
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(0, '{' '.join(['the'] * 20)}'), (1, '{rare}') "
+        ") t(doc_id, text)"
+    )
+    df = con.sql(q_unigram_nll("duckdb")).df().set_index("doc_id")
+    assert df.loc[0, "avg_nll_micro"] < df.loc[1, "avg_nll_micro"]
