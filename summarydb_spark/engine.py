@@ -681,8 +681,6 @@ class SummaryDB:
         UDFs), so every call inlines into Catalyst — no Python in the plan.
         """
         from summarydb_spark.plans.sql_surface import (
-            EMPTY_LANDMARK_POINTS_SCHEMA,
-            EMPTY_LANDMARK_WINDOWS_SCHEMA,
             register_approx_functions,
         )
 
@@ -703,41 +701,46 @@ class SummaryDB:
                 "count double, sum double, max double, min double",
             ).createOrReplaceTempView("sdb_summary")
         lraw = self.landmarks_df()
-        if lraw is not None:
-            # materialize the deduped window brackets as a derived parquet:
-            # Catalyst cannot decorrelate the function's parameter filter
-            # over a Deduplicate/Aggregate view, but a plain file relation
-            # is fine — and the bracket set is tiny (O(#landmark windows))
-            from pyspark.sql.window import Window as W
-
-            from summarydb_spark.sources.tables import _atomic_store_write
-
-            lw_path = os.path.join(self.path, "_sql_lmk_windows")
-            per_stream = W.partitionBy("stream_id").orderBy("time_start")
-            brackets = lraw.groupBy(
-                "stream_id", "window_id", "time_start", "time_end"
-            ).agg(F.count(F.lit(1)).alias("_n")).drop("_n").select(
-                "*",
-                # precomputed floor/ceiling neighbors: lets the SQL
-                # functions select landmark candidates with a row-wise
-                # filter (the only decorrelatable shape under LATERAL)
-                F.lead("time_start").over(per_stream).alias("next_start"),
-                F.lag("time_start").over(per_stream).alias("prev_start"),
+        if lraw is None:
+            # no landmark state anywhere in the DB: register the
+            # landmark-free specialized bodies (same numerics, about half
+            # the per-call stage waves — see _estimator_body_nolmk)
+            register_approx_functions(
+                spark,
+                "sdb_summary",
+                count_col="count",
+                sum_col="sum",
+                max_col="max",
+                min_col="min",
             )
-            _atomic_store_write(brackets, lw_path)
-            spark.read.parquet(lw_path).createOrReplaceTempView(
-                "sdb_lmk_windows"
-            )
-            lraw.where(F.col("ts").isNotNull()).select(
-                "stream_id", "window_id", "ts", "value"
-            ).createOrReplaceTempView("sdb_lmk_points")
-        else:
-            spark.createDataFrame(
-                [], EMPTY_LANDMARK_WINDOWS_SCHEMA
-            ).createOrReplaceTempView("sdb_lmk_windows")
-            spark.createDataFrame(
-                [], EMPTY_LANDMARK_POINTS_SCHEMA
-            ).createOrReplaceTempView("sdb_lmk_points")
+            return
+        # materialize the deduped window brackets as a derived parquet:
+        # Catalyst cannot decorrelate the function's parameter filter
+        # over a Deduplicate/Aggregate view, but a plain file relation
+        # is fine — and the bracket set is tiny (O(#landmark windows))
+        from pyspark.sql.window import Window as W
+
+        from summarydb_spark.sources.tables import _atomic_store_write
+
+        lw_path = os.path.join(self.path, "_sql_lmk_windows")
+        per_stream = W.partitionBy("stream_id").orderBy("time_start")
+        brackets = lraw.groupBy(
+            "stream_id", "window_id", "time_start", "time_end"
+        ).agg(F.count(F.lit(1)).alias("_n")).drop("_n").select(
+            "*",
+            # precomputed floor/ceiling neighbors: lets the SQL
+            # functions select landmark candidates with a row-wise
+            # filter (the only decorrelatable shape under LATERAL)
+            F.lead("time_start").over(per_stream).alias("next_start"),
+            F.lag("time_start").over(per_stream).alias("prev_start"),
+        )
+        _atomic_store_write(brackets, lw_path)
+        spark.read.parquet(lw_path).createOrReplaceTempView(
+            "sdb_lmk_windows"
+        )
+        lraw.where(F.col("ts").isNotNull()).select(
+            "stream_id", "window_id", "ts", "value"
+        ).createOrReplaceTempView("sdb_lmk_points")
         register_approx_functions(
             spark,
             "sdb_summary",

@@ -136,6 +136,82 @@ _OV_FN = (
 )
 
 
+def _estimator_body_nolmk(sv: str, val: str) -> str:
+    """Landmark-free specialization of :func:`_estimator_body`.
+
+    When the engine registers the surface with no landmark views (the
+    common case: streams without landmark brackets), every landmark CTE
+    would join an empty relation — semantically zero, but the decorrelated
+    LATERAL plan still pays a join subtree + stage wave per CTE (Catalyst's
+    PropagateEmptyRelation does not reach inside the decorrelated
+    correlated-subquery subtrees).  Emitting the specialized body at
+    registration time halves the per-call stage waves; numerics of the
+    shared CTEs are untouched (same expressions, same fold order)."""
+    return f"""WITH sel AS (
+  SELECT time_start, time_end, CAST({val} AS DOUBLE) AS v
+  FROM {sv}
+  WHERE stream_id = q_sid AND time_end >= q_t0 AND time_start <= q_t1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY time_start) AS rn,
+         count(*) OVER () AS nw
+  FROM sel
+),
+parts AS (
+  SELECT coalesce(max(nw), 0) AS nw,
+         coalesce(max(CASE WHEN rn = 1 THEN v END), 0.0) AS first_sum,
+         coalesce(max(CASE WHEN rn = 1 THEN time_start END), CAST(0 AS BIGINT)) AS first_start,
+         coalesce(max(CASE WHEN rn = 1 THEN time_end END), CAST(0 AS BIGINT)) AS first_end,
+         coalesce(max(CASE WHEN rn = nw THEN v END), 0.0) AS last_sum_raw,
+         coalesce(max(CASE WHEN rn = nw THEN time_start END), CAST(0 AS BIGINT)) AS last_start,
+         coalesce(max(CASE WHEN rn = nw THEN time_end END), CAST(0 AS BIGINT)) AS last_end,
+         coalesce(sum(CASE WHEN rn > 1 AND rn < nw THEN v ELSE 0.0 END), 0.0) AS middle_sum
+  FROM ranked
+),
+est AS (
+  SELECT p.first_sum, p.middle_sum,
+         CASE WHEN p.nw <= 1 THEN 0.0 ELSE p.last_sum_raw END AS last_sum,
+         0.0 AS lm_sum,
+         p.first_end - p.first_start + 1 AS first_len,
+         sdb_ov(p.first_start, p.first_end, q_t0, q_t1) AS first_ov,
+         p.last_end - p.last_start + 1 AS last_len,
+         sdb_ov(p.last_start, p.last_end, q_t0, q_t1) AS last_ov
+  FROM parts p
+),
+acc AS (
+  SELECT lm_sum + first_sum + middle_sum + last_sum AS ub,
+         lm_sum + middle_sum
+           + CASE WHEN first_ov = first_len THEN first_sum ELSE 0.0 END
+           + CASE WHEN last_ov = last_len THEN last_sum ELSE 0.0 END AS lb,
+         lm_sum + middle_sum
+           + CASE WHEN first_ov > 0 THEN first_sum * (CAST(first_ov AS DOUBLE) / first_len) ELSE 0.0 END
+           + CASE WHEN last_ov > 0 THEN last_sum * (CAST(last_ov AS DOUBLE) / last_len) ELSE 0.0 END AS mean,
+         CASE WHEN first_ov > 0 THEN first_sum * (CAST(first_ov AS DOUBLE) / first_len) * (1.0 - CAST(first_ov AS DOUBLE) / first_len) ELSE 0.0 END
+           + CASE WHEN last_ov > 0 THEN last_sum * (CAST(last_ov AS DOUBLE) / last_len) * (1.0 - CAST(last_ov AS DOUBLE) / last_len) ELSE 0.0 END AS var
+  FROM est
+)
+SELECT mean AS value,
+       CASE WHEN q_conf >= 1.0 THEN ub - lb
+            ELSE least(mean + sdb_z(q_conf) * sqrt(var), ub)
+               - greatest(mean - sdb_z(q_conf) * sqrt(var), lb) END AS error,
+       CASE WHEN q_conf >= 1.0 THEN lb
+            ELSE greatest(mean - sdb_z(q_conf) * sqrt(var), lb) END AS lower_ci,
+       CASE WHEN q_conf >= 1.0 THEN ub
+            ELSE least(mean + sdb_z(q_conf) * sqrt(var), ub) END AS upper_ci,
+       lb AS lower_bound,
+       ub AS upper_bound
+FROM acc"""
+
+
+def _minmax_body_nolmk(sv: str, val: str, sign: str) -> str:
+    """Landmark-free specialization of :func:`_minmax_body` — no landmark
+    point can make the answer exact, so error is constantly 1.0."""
+    return f"""SELECT {sign}coalesce(max({val}), -{MAX_FLOAT}) AS value,
+       1.0 AS error
+FROM {sv}
+WHERE stream_id = q_sid AND time_end >= q_t0 AND time_start <= q_t1"""
+
+
 def _estimator_body(
     sv: str, val: str, lm_val: str, lwv: str, lpv: str
 ) -> str:
@@ -307,16 +383,19 @@ def register_approx_functions(
     of time_start per stream, precomputed so the floor/ceiling candidate
     selection stays a row-wise filter (see ``SummaryDB.register_sql`` for
     the materialization).  ``landmark_points_view`` needs (stream_id,
-    window_id, ts, value).  If no landmark views are given, empty stand-in
-    views are registered (queries behave as landmark-free).
+    window_id, ts, value).  If NEITHER landmark view is given, the
+    landmark-free specialized bodies are registered instead — same
+    numerics, half the per-call stage waves (see _estimator_body_nolmk).
+    If exactly one is given, empty stand-ins fill the other.
     """
     lwv = landmark_windows_view
     lpv = landmark_points_view
-    if lwv is None:
+    no_landmarks = lwv is None and lpv is None
+    if lwv is None and not no_landmarks:
         spark.createDataFrame([], EMPTY_LANDMARK_WINDOWS_SCHEMA) \
             .createOrReplaceTempView("sdb_empty_lmk_windows")
         lwv = "sdb_empty_lmk_windows"
-    if lpv is None:
+    if lpv is None and not no_landmarks:
         spark.createDataFrame([], EMPTY_LANDMARK_POINTS_SCHEMA) \
             .createOrReplaceTempView("sdb_empty_lmk_points")
         lpv = "sdb_empty_lmk_points"
@@ -331,24 +410,34 @@ def register_approx_functions(
         "(value DOUBLE, error DOUBLE, lower_ci DOUBLE, upper_ci DOUBLE, "
         "lower_bound DOUBLE, upper_bound DOUBLE) RETURN "
     )
-    spark.sql(
-        head.format(name="dcount")
-        + _estimator_body(summary_view, f"`{count_col}`", "1.0", lwv, lpv)
-    )
-    spark.sql(
-        head.format(name="dsum")
-        + _estimator_body(summary_view, f"`{sum_col}`", "p.value", lwv, lpv)
-    )
+    if no_landmarks:
+        est = {
+            "dcount": _estimator_body_nolmk(summary_view, f"`{count_col}`"),
+            "dsum": _estimator_body_nolmk(summary_view, f"`{sum_col}`"),
+        }
+        mm = {
+            "dmax": _minmax_body_nolmk(summary_view, f"`{max_col}`", ""),
+            "dmin": _minmax_body_nolmk(summary_view, f"-`{min_col}`", "-"),
+        }
+    else:
+        est = {
+            "dcount": _estimator_body(
+                summary_view, f"`{count_col}`", "1.0", lwv, lpv
+            ),
+            "dsum": _estimator_body(
+                summary_view, f"`{sum_col}`", "p.value", lwv, lpv
+            ),
+        }
+        mm = {
+            "dmax": _minmax_body(summary_view, f"`{max_col}`", "", lwv, lpv),
+            "dmin": _minmax_body(summary_view, f"-`{min_col}`", "-", lwv, lpv),
+        }
+    for name, body in est.items():
+        spark.sql(head.format(name=name) + body)
     mm_head = (
         "CREATE OR REPLACE TEMPORARY FUNCTION {name}"
         "(q_sid BIGINT, q_t0 BIGINT, q_t1 BIGINT) RETURNS TABLE "
         "(value DOUBLE, error DOUBLE) RETURN "
     )
-    spark.sql(
-        mm_head.format(name="dmax")
-        + _minmax_body(summary_view, f"`{max_col}`", "", lwv, lpv)
-    )
-    spark.sql(
-        mm_head.format(name="dmin")
-        + _minmax_body(summary_view, f"-`{min_col}`", "-", lwv, lpv)
-    )
+    for name, body in mm.items():
+        spark.sql(mm_head.format(name=name) + body)

@@ -92,6 +92,45 @@ def test_minmax_parity(db, op):
         assert got["error"] == want.error, (op, sid, t0, t1)
 
 
+def test_nolandmark_specialization_parity(db):
+    """Registering with NO landmark views emits the specialized bodies
+    (_estimator_body_nolmk / _minmax_body_nolmk); on a landmark-free
+    stream they must agree with the programmatic estimator exactly like
+    the full bodies do."""
+    from summarydb_spark.plans.sql_surface import register_approx_functions
+
+    spark = db.spark
+    try:
+        register_approx_functions(
+            spark, "sdb_summary",
+            count_col="count", sum_col="sum", max_col="max", min_col="min",
+        )
+        for t0, t1, conf in [(0, 399, 0.95), (37, 311, 0.95),
+                             (380, 399, 0.5), (600, 700, 0.95),
+                             (0, 399, 1.0)]:
+            got = spark.sql(
+                f"SELECT * FROM dsum(0, {t0}, {t1}, {conf})"
+            ).collect()[0]
+            want = db.get_stream(0).query(
+                "sum", t0, t1, QueryParams(confidence=conf)
+            )
+            assert got["value"] == pytest.approx(want.value, abs=1e-9)
+            assert got["error"] == pytest.approx(want.error, abs=1e-9)
+            assert got["lower_bound"] == pytest.approx(want.lower_bound, abs=1e-9)
+            assert got["upper_bound"] == pytest.approx(want.upper_bound, abs=1e-9)
+        got = spark.sql("SELECT * FROM dmax(0, 0, 399)").collect()[0]
+        want = db.get_stream(0).query("max", 0, 399)
+        assert got["value"] == pytest.approx(want.value)
+        assert got["error"] == want.error
+        got = spark.sql("SELECT * FROM dmin(0, 37, 311)").collect()[0]
+        want = db.get_stream(0).query("min", 37, 311)
+        assert got["value"] == pytest.approx(want.value)
+        assert got["error"] == want.error
+    finally:
+        # restore the full (landmark-aware) registration for later tests
+        db.register_sql()
+
+
 def test_lateral_batches_many_calls(db):
     """Q calls via LATERAL compile into one statement — the SQL analogue of
     query_many; results must match the per-call path."""
