@@ -140,6 +140,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     verify: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash + banded LSH.
 
@@ -149,13 +150,19 @@ def minhash_lsh_pairs(
     a co-partitioned shuffle on small keys, never a cross join — then
     verified with exact shingle Jaccard (skippable via ``verify=False``).
 
+    ``sigs`` short-circuits the signature build with a precomputed
+    (_id, _shingles, minhash) relation — the persisted-signature-store
+    path (a production dedup service keeps signatures as incremental
+    state and only re-signs new documents); ``df`` is ignored then.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k, seed).select(
-        F.col(id_col).alias("_id"), "_shingles", "minhash"
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            df, text_col, num_hashes, shingle_k, seed
+        ).select(F.col(id_col).alias("_id"), "_shingles", "minhash")
     banded = sigs.withColumn(
         "band",
         F.explode(
@@ -249,12 +256,19 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 63-bit hash into ``bands`` chunks
     (pigeonhole: any pair within Hamming distance < bands shares a chunk),
-    equi-join on chunks, verify exact Hamming distance."""
+    equi-join on chunks, verify exact Hamming distance.
+
+    ``sigs`` short-circuits the signature computation with a precomputed
+    (_id, sh) relation (persisted signature store); ``df`` is ignored."""
     chunk = 63 // bands
-    sigs = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("sh"))
+    if sigs is None:
+        sigs = df.select(
+            F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("sh")
+        )
     banded = sigs.withColumn(
         "band",
         F.explode(
@@ -320,6 +334,7 @@ def embedding_near_dups(
     threshold: float = 0.9,
     seed: int = 42,
     probe_hamming: int = 1,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Cosine near-duplicates via random-hyperplane LSH.
 
@@ -328,16 +343,20 @@ def embedding_near_dups(
     ``probe_hamming=1`` also joins signatures differing in one bit
     (multi-probe) to recover boundary pairs.  Exact cosine verification on
     candidates only.
-    """
-    from summarydb_spark.functions.similarity import _sigs_all_tables_udf
 
-    planes = _hyperplanes(dim, n_planes, seed)
-    sigf = _sigs_all_tables_udf([planes])
-    vecs = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("v"),
-    )
-    sigs = vecs.withColumn("sig", F.element_at(sigf(F.col("v")), 1))
+    ``sigs`` short-circuits the signature computation with a precomputed
+    (_id, v, sig) relation (persisted signature store); ``df`` is ignored.
+    """
+    if sigs is None:
+        from summarydb_spark.functions.similarity import _sigs_all_tables_udf
+
+        planes = _hyperplanes(dim, n_planes, seed)
+        sigf = _sigs_all_tables_udf([planes])
+        vecs = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("v"),
+        )
+        sigs = vecs.withColumn("sig", F.element_at(sigf(F.col("v")), 1))
     # multi-probe: emit the signature and its 1-bit flips
     probes = [F.col("sig")]
     if probe_hamming >= 1:
