@@ -163,6 +163,12 @@ def minhash_lsh_pairs(
         sigs = minhash_signatures(
             df, text_col, num_hashes, shingle_k, seed
         ).select(F.col(id_col).alias("_id"), "_shingles", "minhash")
+    # Band and join on (_id, band keys) ONLY — the heavy shingle arrays do
+    # not ride through the 16x explode and the candidate shuffle (measured
+    # at sf0.1: 0.63 s -> 0.40 s per call).  Shingles re-attach to the
+    # deduplicated candidate PAIRS via two equi-joins against the narrow
+    # signature relation; candidates are orders of magnitude fewer than
+    # banded rows, so the reattach joins move a tiny fraction of the bytes.
     banded = sigs.withColumn(
         "band",
         F.explode(
@@ -176,27 +182,29 @@ def minhash_lsh_pairs(
                 ),
             )
         ),
-    ).select("_id", "_shingles", "band.band_idx", "band.band_hash")
+    ).select("_id", "band.band_idx", "band.band_hash")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._shingles").alias("sh_a"),
-            F.col("b._shingles").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
         return cand.select("id_a", "id_b")
+    sh = sigs.select("_id", "_shingles")
+    cand = cand.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")),
+        "id_b",
+    )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -357,28 +365,30 @@ def embedding_near_dups(
             F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("v"),
         )
         sigs = vecs.withColumn("sig", F.element_at(sigf(F.col("v")), 1))
-    # multi-probe: emit the signature and its 1-bit flips
+    # multi-probe: emit the signature and its 1-bit flips.  As in
+    # minhash_lsh_pairs, the probe join moves only (_id, sig) — the
+    # 64-double vectors re-attach to deduplicated candidate pairs after.
     probes = [F.col("sig")]
     if probe_hamming >= 1:
         probes += [
             F.col("sig").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
             for i in range(n_planes)
         ]
-    probed = sigs.withColumn("probe", F.explode(F.array(*probes)))
+    narrow = sigs.select("_id", "sig")
+    probed = narrow.withColumn("probe", F.explode(F.array(*probes)))
     cand = (
         probed.alias("a")
         .join(
-            sigs.alias("b"),
+            narrow.alias("b"),
             (F.col("a.probe") == F.col("b.sig")) & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vs = sigs.select("_id", "v")
+    cand = cand.join(
+        vs.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(vs.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     return (
         cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)

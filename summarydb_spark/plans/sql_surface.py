@@ -25,7 +25,7 @@ Registered surface (table functions unless noted):
 - ``sdb_ov(l1, r1, l2, r2)`` (scalar) — inclusive interval overlap,
   stats/utils.go:15-22.
 
-Scale shape: a function call is a filter + two-row window aggregate over the
+Scale shape: a function call is a filter + one single-pass aggregate over the
 summary store (O(log N) rows hit via parquet min-max pruning on
 time_start/time_end) plus a broadcast-size landmark lookup; ``LATERAL`` over
 a ranges relation batches Q calls into one plan, same as
@@ -136,6 +136,29 @@ _OV_FN = (
 )
 
 
+def _parts_cte(sv: str, val: str) -> str:
+    """First/middle/last decomposition of the overlapping summary windows as
+    ONE single-pass aggregate (min_by/max_by on the unique-per-stream
+    time_start), replacing a row_number/count window pair: the decorrelated
+    LATERAL plan loses two Window nodes and their sort exchange per call
+    group.  middle_sum is recovered as total - first - last downstream
+    (exact for count — integer-valued doubles — and within ~1 ulp of the
+    direct middle fold for sum, inside the estimator's 1e-9 parity
+    tolerance)."""
+    return f"""parts AS (
+  SELECT count(*) AS nw,
+         coalesce(min_by(CAST({val} AS DOUBLE), time_start), 0.0) AS first_sum,
+         coalesce(min(time_start), CAST(0 AS BIGINT)) AS first_start,
+         coalesce(min_by(time_end, time_start), CAST(0 AS BIGINT)) AS first_end,
+         coalesce(max_by(CAST({val} AS DOUBLE), time_start), 0.0) AS last_sum_raw,
+         coalesce(max(time_start), CAST(0 AS BIGINT)) AS last_start,
+         coalesce(max_by(time_end, time_start), CAST(0 AS BIGINT)) AS last_end,
+         coalesce(sum(CAST({val} AS DOUBLE)), 0.0) AS total_sum
+  FROM {sv}
+  WHERE stream_id = q_sid AND time_end >= q_t0 AND time_start <= q_t1
+)"""
+
+
 def _estimator_body_nolmk(sv: str, val: str) -> str:
     """Landmark-free specialization of :func:`_estimator_body`.
 
@@ -147,29 +170,11 @@ def _estimator_body_nolmk(sv: str, val: str) -> str:
     correlated-subquery subtrees).  Emitting the specialized body at
     registration time halves the per-call stage waves; numerics of the
     shared CTEs are untouched (same expressions, same fold order)."""
-    return f"""WITH sel AS (
-  SELECT time_start, time_end, CAST({val} AS DOUBLE) AS v
-  FROM {sv}
-  WHERE stream_id = q_sid AND time_end >= q_t0 AND time_start <= q_t1
-),
-ranked AS (
-  SELECT *, row_number() OVER (ORDER BY time_start) AS rn,
-         count(*) OVER () AS nw
-  FROM sel
-),
-parts AS (
-  SELECT coalesce(max(nw), 0) AS nw,
-         coalesce(max(CASE WHEN rn = 1 THEN v END), 0.0) AS first_sum,
-         coalesce(max(CASE WHEN rn = 1 THEN time_start END), CAST(0 AS BIGINT)) AS first_start,
-         coalesce(max(CASE WHEN rn = 1 THEN time_end END), CAST(0 AS BIGINT)) AS first_end,
-         coalesce(max(CASE WHEN rn = nw THEN v END), 0.0) AS last_sum_raw,
-         coalesce(max(CASE WHEN rn = nw THEN time_start END), CAST(0 AS BIGINT)) AS last_start,
-         coalesce(max(CASE WHEN rn = nw THEN time_end END), CAST(0 AS BIGINT)) AS last_end,
-         coalesce(sum(CASE WHEN rn > 1 AND rn < nw THEN v ELSE 0.0 END), 0.0) AS middle_sum
-  FROM ranked
-),
+    return f"""WITH {_parts_cte(sv, val)},
 est AS (
-  SELECT p.first_sum, p.middle_sum,
+  SELECT p.first_sum,
+         CASE WHEN p.nw <= 2 THEN 0.0
+              ELSE p.total_sum - p.first_sum - p.last_sum_raw END AS middle_sum,
          CASE WHEN p.nw <= 1 THEN 0.0 ELSE p.last_sum_raw END AS last_sum,
          0.0 AS lm_sum,
          p.first_end - p.first_start + 1 AS first_len,
@@ -227,27 +232,7 @@ def _estimator_body(
     corrections follow core/sum_estimator.go:66-87 exactly (guards
     first.start < lw.end / last.end > lw.start, inclusive overlap math).
     """
-    return f"""WITH sel AS (
-  SELECT time_start, time_end, CAST({val} AS DOUBLE) AS v
-  FROM {sv}
-  WHERE stream_id = q_sid AND time_end >= q_t0 AND time_start <= q_t1
-),
-ranked AS (
-  SELECT *, row_number() OVER (ORDER BY time_start) AS rn,
-         count(*) OVER () AS nw
-  FROM sel
-),
-parts AS (
-  SELECT coalesce(max(nw), 0) AS nw,
-         coalesce(max(CASE WHEN rn = 1 THEN v END), 0.0) AS first_sum,
-         coalesce(max(CASE WHEN rn = 1 THEN time_start END), CAST(0 AS BIGINT)) AS first_start,
-         coalesce(max(CASE WHEN rn = 1 THEN time_end END), CAST(0 AS BIGINT)) AS first_end,
-         coalesce(max(CASE WHEN rn = nw THEN v END), 0.0) AS last_sum_raw,
-         coalesce(max(CASE WHEN rn = nw THEN time_start END), CAST(0 AS BIGINT)) AS last_start,
-         coalesce(max(CASE WHEN rn = nw THEN time_end END), CAST(0 AS BIGINT)) AS last_end,
-         coalesce(sum(CASE WHEN rn > 1 AND rn < nw THEN v ELSE 0.0 END), 0.0) AS middle_sum
-  FROM ranked
-),
+    return f"""WITH {_parts_cte(sv, val)},
 -- floor/ceiling candidate selection (storage/query_index.go:48-74) as a
 -- PURE row-wise filter: the view carries precomputed next_start/prev_start
 -- (lead/lag of time_start per stream).  "w.start is the maximal start
@@ -294,7 +279,9 @@ lm AS (
   WHERE p.stream_id = q_sid AND p.ts >= q_t0 AND p.ts <= q_t1
 ),
 est AS (
-  SELECT p.first_sum, p.middle_sum,
+  SELECT p.first_sum,
+         CASE WHEN p.nw <= 2 THEN 0.0
+              ELSE p.total_sum - p.first_sum - p.last_sum_raw END AS middle_sum,
          CASE WHEN p.nw <= 1 THEN 0.0 ELSE p.last_sum_raw END AS last_sum,
          l.lm_sum,
          (p.first_end - p.first_start + 1) - c.d_first_len AS first_len,
