@@ -427,31 +427,34 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed with round 1's closed form — label = min(node, min neighbor) —
+    # one aggregate instead of the first join-propagate round (und holds
+    # both edge directions, so grouping on `a` covers every node)
     labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        und.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
     )
+    # Convergence check exploits monotonicity instead of a diff join: the
+    # node set is fixed and per-node labels only ever decrease, so the
+    # label sum strictly decreases every round until the fixpoint — one
+    # column-sum over the just-checkpointed labels replaces the
+    # join + filter + count job the old check ran per round.
+    prev_sum = None
     for _ in range(max_iterations):
         # neighbor-label messages + own label, take the min per node
         msgs = und.join(
             labels.withColumnRenamed("node", "b2"),
             F.col("b") == F.col("b2"),
         ).select(F.col("a").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))

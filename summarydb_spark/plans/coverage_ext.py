@@ -254,9 +254,125 @@ FROM (
 ) t WHERE n_docs > 0"""
 
 
+SUBSTR_K = 8  # minimum duplicated run length, in tokens
+
+
+def q_substring_dedup(dialect: str) -> str:
+    """Cross-document EXACT substring duplication (the ExactSubstr shape of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every document, the longest token run that also appears
+    verbatim in some other document, plus run/duplicated-gram counts.
+    Top 50 most-duplicated docs (longest run, doc_id tiebreak).
+
+    Suffix arrays do not distribute; the equivalent K-gram chaining does.
+    A duplicated substring of >= K tokens is exactly a maximal chain of
+    consecutive positions whose K-grams are each shared with another
+    document, so: positional K-gram fingerprints (md5 of the token window
+    — portable and collision-consistent across engines) -> mark grams
+    whose doc span covers >= 2 docs (min != max over a window BY gram:
+    one pass, no second corpus scan — Spark inlines CTEs, so a groupBy
+    formulation would re-tokenize the corpus twice) -> gaps-and-islands
+    per document -> per-run lengths.
+
+    Scale shape: one tokenize+explode pass, one shuffle keyed by gram
+    (the window), one keyed by doc_id (islands) — both linear; the
+    quadratic all-pairs suffix comparison never materializes.  At 100 TB
+    partition the gram window by (gram) and the island window by (doc) —
+    both keys are high-cardinality and skew-free (md5 grams).
+    """
+    k = SUBSTR_K
+    if dialect == "spark":
+        grams = f"""
+  SELECT doc_id, pos, g
+  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents
+        WHERE size(split(text, ' ')) >= {k}) t
+  LATERAL VIEW posexplode(transform(sequence(0, size(toks) - {k}),
+    i -> md5(concat_ws(' ', slice(toks, i + 1, {k}))))) e AS pos, g"""
+    else:
+        grams = f"""
+  SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1:i+{k}], ' ')) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= {k}) t,
+       unnest(range(0, len(toks) - {k - 1})) u(i)"""
+    return f"""
+WITH g AS ({grams}),
+m AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               min(doc_id) OVER (PARTITION BY g) AS mn,
+               max(doc_id) OVER (PARTITION BY g) AS mx
+        FROM g) s
+  WHERE mn <> mx
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_id, CAST(count(*) + {k - 1} AS BIGINT) AS run_tokens
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_runs,
+       CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+       CAST(sum(run_tokens - {k - 1}) AS BIGINT) AS n_shared_grams
+FROM runs
+GROUP BY doc_id
+ORDER BY max_run_tokens DESC, doc_id
+LIMIT 50"""
+
+
+def q_quality_weighted_sample(dialect: str) -> str:
+    """Deterministic quality-weighted corpus sampling (the GPT-3-style
+    "sample documents in proportion to classifier score" step, made
+    reproducible): per-doc keep probability p = min(1, 0.3*length_score +
+    0.7*alpha_ratio + 0.25), decided by comparing p against a uniform
+    derived from a portable content hash (md5 -> 60-bit int -> [0,1)),
+    so the SAME documents are kept on every engine and every rerun — the
+    property that makes holdout splits and ablation reruns reproducible.
+
+    Output: per-(lang, kept) counts, token mass, and the summed weight, so
+    the realized keep rate is checked against the intended E[p] in one
+    result.  Scale shape: pure per-row column math + one aggregate; the
+    sample decision never shuffles."""
+    from summarydb_spark.plans.llm_sql import rx_count
+    from summarydb_spark.plans.portable_dedup import md560
+
+    ntok = rx_count("text", r"\S+", dialect)
+    nalpha = rx_count("text", r"[A-Za-z]", dialect)
+    u = f"({md560('CAST(doc_id AS STRING)' if dialect == 'spark' else 'CAST(doc_id AS VARCHAR)', dialect)} % 1000000) / 1000000.0"
+    return f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST({ntok} AS DOUBLE) AS n_tok,
+         CAST({nalpha} AS DOUBLE) / length(text) AS alpha_ratio,
+         {u} AS u
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, n_tok,
+         least(1.0, 0.3 * least(n_tok / 100.0, 1.0)
+                    + 0.7 * alpha_ratio + 0.25) AS p,
+         u
+  FROM f
+)
+SELECT lang,
+       CAST(CASE WHEN u < p THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {dsum('n_tok', 0)} AS n_tokens,
+       {dsum('p', 4)} AS sum_p,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM w
+GROUP BY lang, CASE WHEN u < p THEN 1 ELSE 0 END"""
+
+
 COVERAGE_EXT_QUERIES = {
     "tpch_q8_like_market_share": q_tpch_q8_like_market_share,
     "seq_packing": q_seq_packing,
     "text_repetition": q_text_repetition,
     "curation_pipeline": q_curation_pipeline,
+    "substring_dedup": q_substring_dedup,
+    "quality_weighted_sample": q_quality_weighted_sample,
 }

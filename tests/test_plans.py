@@ -203,6 +203,30 @@ def test_sql_surface_inlines_to_relational_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_substring_dedup_no_self_join(spark):
+    """The ExactSubstr-style K-gram chaining must stay linear: the shared
+    mark uses a window over the gram key (one corpus pass), never a
+    self-join or cartesian re-scan of the corpus, and the result is a
+    bounded top-k."""
+    import re
+
+    plan = plan_of(spark, "substring_dedup")
+    assert "CartesianProduct" not in plan
+    # one tokenize pass, no re-scan (formatted output lists each scan once
+    # as a numbered detail block)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_weighted_sample_no_shuffle_before_agg(spark):
+    """The deterministic sample decision is per-row column math; the only
+    exchange in the plan is the final group-by aggregate."""
+    plan = plan_of(spark, "quality_weighted_sample")
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_curation_pipeline_broadcast_verify_join(spark):
     """The near-dup verify join must be a broadcast hash join (not a
     sort-merge over the handful of block keys) and must not collapse to a
