@@ -169,20 +169,7 @@ def minhash_lsh_pairs(
     # deduplicated candidate PAIRS via two equi-joins against the narrow
     # signature relation; candidates are orders of magnitude fewer than
     # banded rows, so the reattach joins move a tiny fraction of the bytes.
-    banded = sigs.withColumn(
-        "band",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("minhash", b * r + 1, r))
-                    ).alias("band_hash"),
-                ),
-            )
-        ),
-    ).select("_id", "band.band_idx", "band.band_hash")
+    banded = _minhash_bands(sigs.select("_id", "minhash"), bands, r)
 
     cand = (
         banded.alias("a")
@@ -212,6 +199,80 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_bands(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """Narrow (_id, band_idx, band_hash) banding relation of a signature
+    set — shared by the symmetric pair join and the incremental probe."""
+    return sigs.withColumn(
+        "band",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("minhash", b * r + 1, r))
+                    ).alias("band_hash"),
+                ),
+            )
+        ),
+    ).select("_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_join(
+    batch_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup probe: near-duplicate (batch doc, corpus doc)
+    pairs via banded MinHash — the arriving-batch-vs-existing-store path a
+    production dedup service runs on every ingest (sign ONLY the new
+    documents, probe them against the persisted corpus signatures; the
+    corpus is never re-signed).
+
+    Both inputs are (_id, _shingles, minhash) relations as produced by
+    :func:`minhash_signatures`.  Asymmetric: candidates pair a batch id
+    with a corpus id (no intra-batch or intra-corpus pairs), verified with
+    exact shingle Jaccard.  Scale shape: the batch side of the band join
+    is proportional to the BATCH, so per-ingest cost is O(batch + collided
+    candidates) regardless of corpus size.  Returns (batch_id, corpus_id,
+    jaccard)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    bb = _minhash_bands(batch_sigs.select("_id", "minhash"), bands, r)
+    cb = _minhash_bands(corpus_sigs.select("_id", "minhash"), bands, r)
+    cand = (
+        bb.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a._id").alias("batch_id"), F.col("b._id").alias("corpus_id"))
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    cand = cand.join(
+        batch_sigs.select(
+            F.col("_id").alias("batch_id"), F.col("_shingles").alias("sh_a")
+        ),
+        "batch_id",
+    ).join(
+        corpus_sigs.select(
+            F.col("_id").alias("corpus_id"), F.col("_shingles").alias("sh_b")
+        ),
+        "corpus_id",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
     )
 
 

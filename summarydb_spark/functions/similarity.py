@@ -301,10 +301,62 @@ def lsh_topk(
     Exact cosine is computed only on in-bucket candidates, once per distinct
     (query, neighbor).  Returns (query_id, neighbor_id, cosine, rnk).
     """
+    scored = _lsh_scored_candidates(
+        corpus, queries, emb_col, id_col, dim, n_planes, n_tables,
+        probe_hamming, seed, encoded,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def lsh_radius(
+    corpus: Optional[DataFrame],
+    queries: DataFrame,
+    tau: float,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    encoded: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Radius (range) similarity search: ALL corpus vectors with cosine >=
+    ``tau`` per query — the dedup/recall-set twin of :func:`lsh_topk`
+    (top-k bounds the result count; radius bounds the similarity).  Shares
+    the multi-table candidate machinery; the only difference is the final
+    predicate, so no per-query window/sort is needed at all — the result
+    is a pure filter over verified candidates.  Returns (query_id,
+    neighbor_id, cosine)."""
+    scored = _lsh_scored_candidates(
+        corpus, queries, emb_col, id_col, dim, n_planes, n_tables,
+        probe_hamming, seed, encoded,
+    )
+    return scored.where(F.col("cosine") >= tau)
+
+
+def _lsh_scored_candidates(
+    corpus: Optional[DataFrame],
+    queries: DataFrame,
+    emb_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    probe_hamming: int,
+    seed: int,
+    encoded: Optional[DataFrame],
+) -> DataFrame:
+    """Shared candidate stage of lsh_topk / lsh_radius: sign queries, probe
+    every table's buckets (multi-probe), exact-cosine each distinct
+    (query, neighbor) candidate exactly once."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     sigsf = _sigs_all_tables_udf(tables)
 
-    c = (
+    enc = (
         encoded
         if encoded is not None
         else lsh_encode(
@@ -316,11 +368,11 @@ def lsh_topk(
             n_tables=n_tables,
             seed=seed,
         )
-    ).select(
-        "neighbor_id",
-        "cv",
-        F.posexplode("sigs").alias("tbl", "sig"),
     )
+    # narrow banding relation: the 64-double corpus vectors do NOT ride
+    # the 6x table explode and the bucket join (same reattach-to-candidates
+    # shape as dedup.minhash_lsh_pairs)
+    c = enc.select("neighbor_id", F.posexplode("sigs").alias("tbl", "sig"))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
@@ -342,12 +394,12 @@ def lsh_topk(
         return out
 
     qp = (
-        q.select("query_id", "qv", F.posexplode("sigs").alias("tbl", "sig"))
+        q.select("query_id", F.posexplode("sigs").alias("tbl", "sig"))
         .withColumn("probe", F.explode(F.array(*probes_of(F.col("sig")))))
-        .select("query_id", "qv", "tbl", "probe")
+        .select("query_id", "tbl", "probe")
     )
 
-    scored = (
+    cand = (
         qp.alias("q")
         .join(
             c.alias("c"),
@@ -355,13 +407,16 @@ def lsh_topk(
             & (F.col("q.probe") == F.col("c.sig"))
             & (F.col("q.query_id") != F.col("c.neighbor_id")),
         )
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return (
+        cand.join(
+            q.select("query_id", "qv"), "query_id"
+        )
+        .join(enc.select("neighbor_id", "cv"), "neighbor_id")
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
 # ---------------------------------------------------------------------------

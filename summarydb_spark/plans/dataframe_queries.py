@@ -386,6 +386,112 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector with cosine >=
+    0.999 of each of the 20 probes, via the SAME persisted multi-table LSH
+    index the top-k query reads — range semantics (variable-size result
+    sets: all three planted copies qualify) instead of a fixed k.  The
+    oracle is the planted closed form filtered to the radius, so recall,
+    membership, and cosine values are all hash-checked."""
+    encoded, _ = _ensure_ann_index(spark, sf_dir, "lsh")
+    queries = _emb_probes(spark, sf_dir)
+    out = similarity.lsh_radius(
+        None, queries, tau=0.999, n_planes=8, n_tables=6, probe_hamming=2,
+        encoded=encoded,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "neighbor_id")
+
+
+def _ann_radius_oracle(tau: float = 0.999) -> str:
+    scales = ", ".join(
+        f"({m}, {s})" for m, s in enumerate(_PLANT_SCALES, start=1)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20
+),
+planted AS (
+  SELECT b.vec_id AS orig_id, b.vec_id + 1000000 * s.m AS neighbor_id,
+         list_transform(range(0, len(b.embedding)),
+           i -> CAST(b.embedding[i + 1]
+                * CAST(1.0 + s.sc * ((i % 7) - 3) AS REAL) AS REAL)) AS emb_p
+  FROM base b CROSS JOIN (VALUES {scales}) s(m, sc)
+),
+scored AS (
+  SELECT b.vec_id AS query_id, p.neighbor_id,
+         list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                CAST(p.emb_p AS DOUBLE[])) AS cos_raw
+  FROM base b JOIN planted p ON p.orig_id = b.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine
+FROM scored WHERE cos_raw >= {tau}
+ORDER BY query_id, neighbor_id"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup probe: near-dup pairs between an ARRIVING batch
+    (doc_id % 7 = 0, signed fresh at call time) and the EXISTING corpus
+    signature store (everything else, read from the persisted
+    dedup_minhash_sigs store; never re-signed) — the per-ingest path of a
+    production dedup service.  True Jaccard >= 0.8 with exact verify, so
+    the oracle is the exact asymmetric all-pairs Jaccard and the query is
+    a live recall gate on the banded probe, exactly like
+    ``dedup_minhash_lsh``."""
+    from summarydb_spark.sources.tables import ensure_store
+
+    def build(s):
+        sigs = dedup.minhash_signatures(
+            _docs(s, sf_dir), "text", num_hashes=64, shingle_k=3, seed=42
+        ).select(F.col("doc_id").alias("_id"), "_shingles", "minhash")
+        return sigs, None
+
+    path = ensure_store(spark, sf_dir, "dedup_minhash_sigs", build, coalesce=0)
+    corpus_sigs = spark.read.parquet(path).where("_id % 7 != 0")
+    batch_sigs = dedup.minhash_signatures(
+        _docs(spark, sf_dir).where("doc_id % 7 = 0"),
+        "text", num_hashes=64, shingle_k=3, seed=42,
+    ).select(F.col("doc_id").alias("_id"), "_shingles", "minhash")
+    out = dedup.minhash_lsh_join(
+        batch_sigs, corpus_sigs, num_hashes=64, bands=16, threshold=0.8
+    )
+    return out.select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("batch_id", "corpus_id")
+
+
+# Exact asymmetric Jaccard >= 0.8 between the batch slice and the rest of
+# the corpus; same shingle construction and shared-shingle blocking as
+# ORACLE_DEDUP_MINHASH.
+ORACLE_DEDUP_INCREMENTAL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks)-1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE [array_to_string(toks, ' ')] END AS shl
+  FROM docs
+),
+ex AS (SELECT doc_id, len(shl) AS n, unnest(shl) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+         a.n AS na, b.n AS nb, count(*) AS c
+  FROM ex a JOIN ex b
+    ON a.s = b.s AND a.doc_id % 7 = 0 AND b.doc_id % 7 != 0
+  GROUP BY 1,2,3,4
+)
+SELECT batch_id, corpus_id, round(c::DOUBLE / (na + nb - c), 6) AS jaccard
+FROM inter
+WHERE c::DOUBLE / (na + nb - c) >= 0.8
+ORDER BY batch_id, corpus_id"""
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (size, container sniff, chunk accounting)
     over deterministic fake media payloads derived from documents.  The
@@ -1021,6 +1127,8 @@ DF_QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_oracle()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_oracle()),
     "ann_pq_topk": (q_ann_pq_topk, _ann_oracle()),
+    "ann_radius_search": (q_ann_radius_search, _ann_radius_oracle()),
+    "dedup_incremental_probe": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "session_window_builtin": (q_session_window_builtin, ORACLE_SESSION_WINDOW),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),

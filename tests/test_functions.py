@@ -183,6 +183,60 @@ def test_lsh_topk_recall(embs):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_radius_matches_brute_force_filter(embs):
+    """Radius search must return exactly the brute-force pairs above tau
+    that the multi-table candidates cover; with planted copies at cosine
+    ~0.9999 and tau high above any natural pair, the result IS the planted
+    set — same recall bar as the ANN oracle queries."""
+    planted = embs.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * cast(1.0 + 0.002 * ((i % 7) - 3) as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = embs.unionByName(planted)
+    queries = embs.where("vec_id < 10")
+    out = similarity.lsh_radius(
+        corpus, queries, tau=0.999, n_planes=8, n_tables=6, probe_hamming=2
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert got == {(i, i + 1000000) for i in range(10)}
+    for r in out:
+        assert r["cosine"] >= 0.999
+
+
+def test_minhash_lsh_join_is_asymmetric(docs):
+    """The incremental probe returns only (batch, corpus) pairs — never
+    intra-batch or intra-corpus — and agrees with the symmetric pair set
+    restricted to the split."""
+    sigs = dedup.minhash_signatures(docs, "text", num_hashes=64).select(
+        F.col("doc_id").alias("_id"), "_shingles", "minhash"
+    )
+    batch = sigs.where("_id % 7 = 0")
+    corpus = sigs.where("_id % 7 != 0")
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.minhash_lsh_join(
+            batch, corpus, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    for a, b in got:
+        assert a % 7 == 0 and b % 7 != 0
+    sym = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    want = {
+        (a, b) if a % 7 == 0 else (b, a)
+        for a, b in sym
+        if (a % 7 == 0) != (b % 7 == 0)
+    }
+    assert got == want
+
+
 def test_connected_components_hand_graph(spark):
     from summarydb_spark.functions.dedup import connected_components
 
