@@ -189,8 +189,11 @@ def q_tfidf_top_terms(dialect: str) -> str:
     idf weight = 1e6 div doc_freq (exact integer rational — monotone in
     1/df like ln(N/df), chosen so both engines agree bit-for-bit; at
     scale swap the score expression for tf * ln(N/df) if cross-engine
-    bit equality is not needed).  Plan: explode -> hash agg (tf) ->
-    hash agg (df) -> broadcast idf join -> per-doc top-k window."""
+    bit equality is not needed).  Plan: explode -> hash agg (tf); doc_freq
+    is then a count window BY token over the per-(doc, tok) relation —
+    each tf row is one distinct containing doc, so no second pass over
+    the exploded tokens and no idf join (Spark inlines CTEs: a
+    group-then-join formulation would tokenize the corpus twice)."""
     idiv = "div" if dialect == "spark" else "//"
     return f"""
 WITH {_tokens_cte(dialect)},
@@ -198,19 +201,17 @@ tf AS (
   SELECT doc_id, tok, count(*) AS term_freq
   FROM tk GROUP BY doc_id, tok
 ),
-df AS (
-  SELECT tok, count(DISTINCT doc_id) AS doc_freq
-  FROM tk GROUP BY tok
-),
 scored AS (
-  SELECT tf.doc_id, tf.tok, tf.term_freq, df.doc_freq,
-         CAST(tf.term_freq * (1000000 {idiv} df.doc_freq) AS BIGINT) AS score_ppm
-  FROM tf JOIN df ON df.tok = tf.tok
+  SELECT doc_id, tok, term_freq,
+         count(*) OVER (PARTITION BY tok) AS doc_freq
+  FROM tf
 ),
 rk AS (
-  SELECT *,
+  SELECT doc_id, tok, term_freq, doc_freq,
+         CAST(term_freq * (1000000 {idiv} doc_freq) AS BIGINT) AS score_ppm,
          CAST(row_number() OVER (PARTITION BY doc_id
-                                 ORDER BY score_ppm DESC, tok) AS BIGINT) AS rnk
+                                 ORDER BY term_freq * (1000000 {idiv} doc_freq) DESC, tok)
+              AS BIGINT) AS rnk
   FROM scored
 )
 SELECT doc_id, tok, term_freq, doc_freq, score_ppm, rnk

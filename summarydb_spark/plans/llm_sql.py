@@ -516,15 +516,22 @@ WITH ex AS (
   SELECT doc_id, {un} AS g
   FROM (SELECT doc_id, {toks} AS toks FROM documents) t
 ),
-dup AS (
-  SELECT g FROM ex GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+-- "gram is cross-doc" == its doc span covers >= 2 docs == min != max over
+-- a window BY gram: ONE pass over ex.  (A groupBy-then-join formulation
+-- references ex twice, and Spark inlines CTEs — the whole tokenize +
+-- explode pipeline would run twice.)
+mk AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY g) AS mn,
+         max(doc_id) OVER (PARTITION BY g) AS mx
+  FROM ex
 ),
 per_doc AS (
-  SELECT e.doc_id,
+  SELECT doc_id,
          count(*) AS n_grams,
-         count(d.g) AS n_dup_positions
-  FROM ex e LEFT JOIN dup d ON e.g = d.g
-  GROUP BY e.doc_id
+         sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS n_dup_positions
+  FROM mk
+  GROUP BY doc_id
 )
 SELECT doc_id,
        CAST(n_grams AS BIGINT) AS n_grams,
@@ -577,10 +584,14 @@ def q_unigram_nll(dialect: str) -> str:
     """Unigram language-model scoring: corpus token frequencies give each
     doc an average negative log-likelihood — the cheap stand-in for the
     perplexity filter in pre-training pipelines (high avg NLL = rare-token
-    soup; low = repetitive boilerplate).  Two linear passes: count tokens,
-    then score each token position against the broadcast-joinable
-    frequency relation.  NLL is floor-scaled to 1e-6 (engines agree on
-    floor of identical doubles; round() half-cases differ)."""
+    soup; low = repetitive boilerplate).  ONE linear pass: the corpus
+    frequency of each token position is a count window BY token (a
+    count-then-join formulation would reference the exploded relation
+    twice, and Spark inlines CTEs — the tokenize+explode would run twice);
+    -avg(ln(c/t)) = ln(t) - avg(ln c), so the corpus total folds in after
+    the per-doc aggregate via a window over the (tiny) per-doc relation.
+    NLL is floor-scaled to 1e-6 (engines agree on floor of identical
+    doubles; round() half-cases differ)."""
     if dialect == "spark":
         un = "explode(split(text, ' '))"
     else:
@@ -589,20 +600,26 @@ def q_unigram_nll(dialect: str) -> str:
 WITH ex AS (
   SELECT doc_id, {un} AS w FROM documents
 ),
-freq AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
-tot AS (SELECT sum(c) AS t FROM freq),
-scored AS (
-  SELECT e.doc_id, ln(CAST(f.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
-  FROM ex e JOIN freq f ON e.w = f.w CROSS JOIN tot
+cnt AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY w) AS c FROM ex
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         avg(ln(CAST(c AS DOUBLE))) AS avg_lc
+  FROM cnt GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id, n_tokens,
+         ln(CAST(sum(n_tokens) OVER () AS DOUBLE)) - avg_lc AS nll
+  FROM per_doc
 )
 SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(floor(avg(-lp) * 1000000) AS BIGINT) AS avg_nll_micro,
-       CASE WHEN avg(-lp) >= 6.0 THEN 'rare'
-            WHEN avg(-lp) >= 4.5 THEN 'typical'
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(nll * 1000000) AS BIGINT) AS avg_nll_micro,
+       CASE WHEN nll >= 6.0 THEN 'rare'
+            WHEN nll >= 4.5 THEN 'typical'
             ELSE 'repetitive' END AS nll_bucket
-FROM scored
-GROUP BY doc_id"""
+FROM sc"""
 
 
 LLM_QUERIES = {

@@ -93,20 +93,26 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sketch.cms_estimate(
         counters, probes, ["g"], depth=CMS_DEPTH, width=CMS_WIDTH
     )
-    n_total = ev.count()
-    bound = int(2.718281828 * n_total / CMS_WIDTH) + 1
+    # the CMS overcount bound needs the total item count — computed IN the
+    # plan from the exact per-key counts (1-row broadcast), not via a
+    # separate blocking ev.count() job per call
+    tot = exact.groupBy().agg(F.sum("count").alias("n_total"))
+    bound = (
+        F.floor(F.lit(2.718281828) * F.col("n_total") / F.lit(CMS_WIDTH)) + 1
+    ).cast("long")
     t2 = topk.select(
         F.col("user_id").alias("uid"), F.col("count").alias("true_count"), "rnk"
     )
     return (
         est.join(t2, est["_probe"] == t2["uid"])
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("uid").alias("user_id"),
             "true_count",
             "rnk",
             (
                 (F.col("estimate") >= F.col("true_count"))
-                & (F.col("estimate") <= F.col("true_count") + F.lit(bound))
+                & (F.col("estimate") <= F.col("true_count") + bound)
             ).alias("within_cms_bound"),
         )
     )
