@@ -821,7 +821,8 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("time_end").alias("we"),
     )
     cov = (
-        r.join(
+        F.broadcast(r)
+        .join(
             w.withColumnRenamed("stream_id", "_w_sid"),
             (F.col("stream_id") == F.col("_w_sid"))
             & (F.col("we") >= F.col("t0"))
@@ -844,7 +845,7 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame in first lets a single aggregation replace the two separate
     # ones that each re-ran the ranges x windows x events join
     stats = (
-        cov.join(quan, ["stream_id", "qid"])
+        cov.join(F.broadcast(quan), ["stream_id", "qid"])
         .groupBy("stream_id", "qid")
         .agg(
             F.max((F.col("value") == F.col("member")).cast("int")).alias(
@@ -863,10 +864,13 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("q50_le")
     )
 
+    # every relation here is O(streams x 3 ranges) — broadcast hash joins,
+    # not sort-merge (the aggregated inputs carry no size estimates, so
+    # the planner would SMJ without the hint)
     out = (
         r.select("stream_id", "qid")
-        .join(fused, ["stream_id", "qid"])
-        .join(stats, ["stream_id", "qid"])
+        .join(F.broadcast(fused), ["stream_id", "qid"])
+        .join(F.broadcast(stats), ["stream_id", "qid"])
     )
     bound = F.floor(F.lit(math.e) * F.col("n_cov") / F.lit(float(CMS_WIDTH))) + 1
     return out.select(
