@@ -223,6 +223,91 @@ FROM w
 GROUP BY stream_id, day"""
 
 
+def q_cohort_retention(dialect: str) -> str:
+    """Daily cohort retention matrix over the events stream: users are
+    cohorted by the epoch day of their first event; retention(age) =
+    active users at cohort_day + age / cohort size.  (Daily, not monthly:
+    the synthetic stream spans one month, so day cohorts give a full
+    30x30 triangle.)
+
+    ONE pass: distinct (user, day) -> min-day window per user (the
+    cohort) -> hash aggregate by (cohort, age) -> cohort size recovered
+    from the age-0 cell via a window over the (tiny) matrix.  Day ids are
+    pure epoch integer division, no calendar functions.  Scale shape: the
+    only data-sized shuffles are the distinct and the per-user window,
+    both keyed by user_id — linear, skew-free."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT user_id, ({t} {idiv} 86400000000) AS d FROM events
+),
+w AS (
+  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cd FROM e
+),
+matrix AS (
+  SELECT cd AS cohort_day, d - cd AS age_days, count(*) AS n_active
+  FROM w
+  GROUP BY cd, d - cd
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(age_days AS BIGINT) AS age_days,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(max(CASE WHEN age_days = 0 THEN n_active END)
+              OVER (PARTITION BY cohort_day) AS BIGINT) AS cohort_size,
+       round(CAST(n_active AS DOUBLE)
+             / max(CASE WHEN age_days = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_day), 6) AS retention
+FROM matrix"""
+
+
+def q_funnel_conversion(dialect: str) -> str:
+    """Ordered funnel (view -> click -> purchase) per user with strict
+    timestamp ordering: the first click must FOLLOW the user's first view,
+    the first purchase must follow that click — the event-sequence shape
+    session analytics runs.
+
+    ONE shuffle on user_id: three chained min-CASE windows over the same
+    partitioning (Spark reuses the exchange; each stage is an in-partition
+    pass), then a per-user rollup and a 7-row day-of-week report of
+    conversion rates.  No joins, no re-scans, no per-user loops."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, {t} AS t FROM events
+),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+              OVER (PARTITION BY user_id) AS tv
+  FROM e
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND t > tv THEN t END)
+              OVER (PARTITION BY user_id) AS tc
+  FROM w1
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND t > tc THEN t END)
+              OVER (PARTITION BY user_id) AS tp
+  FROM w2
+),
+u AS (
+  SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+  FROM w3 GROUP BY user_id
+)
+SELECT CAST(((tv {idiv} 86400000000) + 3) % 7 AS BIGINT) AS view_dow_mon0,
+       count(*) AS n_view,
+       count(tc) AS n_click_after_view,
+       count(tp) AS n_purchase_after_click,
+       round(CAST(count(tc) AS DOUBLE) / count(*), 6) AS view_to_click,
+       round(CAST(count(tp) AS DOUBLE)
+             / nullif(count(tc), 0), 6) AS click_to_purchase
+FROM u
+WHERE tv IS NOT NULL
+GROUP BY ((tv {idiv} 86400000000) + 3) % 7"""
+
+
 STATS_EXT_QUERIES = {
     "ingest_clamp_monotonic": q_ingest_clamp,
     "tpch_q13_like_custdist": q_custdist,
@@ -232,4 +317,6 @@ STATS_EXT_QUERIES = {
     "value_histogram_events": q_value_histogram,
     "percent_rank_balance_decile": q_percent_rank_balance,
     "first_last_day_value": q_first_last_day_value,
+    "cohort_retention_daily": q_cohort_retention,
+    "funnel_view_click_purchase": q_funnel_conversion,
 }
