@@ -103,6 +103,7 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def _all_queries() -> dict:
     from summarydb_spark.plans.advanced_sql import ADVANCED_QUERIES
+    from summarydb_spark.plans.analytics_ext import ANALYTICS_EXT_QUERIES
     from summarydb_spark.plans.coverage_ext import COVERAGE_EXT_QUERIES
     from summarydb_spark.plans.llm_sql import LLM_QUERIES
     from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
@@ -118,6 +119,7 @@ def _all_queries() -> dict:
         **STATS_EXT_QUERIES,
         **ADVANCED_QUERIES,
         **COVERAGE_EXT_QUERIES,
+        **ANALYTICS_EXT_QUERIES,
     }
 
 

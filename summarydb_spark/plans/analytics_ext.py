@@ -1,0 +1,184 @@
+"""Analytics extensions: anomaly detection, deterministic sampling, skew
+diagnostics, equi-depth histograms, and training-mix interleaving.
+
+Same one-template-two-dialects scheme as portable_sql (the DuckDB rendering
+is the correctness oracle).  These extend the engine's beyond-reference
+surface: the reference stores time-decayed summaries (SURVEY.md §0); a user
+running large-scale pipelines on top of it also needs the monitoring /
+curation queries below, expressed as single declarative plans.
+
+Portability rules (see portable_sql):
+- every double aggregate goes through DECIMAL(38,10) (order-independent);
+- second moments multiply *decimals* (DECIMAL(18,4) x DECIMAL(18,4) ->
+  DECIMAL(37,8), exact, inside the 38-digit cap in both engines) rather
+  than rounding double products;
+- sampling keys are md5-derived (portable, retry-stable), never rand().
+
+Scale notes (100 TB discipline):
+- anomaly_zscore_daily: one hash aggregate (events -> event_type x day,
+  output is tiny), then window math over the aggregated table only;
+- reservoir_sample_events: rank-over-hash is the classic distributed
+  reservoir equivalent — one shuffle on the group key; at extreme group
+  cardinality skew, pre-filter with an approximate per-partition top-k
+  (the hash threshold k/n is a constant-probability Bernoulli filter);
+- skew_key_profile: the diagnostic itself is skew-proof — partial
+  aggregation reduces each partition to its local key counts first;
+- equidepth_histogram_value: exact ntile needs a total order (one range
+  exchange); the scale path for 100 TB is the KLL sketch already shipped
+  (sketch_kll_quantile_bound) — this exact variant is the small-data/
+  verification twin;
+- interleave_mix_batches: per-lang row_number is one shuffle on lang; the
+  global round-robin position is a rank over (rn, lang) — at scale compute
+  it arithmetically from per-lang counts (pos = rn-1 rounds of every lang
+  that still has >= rn docs) instead of a global sort; the window form here
+  is the verification twin and only sorts the take-ordered prefix.
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_dedup import md560
+from summarydb_spark.plans.portable_sql import dsum, epoch_us
+
+
+def _cast_str(expr: str, dialect: str) -> str:
+    ty = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"CAST({expr} AS {ty})"
+
+
+def q_anomaly_zscore_daily(dialect: str) -> str:
+    """Trailing-window z-score anomaly detection over per-type daily value
+    sums: each day is scored against the mean/std of the previous <= 7 days
+    (current day excluded — the classic self-exclusion that keeps a spike
+    from masking itself).  Mean and variance come from decimal power sums
+    (S1, S2) so the window math is order-independent and engine-portable;
+    the z expression tree is written identically in both dialects."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    frame = (
+        "OVER (PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+WITH d AS (
+  SELECT event_type, ({t} {idiv} 86400000000) AS day,
+         {dsum("value")} AS sum_v
+  FROM events
+  GROUP BY event_type, ({t} {idiv} 86400000000)
+),
+w AS (
+  SELECT event_type, day, sum_v,
+         CAST(sum(CAST(sum_v AS DECIMAL(38,10))) {frame} AS DOUBLE) AS s1,
+         CAST(sum(CAST(sum_v AS DECIMAL(18,4)) * CAST(sum_v AS DECIMAL(18,4)))
+              {frame} AS DOUBLE) AS s2,
+         CAST(count(*) {frame} AS BIGINT) AS n_prior
+  FROM d
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, sum_v, n_prior,
+       round((sum_v - s1 / n_prior)
+             / sqrt(greatest(s2 / n_prior - (s1 / n_prior) * (s1 / n_prior),
+                             CAST(0 AS DOUBLE)) + 0.000001), 6) AS zscore,
+       CAST(CASE WHEN abs((sum_v - s1 / n_prior)
+             / sqrt(greatest(s2 / n_prior - (s1 / n_prior) * (s1 / n_prior),
+                             CAST(0 AS DOUBLE)) + 0.000001)) > 3
+            THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM w
+WHERE n_prior >= 4"""
+
+
+def q_reservoir_sample_events(dialect: str) -> str:
+    """Deterministic per-group 'reservoir' sample: k=20 events per
+    event_type, selected by rank over an md5 hash of the event id — the
+    distributed equivalent of reservoir sampling (uniform over the group,
+    reproducible across engines, retries, and partitionings, unlike
+    rand())."""
+    hk = md560(_cast_str("event_id", dialect), dialect)
+    return f"""
+WITH h AS (
+  SELECT event_type, event_id, value, {hk} AS hk FROM events
+),
+r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY hk, event_id)
+           AS rn
+  FROM h
+)
+SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id,
+       round(value, 6) AS value
+FROM r WHERE rn <= 20"""
+
+
+def q_skew_key_profile(dialect: str) -> str:
+    """Shuffle-skew diagnostic: the 10 heaviest join/agg keys (user_id) with
+    their share of all rows and their skew ratio vs the mean key load — the
+    numbers that decide whether a key needs salting or AQE skew-join
+    handling at scale."""
+    return """
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+t AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total_cnt,
+         CAST(count(*) AS DOUBLE) AS n_keys
+  FROM c
+),
+r AS (
+  SELECT user_id, cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk
+  FROM c
+)
+SELECT CAST(r.rnk AS BIGINT) AS rnk, r.user_id, CAST(r.cnt AS BIGINT) AS cnt,
+       round(r.cnt / t.total_cnt, 6) AS share,
+       round(r.cnt * t.n_keys / t.total_cnt, 6) AS skew_ratio
+FROM r CROSS JOIN t
+WHERE r.rnk <= 10"""
+
+
+def q_equidepth_histogram_value(dialect: str) -> str:
+    """Exact equi-depth (decile) histogram of the event value distribution:
+    ntile over a total order, then per-bucket bounds/mass.  Both engines
+    share ntile's fill semantics (earlier buckets take the remainder).  The
+    100 TB path is the KLL sketch (sketch_kll_quantile_bound); this exact
+    form is its verification twin."""
+    return f"""
+WITH r AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       count(*) AS n_rows,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi,
+       {dsum("value")} AS sum_v
+FROM r
+GROUP BY bucket"""
+
+
+def q_interleave_mix_batches(dialect: str) -> str:
+    """Deterministic round-robin interleave of the per-language document
+    streams into one global training order (the 'data mixing' order a
+    trainer consumes): position is the rank of (per-lang sequence number,
+    lang).  Emits the first 200 positions — the inspection window a mixing
+    pipeline would sanity-check."""
+    return """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+g AS (
+  SELECT lang, doc_id, n_chars, rn,
+         row_number() OVER (ORDER BY rn, lang, doc_id) AS pos
+  FROM r
+)
+SELECT CAST(pos AS BIGINT) AS pos, lang, doc_id,
+       CAST(rn AS BIGINT) AS rn, n_chars
+FROM g WHERE pos <= 200"""
+
+
+ANALYTICS_EXT_QUERIES = {
+    "anomaly_zscore_daily": q_anomaly_zscore_daily,
+    "reservoir_sample_events": q_reservoir_sample_events,
+    "skew_key_profile": q_skew_key_profile,
+    "equidepth_histogram_value": q_equidepth_histogram_value,
+    "interleave_mix_batches": q_interleave_mix_batches,
+}
