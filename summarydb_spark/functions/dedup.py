@@ -457,6 +457,70 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_sign_dims: int = 8,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into clusters, compute pairwise
+    cosines *inside each cluster only*, and greedily drop every vector that
+    is >= threshold-similar to a lower-id keeper.
+
+    Cluster assignment defaults to the sign pattern of the first
+    ``n_sign_dims`` components — a fixed, data-independent hyperplane
+    quantizer (deterministic, so the result is oracle-checkable).  At scale
+    pass ``clusters`` = a (_id, bucket) relation from a trained quantizer
+    (e.g. the IVF assignments in functions.similarity) — the join/verify
+    shape is identical: candidate generation is an equi-join on the bucket
+    key, the quadratic cosine verify runs inside buckets only, and the
+    greedy keeper choice is one aggregation.  Beyond-reference operator
+    (the reference has no vector surface; SURVEY.md §2.6).
+
+    Returns (vec_id, keeper_id, cosine): one row per *dropped* vector with
+    its lowest-id keeper and their exact cosine.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if clusters is None:
+        bucket = F.lit(0)
+        for i in range(n_sign_dims):
+            bucket = bucket + F.when(
+                F.element_at(F.col("v"), i + 1) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        vecs = vecs.withColumn("bucket", bucket)
+    else:
+        vecs = vecs.join(clusters, "_id")
+    # candidate join moves only (_id, bucket); vectors re-attach to the
+    # (much smaller) intra-bucket pair set afterwards
+    narrow = vecs.select("_id", "bucket")
+    cand = (
+        narrow.alias("a")
+        .join(
+            narrow.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    vs = vecs.select("_id", "v")
+    cand = cand.join(
+        vs.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(vs.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    sim = cand.withColumn("cosine", cosine(F.col("va"), F.col("vb"))).where(
+        F.col("cosine") >= threshold
+    )
+    return sim.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("keeper_id"),
+        F.expr("min_by(cosine, id_a)").alias("cosine"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

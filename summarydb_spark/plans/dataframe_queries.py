@@ -227,6 +227,67 @@ SELECT b.vec_id AS id_a, p.vec_id_b AS id_b,
 FROM base b JOIN planted p ON p.orig_id = b.vec_id"""
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (functions.dedup.semantic_dedup):
+    sign-pattern clustering, intra-cluster exact cosine, greedy min-id
+    keeper.  The synthetic embeddings have no natural near-dups (max
+    pairwise cosine ~0.51), so the query plants one deterministic perturbed
+    copy of every vec_id < 40 (same float32 perturbation as
+    embedding_near_dups).  The positive scale factors preserve every
+    component's sign, so each copy lands in its original's cluster; the
+    expected output is exactly the 40 (planted -> original) drops — a live
+    end-to-end check of clustering + verify + keeper selection."""
+    embs = _embs(spark, sf_dir)
+    perturbed = F.expr(
+        "transform(embedding, (x, i) -> "
+        "x * cast(1.0 + 0.002 * ((i % 7) - 3) as float))"
+    )
+    planted = embs.where("vec_id < 40").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        perturbed.alias("embedding"),
+        "label",
+    )
+    union = embs.unionByName(planted)
+    out = dedup.semantic_dedup(union, threshold=0.95, n_sign_dims=8)
+    return out.select(
+        "vec_id", "keeper_id", F.round("cosine", 6).alias("cosine")
+    ).orderBy("vec_id")
+
+
+_SIGN_BUCKET_DUCK = " + ".join(
+    f"{1 << i} * (CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END)"
+    for i in range(8)
+)
+
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(0, len(embedding)),
+           i -> CAST(embedding[i + 1]
+                * CAST(1.0 + 0.002 * ((i % 7) - 3) AS REAL) AS REAL))
+           AS embedding
+  FROM embeddings WHERE vec_id < 40
+),
+u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM planted
+),
+b AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM u
+),
+p AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b2.embedding AS DOUBLE[])) AS cos
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_b AS vec_id, min(id_a) AS keeper_id,
+       round(arg_min(cos, id_a), 6) AS cosine
+FROM p WHERE cos >= 0.95
+GROUP BY id_b
+ORDER BY vec_id"""
+
+
 # Planted-neighbor recall harness for the ANN queries: the synthetic
 # embeddings have no natural near-dups (max pairwise cosine ~0.51), so for
 # each probe vector we plant three deterministic perturbed copies at
@@ -1128,6 +1189,7 @@ DF_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "embedding_near_dups": (q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS),
+    "dedup_semantic": (q_dedup_semantic, ORACLE_DEDUP_SEMANTIC),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_oracle()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_oracle()),
     "ann_pq_topk": (q_ann_pq_topk, _ann_oracle()),

@@ -232,3 +232,43 @@ def test_unigram_nll_parity_and_direction(spark):
     )
     df = con.sql(q_unigram_nll("duckdb")).df().set_index("doc_id")
     assert df.loc[0, "avg_nll_micro"] < df.loc[1, "avg_nll_micro"]
+
+
+def test_semantic_dedup_keeper_semantics(spark):
+    """Greedy min-id keeper: of three mutually-similar vectors, the two
+    higher ids drop to the lowest id; a dissimilar vector survives even
+    when it shares the cluster."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.functions.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~cos 0.9999 to 1
+        (3, [0.998, 0.02, 0.0, 0.0]),   # ~cos 0.9997 to 1, 2
+        (4, [0.5, 0.86, 0.0, 0.0]),     # same sign bucket, cos ~0.51
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keeper_id"]
+        for r in semantic_dedup(df, threshold=0.95, n_sign_dims=4).collect()
+    }
+    assert out == {2: 1, 3: 1}
+
+
+def test_semantic_dedup_external_clusters(spark):
+    """The clusters relation (the scale path: IVF/k-means assignments)
+    replaces the sign quantizer: vectors in different buckets are never
+    compared even when identical."""
+    from summarydb_spark.functions.dedup import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clusters = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 7)], "_id long, bucket int"
+    )
+    out = {
+        r["vec_id"]: r["keeper_id"]
+        for r in semantic_dedup(df, threshold=0.95, clusters=clusters).collect()
+    }
+    assert out == {2: 1}
