@@ -854,20 +854,31 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vmax").alias("member"),
             )
         )
+        # referenced three times (fused frame, covering join, final
+        # assembly); persisting the 3xstreams rows keeps each reference a
+        # memory scan instead of replicating the union subtree
+        .persist()
     )
 
     # ONE overlap join + ONE aggregation answers all four ops per range
     # (sketch_range_frame_multi); the per-op frames each paid a full
     # join+aggregate plan over the same store
-    fused = sketch_range_frame_multi(
-        sk, r, ("membership", "frequency", "distinct", "quantile"), q=0.5
-    ).select(
-        "stream_id",
-        "qid",
-        F.col("membership_value").alias("memb_v"),
-        F.col("frequency_value").alias("freq_v"),
-        F.col("distinct_value").alias("nd_v"),
-        F.col("quantile_value").alias("q50_v"),
+    fused = (
+        sketch_range_frame_multi(
+            sk, r, ("membership", "frequency", "distinct", "quantile"), q=0.5
+        )
+        .select(
+            "stream_id",
+            "qid",
+            F.col("membership_value").alias("memb_v"),
+            F.col("frequency_value").alias("freq_v"),
+            F.col("distinct_value").alias("nd_v"),
+            F.col("quantile_value").alias("q50_v"),
+        )
+        # referenced twice (quantile probe into the exact-stats pass AND
+        # the final assembly) — without persist the whole overlap-join +
+        # 4-op aggregation subtree executes twice (~1s of the query)
+        .persist()
     )
     quan = fused.select("stream_id", "qid", "q50_v")
 
