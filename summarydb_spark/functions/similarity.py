@@ -399,8 +399,14 @@ def _lsh_scored_candidates(
         .select("query_id", "tbl", "probe")
     )
 
+    # the probe side is the (tiny) query batch x tables x probes — explicit
+    # broadcasts keep every join here a build-on-probe BroadcastHashJoin
+    # (the UDF/explode subtrees carry no size estimates, so the planner
+    # would otherwise shuffle the corpus banding relation and AQE would
+    # only repair it with extra stage waves); the corpus side (c, enc) is
+    # never broadcast — it is the scale-bearing relation
     cand = (
-        qp.alias("q")
+        F.broadcast(qp).alias("q")
         .join(
             c.alias("c"),
             (F.col("q.tbl") == F.col("c.tbl"))
@@ -412,7 +418,7 @@ def _lsh_scored_candidates(
     )
     return (
         cand.join(
-            q.select("query_id", "qv"), "query_id"
+            F.broadcast(q.select("query_id", "qv")), "query_id"
         )
         .join(enc.select("neighbor_id", "cv"), "neighbor_id")
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
