@@ -175,10 +175,78 @@ SELECT CAST(pos AS BIGINT) AS pos, lang, doc_id,
 FROM g WHERE pos <= 200"""
 
 
+def q_embedding_centroids_by_label(dialect: str) -> str:
+    """Per-class embedding centroids, one row per (label, dimension): the
+    build step of centroid-based classification / SemDeDup clustering /
+    drift monitoring.  Explode-then-aggregate keeps it one hash aggregate
+    keyed by (label, dim) — the transpose trick that scales to any corpus
+    size because the shuffle carries only labels x dims cells, with
+    map-side partial aggregation absorbing the row count."""
+    if dialect == "spark":
+        exploded = (
+            "SELECT label, idx, CAST(v AS DOUBLE) AS v "
+            "FROM embeddings "
+            "LATERAL VIEW posexplode(embedding) t AS idx, v"
+        )
+    else:
+        exploded = (
+            "SELECT label, t.i AS idx, CAST(embedding[t.i + 1] AS DOUBLE) AS v "
+            "FROM embeddings, unnest(range(0, len(embedding))) AS t(i)"
+        )
+    return f"""
+WITH e AS ({exploded})
+SELECT label, CAST(idx AS INTEGER) AS dim,
+       count(*) AS n_vecs,
+       CAST(round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*), 6) AS DOUBLE) AS centroid
+FROM e
+GROUP BY label, idx"""
+
+
+def q_source_mix_entropy(dialect: str) -> str:
+    """Corpus-mix diagnostics per source bucket: language distribution
+    entropy (nats) and the source's share of total characters — the
+    numbers a data-mixing pipeline monitors for diversity collapse.
+    Entropy sums p*ln(p) over an already-aggregated (source, lang) table,
+    so the double fold is over <= #langs values with an identical
+    expression tree in both engines."""
+    return """
+WITH sl AS (
+  SELECT source, lang, count(*) AS cnt,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source, lang
+),
+p AS (
+  SELECT source, lang, cnt, chars,
+         sum(cnt) OVER (PARTITION BY source) AS tot
+  FROM sl
+),
+s AS (
+  -- each entropy term is an identical double expression in both engines;
+  -- the decimal cast makes the per-source sum order-independent
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS n_chars,
+         count(*) AS n_langs,
+         round(-CAST(sum(CAST((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                              * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                              AS DECIMAL(38,10))) AS DOUBLE), 6)
+           AS lang_entropy
+  FROM p GROUP BY source
+)
+SELECT source, n_docs, n_chars, CAST(n_langs AS BIGINT) AS n_langs,
+       lang_entropy,
+       round(CAST(n_chars AS DOUBLE) / CAST(sum(n_chars) OVER () AS DOUBLE), 6)
+         AS char_share
+FROM s"""
+
+
 ANALYTICS_EXT_QUERIES = {
     "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "reservoir_sample_events": q_reservoir_sample_events,
     "skew_key_profile": q_skew_key_profile,
     "equidepth_histogram_value": q_equidepth_histogram_value,
     "interleave_mix_batches": q_interleave_mix_batches,
+    "embedding_centroids_by_label": q_embedding_centroids_by_label,
+    "source_mix_entropy": q_source_mix_entropy,
 }
