@@ -81,3 +81,26 @@ def test_json_csv_parquet_sources_identical(spark, tmp_path, event_slice):
             got = db.get_stream(0).query(op, t0, t1)
             assert got.value == want.value, op
             assert got.error == want.error, op
+
+
+def test_orc_source_identical(spark, tmp_path, event_slice):
+    """ORC (the other columnar format Spark ships a native reader for)
+    feeds the same pipeline byte-identically — same contract as the
+    JSON/CSV test above."""
+    odir = str(tmp_path / "events_orc")
+    event_slice.write.mode("overwrite").orc(odir)
+
+    from_parquet = _ingest(spark, str(tmp_path / "db_parquet2"), event_slice)
+    from_orc = _ingest(spark, str(tmp_path / "db_orc"), spark.read.orc(odir))
+
+    def canon(db):
+        rows = (
+            spark.read.parquet(db._summary_path)
+            .select(
+                "stream_id", "time_start", "time_end", "count", "sum", "max", "min"
+            )
+            .collect()
+        )
+        return sorted(tuple(r) for r in rows)
+
+    assert canon(from_orc) == canon(from_parquet)
