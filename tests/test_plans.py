@@ -236,3 +236,40 @@ def test_curation_pipeline_broadcast_verify_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_semantic_dedup_bucketed_equi_join(spark):
+    """Candidate generation must be an equi-join on the cluster key —
+    quadratic work only inside buckets, never a cartesian over the corpus;
+    the 64-double vectors re-attach to candidates after the narrow join."""
+    plan = plan_of(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_anomaly_zscore_prunes_event_columns(spark):
+    """The daily aggregation reads only (event_type, ts, value) — props/
+    user_id never leave the scan."""
+    plan = plan_of(spark, "anomaly_zscore_daily")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" in read_schema and "event_type" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+    assert "CartesianProduct" not in plan
+
+
+def test_centroids_single_aggregate_no_join(spark):
+    """Explode-then-aggregate: one hash aggregate keyed (label, dim), no
+    join, no window — the shape that scales to any corpus size."""
+    plan = plan_of(spark, "embedding_centroids_by_label")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_reservoir_sample_partitions_by_group(spark):
+    """rank-over-hash must partition by the group key (a distributed
+    reservoir), not a global sort."""
+    plan = plan_of(spark, "reservoir_sample_events")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(event_type" in plan
