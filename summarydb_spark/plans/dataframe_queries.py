@@ -1143,22 +1143,32 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("toks")))))
-    bench = (
-        base.where("doc_id % 37 = 0").select(F.explode(sh).alias("s")).distinct()
+    # shingle ONCE: bench, corpus, and the per-doc totals all derive from
+    # the same (doc_id, shingles) relation — without persist each of the
+    # three references re-runs the tokenize + n-gram xxhash64 fold over
+    # every document (the dominant cost of this query)
+    shingled = base.select("doc_id", sh.alias("sh")).persist()
+    bench_raw = shingled.where("doc_id % 37 = 0").select(
+        F.explode("sh").alias("s")
     )
-    corpus = base.where("doc_id % 37 != 0").select(
-        "doc_id", F.explode(sh).alias("s")
+    # the verify join needs DISTINCT benchmark shingles (duplicates would
+    # multiply per-doc hit counts); the bloom build does not (bit_or is
+    # idempotent), so it reads the pre-distinct relation and skips that
+    # exchange on its critical path
+    bench = bench_raw.distinct()
+    corpus = shingled.where("doc_id % 37 != 0").select(
+        "doc_id", F.explode("sh").alias("s")
     )
     # densify the single merged bloom before broadcasting: the benchmark
     # bloom is well-filled, and probing its sparse MAP costs a linear scan
     # of ~m/64 entries per element_at — O(1) array indexing instead
     bloom = sketch.bloom_aggregate(
-        bench.withColumn("g", F.lit(1)), ["g"], "s", m_bits=m_bits, k=k
+        bench_raw.withColumn("g", F.lit(1)), ["g"], "s", m_bits=m_bits, k=k
     ).select(sketch.bloom_to_dense(F.col("bloom"), m_bits).alias("bits"))
     # per-doc totals are size(sh) — pure column math on the un-exploded
     # arrays, no second explode+aggregate pass over every shingle
-    totals = base.where("doc_id % 37 != 0").select(
-        "doc_id", F.size(sh).cast("long").alias("n_shingles")
+    totals = shingled.where("doc_id % 37 != 0").select(
+        "doc_id", F.size("sh").cast("long").alias("n_shingles")
     )
     cand = corpus.crossJoin(F.broadcast(bloom)).where(
         sketch.bloom_contains_dense(F.col("bits"), F.col("s"), m_bits=m_bits, k=k)
