@@ -1,0 +1,114 @@
+"""Shuffle-shape tools for the 100 TB deployment: skew-salted joins and
+bucketed (co-located) tables.
+
+These are the two levers the rest of the engine's plan shapes assume exist
+at cluster scale but that local parquet testdata never exercises:
+
+- ``salted_join``: a hash join on a key with heavy hitters (the exact
+  situation ``skew_key_profile`` diagnoses) sends every row of a hot key
+  to one reducer.  Salting splits each hot key into ``n_salts`` synthetic
+  sub-keys: the large side scatters uniformly (pmod of a per-row hash),
+  the small side replicates each hot key ``n_salts`` times, and the join
+  key becomes ``(key, salt)`` — same result set, reducer load capped at
+  ~1/n_salts of the hot key.  AQE's skew-join handles *sort-merge* spills
+  automatically; explicit salting is still the tool when the skew sits in
+  a hash aggregate feeding the join or when AQE is unavailable
+  (streaming-static joins).
+
+- ``write_bucketed`` / co-located joins: two facts bucketed AND
+  sort-ordered by the same key join with ZERO exchange — the parquet
+  layout is the shuffle, paid once at write time and amortized over every
+  subsequent join/aggregate on that key (the warehouse pattern for a
+  100 TB fact joined daily).  ``tests/test_shuffle_tools.py`` pins the
+  no-Exchange plan.
+
+Both preserve exact result semantics (verified row-for-row against the
+unsalted/unbucketed plans in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    skewed_keys: Optional[Sequence] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: ``large ⋈ small ON large.key = small.key``
+    with hot keys split across ``n_salts`` reducers.
+
+    ``skewed_keys``: the hot key values (e.g. the output of the
+    ``skew_key_profile`` diagnostic).  Only those replicate on the small
+    side — cold keys join under salt 0 with no replication, so the
+    small-side blowup is ``len(skewed_keys) * n_salts`` rows, not
+    ``|small| * n_salts``.  With ``skewed_keys=None`` every key is treated
+    as hot (full replication — fine when the small side is dimension-
+    sized).
+
+    The large side never replicates and never collects: its salt is
+    ``pmod(xxhash64(monotonic row seed), n_salts)`` for hot keys and 0
+    otherwise — pure column math, uniform by construction.
+    """
+    if how not in ("inner", "left", "left_semi"):
+        # right/outer would duplicate small-side rows that match no salt
+        raise ValueError(f"salted_join supports inner/left/left_semi, got {how}")
+    if skewed_keys is not None:
+        hot = F.col(key).isin(list(skewed_keys))
+    else:
+        hot = F.lit(True)
+
+    lg = large.withColumn(
+        "_salt",
+        F.when(
+            hot,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in large.columns]),
+                F.lit(n_salts),
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    salts = F.when(
+        hot, F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).otherwise(F.array(F.lit(0)))
+    sm = small.withColumn("_salt", F.explode(salts))
+    out = lg.join(sm, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-ordered) managed
+    table: every later equi-join or aggregate on ``key`` between tables
+    bucketed the same way runs with NO exchange (and with ``sort=True``,
+    no per-task sort either — the sort-merge join zips the buckets).
+
+    This is write-once shuffle: at 100 TB the nightly fact load pays one
+    ``buckets``-way hash distribution; every downstream join on the key is
+    then embarrassingly parallel bucket-to-bucket work.
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key.  The plan contains
+    no Exchange when both tables were written by :func:`write_bucketed`
+    with the same bucket count."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)
