@@ -241,6 +241,53 @@ SELECT source, n_docs, n_chars, CAST(n_langs AS BIGINT) AS n_langs,
 FROM s"""
 
 
+def q_range_frame_trailing_3d(dialect: str) -> str:
+    """RANGE window frame (value-based, vs the ROWS frame moving_avg_7d
+    uses): trailing 3-day sum per event_type over the daily table — days
+    with gaps contribute nothing, which a ROWS frame would get wrong.
+    Frame sums accumulate in DECIMAL (order-independent, portable)."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    frame = (
+        "OVER (PARTITION BY event_type ORDER BY day "
+        "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH d AS (
+  SELECT event_type, ({t} {idiv} 86400000000) AS day,
+         {dsum("value")} AS sum_v
+  FROM events
+  GROUP BY event_type, ({t} {idiv} 86400000000)
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, sum_v,
+       CAST(round(sum(CAST(sum_v AS DECIMAL(38,10))) {frame}, 4) AS DOUBLE)
+         AS sum_3d,
+       CAST(count(*) {frame} AS BIGINT) AS days_in_frame
+FROM d"""
+
+
+def q_rolling_distinct_users_7d(dialect: str) -> str:
+    """Trailing 7-day distinct active users per day — the dashboard query
+    that is NOT frame-expressible (count(DISTINCT) over a window) and so
+    becomes a compact range join: the (day, user) table joins the day
+    spine on a 7-day band, then one distinct-count per day.  Scale shape:
+    the join inputs are already aggregated to (days x active users), orders
+    of magnitude smaller than events; the 100 TB path swaps the exact
+    distinct for the mergeable HLL windows (sketch_hll_distinct_bound)."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH du AS (
+  SELECT DISTINCT ({t} {idiv} 86400000000) AS day, user_id FROM events
+),
+spine AS (SELECT DISTINCT day FROM du)
+SELECT s.day, count(DISTINCT u.user_id) AS active_7d,
+       count(*) AS user_days_7d
+FROM spine s
+JOIN du u ON u.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day"""
+
+
 ANALYTICS_EXT_QUERIES = {
     "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "reservoir_sample_events": q_reservoir_sample_events,
@@ -249,4 +296,6 @@ ANALYTICS_EXT_QUERIES = {
     "interleave_mix_batches": q_interleave_mix_batches,
     "embedding_centroids_by_label": q_embedding_centroids_by_label,
     "source_mix_entropy": q_source_mix_entropy,
+    "range_frame_trailing_3d": q_range_frame_trailing_3d,
+    "rolling_distinct_users_7d": q_rolling_distinct_users_7d,
 }
