@@ -106,6 +106,7 @@ def _all_queries() -> dict:
     from summarydb_spark.plans.analytics_ext import ANALYTICS_EXT_QUERIES
     from summarydb_spark.plans.coverage_ext import COVERAGE_EXT_QUERIES
     from summarydb_spark.plans.llm_sql import LLM_QUERIES
+    from summarydb_spark.plans.pipeline_ext import PIPELINE_EXT_QUERIES
     from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
     from summarydb_spark.plans.portable_sql import CORE_QUERIES
     from summarydb_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
@@ -120,6 +121,7 @@ def _all_queries() -> dict:
         **ADVANCED_QUERIES,
         **COVERAGE_EXT_QUERIES,
         **ANALYTICS_EXT_QUERIES,
+        **PIPELINE_EXT_QUERIES,
     }
 
 
@@ -136,9 +138,10 @@ def _df_queries() -> dict:
     genuinely non-SQL-expressible ops (LSH band collisions) — the driver
     records the weaker rows-only check for those."""
     from summarydb_spark.plans.dataframe_queries import DF_QUERIES
+    from summarydb_spark.plans.pipeline_ext import PIPELINE_DF_QUERIES
     from summarydb_spark.plans.sketch_queries import SKETCH_QUERIES
 
-    return {**SKETCH_QUERIES, **DF_QUERIES}
+    return {**SKETCH_QUERIES, **DF_QUERIES, **PIPELINE_DF_QUERIES}
 
 
 # The correctness driver checks only the FIRST 50 entries of queries(),

@@ -1,0 +1,387 @@
+"""Training-pipeline extensions: iterative k-means (the exact verification
+twin of the IVF/SemDeDup centroid training), inverted-index posting lists,
+deterministic dataset splits, bigram language-model statistics, and
+length-bucketed batch packing.
+
+Same one-template-two-dialects scheme as portable_sql (the DuckDB rendering
+is the correctness oracle).  These round out the beyond-reference surface:
+the reference stores time-decayed summaries (SURVEY.md §0); a 100 TB
+training-data pipeline built on top also needs corpus indexing, split
+bookkeeping, LM count statistics, and batch packing — each expressed as a
+single declarative plan.
+
+Portability rules (see portable_sql):
+- every double fold goes through exact DECIMAL accumulation
+  (order-independent, engine-identical);
+- distances/centroids are rounded to fixed scale BEFORE feeding the next
+  iteration, so iterative float state never diverges between engines;
+- split keys are md5-derived (portable, retry-stable), never rand();
+- argmin ties break on exact decimal equality + min(id), never on float
+  comparison order.
+
+Scale notes (100 TB discipline):
+- kmeans_lloyd_embeddings: each iteration is (assign: exploded-dim
+  equi-join on dim, grouped per (vec, seed) — shuffle carries vecs x k
+  rows; recenter: one hash aggregate keyed (cluster, dim)).  The seeds
+  relation is k x dims rows — broadcast.  The 100 TB path is the sampled
+  numpy trainer already shipped (functions/similarity.py IVF build);
+  this unrolled 2-iteration SQL form is the exact cross-engine twin that
+  pins Lloyd's update rule end-to-end.
+- inverted_index_postings: explode -> distinct -> hash agg; the posting
+  string is bounded by the df ceiling in the HAVING (no unbounded
+  collect_list); at full scale postings shard by (term, bucket(doc_id))
+  before concatenation.
+- split_train_val_test: pure column math + one small aggregate; the split
+  key hashes doc_id alone so re-runs and late-arriving shards land
+  deterministically in the same split (no global coordination).
+- bigram_lm_kn_stats: one self-free bigram explode (positions join on an
+  index spine, no self-join of the token table), one hash agg, window
+  type-counts over the already-aggregated bigram relation.
+- length_bucket_batches: bucket spine is a constant VALUES relation
+  (broadcast); everything else is map-side arithmetic + one aggregate.
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_dedup import md560
+
+_K = 8  # k-means clusters (seeds = 8 smallest vec_ids)
+
+
+def _norm_text(dialect: str) -> str:
+    if dialect == "spark":
+        return "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    return "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _explode_dims(dialect: str, rel: str = "embeddings") -> str:
+    """(vec_id, idx, v) with v the exact DECIMAL(18,9) rendering of the
+    float32 component (binary fractions have no decimal-tie, so the
+    round-to-9 is engine-identical)."""
+    if dialect == "spark":
+        return (
+            f"SELECT vec_id, idx, CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) AS v"
+            f" FROM {rel} LATERAL VIEW posexplode(embedding) t AS idx, v"
+        )
+    return (
+        f"SELECT vec_id, t.i AS idx,"
+        f" CAST(CAST(embedding[t.i + 1] AS DOUBLE) AS DECIMAL(18,9)) AS v"
+        f" FROM {rel}, unnest(range(0, len(embedding))) AS t(i)"
+    )
+
+
+def _assign(src_vecs: str, src_cent: str, out: str) -> str:
+    """One Lloyd assignment step: exact squared-L2 per (vec, cluster) via
+    the exploded-dim equi-join, then argmin with (exact-equality, min id)
+    tie-break.  The per-dim diff (a scale-<=9 decimal) is pre-scaled by
+    1000 — an EXACT cast, since the value is a multiple of 1e-6 — so dist
+    is the exact integer-granular decimal 1e6 * squared-L2 at scale 12.
+    Exact decimals mean the argmin is engine-order-independent, and the
+    final floor-to-micro-units output never hits a round-half tie (the
+    two engines disagree on decimal half-ties: Spark rounds HALF_UP on
+    the exact value, DuckDB's decimal round can go through double)."""
+    return f"""
+d_{out} AS (
+  SELECT e.vec_id, c.cid,
+         sum(CAST(CAST((e.v - c.cv) * 1000 AS DECIMAL(18,6))
+                  * CAST((e.v - c.cv) * 1000 AS DECIMAL(18,6))
+                  AS DECIMAL(38,12)))
+           AS dist
+  FROM {src_vecs} e JOIN {src_cent} c ON c.idx = e.idx
+  GROUP BY e.vec_id, c.cid
+),
+m_{out} AS (SELECT vec_id, min(dist) AS md FROM d_{out} GROUP BY vec_id),
+{out} AS (
+  SELECT d.vec_id, min(d.cid) AS cid, min(d.dist) AS dist
+  FROM d_{out} d JOIN m_{out} m ON m.vec_id = d.vec_id AND d.dist = m.md
+  GROUP BY d.vec_id
+)"""
+
+
+def _recenter(asg: str, out: str) -> str:
+    """Centroid update: per-(cluster, dim) mean computed as an exact
+    decimal sum cast to DOUBLE (exact: |sum*1e10| < 2^53) divided by the
+    count (one correctly-rounded IEEE op), then rounded to scale 6 — the
+    repo-wide quotient convention — so iteration N+1 consumes identical
+    DECIMAL(18,6) values in both engines."""
+    return f"""
+{out} AS (
+  SELECT a.cid, e.idx,
+         CAST(round(CAST(sum(CAST(e.v AS DECIMAL(38,10))) AS DOUBLE)
+                    / count(*), 6) AS DECIMAL(18,6)) AS cv
+  FROM {asg} a JOIN ev e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.idx
+)"""
+
+
+def q_kmeans_lloyd_embeddings(dialect: str) -> str:
+    """Two unrolled Lloyd iterations of k-means (k={_K}, seeds = the k
+    smallest vec_ids) over the embeddings table, reporting per-cluster
+    size, inertia, and centroid squared-norm.  This is the exact
+    cross-engine verification twin of the sampled numpy IVF trainer
+    (functions/similarity.py): same update rule, deterministic seeding,
+    fixed iteration count, all arithmetic in exact decimals."""
+    return f"""
+WITH ev AS ({_explode_dims(dialect)}),
+seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_K}),
+cent0 AS (
+  SELECT e.vec_id AS cid, e.idx, e.v AS cv
+  FROM ev e JOIN seed_ids s ON s.vec_id = e.vec_id
+),
+{_assign("ev", "cent0", "asg1")},
+{_recenter("asg1", "cent1")},
+{_assign("ev", "cent1", "asg2")}
+SELECT a.cid AS cluster,
+       count(*) AS n_vecs,
+       CAST(floor(sum(CAST(a.dist AS DECIMAL(38,12)))) AS BIGINT)
+         AS inertia_micro,
+       CAST(max(cn.norm2_micro) AS BIGINT) AS centroid_norm2_micro
+FROM asg2 a
+JOIN (
+  SELECT cid,
+         floor(sum(CAST(cv * 1000 AS DECIMAL(18,3))
+                   * CAST(cv * 1000 AS DECIMAL(18,3)))) AS norm2_micro
+  FROM cent1 GROUP BY cid
+) cn ON cn.cid = a.cid
+GROUP BY a.cid"""
+
+
+def q_inverted_index_postings(dialect: str) -> str:
+    """Inverted-index build over 3-token shingle terms (the unit a
+    phrase-search / decontamination index actually keys on — unigrams in
+    this corpus are all stopword-frequency): mid-frequency terms
+    (4 <= df <= 40) with their full sorted posting list, document
+    frequency, and posting span.  The posting string is bounded by the df
+    ceiling, so no unbounded aggregation state; terms order by (df DESC,
+    term) for a deterministic top-40."""
+    norm = _norm_text(dialect)
+    if dialect == "spark":
+        tk = (
+            "SELECT DISTINCT doc_id, concat_ws(' ', element_at(toks, i),"
+            " element_at(toks, i + 1), element_at(toks, i + 2)) AS term "
+            f"FROM (SELECT doc_id, split({norm}, ' ') AS toks FROM documents)"
+            " LATERAL VIEW explode(sequence(1, size(toks) - 2)) s AS i "
+            "WHERE size(toks) >= 3"
+        )
+        postings = (
+            "array_join(transform(array_sort(collect_set(doc_id)),"
+            " x -> CAST(x AS STRING)), ',')"
+        )
+    else:
+        tk = (
+            "SELECT DISTINCT doc_id,"
+            " toks[t.i] || ' ' || toks[t.i + 1] || ' ' || toks[t.i + 2] AS term "
+            f"FROM (SELECT doc_id, string_split({norm}, ' ') AS toks"
+            " FROM documents), unnest(range(1, len(toks) - 1)) AS t(i) "
+            "WHERE len(toks) >= 3"
+        )
+        postings = "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)"
+    return f"""
+WITH tk AS ({tk})
+SELECT term, count(*) AS df,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       {postings} AS postings
+FROM tk
+GROUP BY term
+HAVING count(*) BETWEEN 4 AND 40
+ORDER BY df DESC, term
+LIMIT 40"""
+
+
+def q_split_train_val_test(dialect: str) -> str:
+    """Deterministic 98/1/1 train/val/test split bookkeeping: the split
+    key is md5(doc_id) so any re-run, engine, or shard arrival order lands
+    every document in the same split without coordination.  Reports per
+    split x lang: docs, chars, and the doc_id checksum a downstream
+    materializer can verify shards against."""
+    h = md560("CAST(doc_id AS STRING)" if dialect == "spark" else
+              "CAST(doc_id AS VARCHAR)", dialect)
+    pmod = "pmod(h, 100)" if dialect == "spark" else "((h % 100) + 100) % 100"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars, {h} AS h FROM documents
+),
+tagged AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN {pmod} < 98 THEN 'train'
+              WHEN {pmod} = 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM keyed
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS docid_checksum
+FROM tagged
+GROUP BY split, lang"""
+
+
+def q_bigram_lm_kn_stats(dialect: str) -> str:
+    """Bigram language-model statistics with Kneser-Ney continuation
+    counts: for the top-30 bigrams, the raw count c(w1,w2), the
+    continuation count N1+(.w2) (distinct left contexts of w2 — the KN
+    unigram numerator), and the fertility N1+(w1.) (distinct right
+    continuations of w1 — the KN normalizer).  Bigrams come from an index
+    spine over each token array (no token-table self-join); type counts
+    are windows over the already-aggregated bigram relation."""
+    norm = _norm_text(dialect)
+    if dialect == "spark":
+        d = f"SELECT doc_id, split({norm}, ' ') AS toks FROM documents"
+        bg = (
+            "SELECT element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2 "
+            "FROM d LATERAL VIEW explode(sequence(1, size(toks) - 1)) s AS i "
+            "WHERE size(toks) >= 2"
+        )
+    else:
+        d = f"SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents"
+        bg = (
+            "SELECT toks[t.i] AS w1, toks[t.i + 1] AS w2 "
+            "FROM d, unnest(range(1, len(toks))) AS t(i) "
+            "WHERE len(toks) >= 2"
+        )
+    return f"""
+WITH d AS ({d}),
+bg AS ({bg}),
+cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+typed AS (
+  SELECT w1, w2, c,
+         CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS continuation_w2,
+         CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS fertility_w1
+  FROM cnt
+)
+SELECT w1, w2, c AS bigram_count, continuation_w2, fertility_w1
+FROM typed
+ORDER BY c DESC, w1, w2
+LIMIT 30"""
+
+
+def q_length_bucket_batches(dialect: str) -> str:
+    """Length-bucketed batch packing: documents bucket by power-of-2 token
+    length; per bucket, the packer needs doc/batch counts (batch = 32
+    docs) and the padding waste under (a) pad-to-bucket-cap and (b)
+    pad-to-longest-in-bucket.  All integer arithmetic — engine-identical.
+    The bucket spine is a constant VALUES relation (broadcast); at 100 TB
+    the whole plan is map-side math plus one small hash aggregate."""
+    norm = _norm_text(dialect)
+    ntoks = (
+        f"size(split({norm}, ' '))" if dialect == "spark"
+        else f"len(string_split({norm}, ' '))"
+    )
+    idiv = "div" if dialect == "spark" else "//"
+    pow2 = "CAST(power(2, b.b) AS BIGINT)"
+    return f"""
+WITH d AS (SELECT doc_id, CAST({ntoks} AS BIGINT) AS ntoks FROM documents),
+spine AS (
+  SELECT b FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10),
+                        (11), (12), (13), (14), (15), (16)) AS t(b)
+),
+bucketed AS (
+  SELECT d.doc_id, d.ntoks, b.b AS bucket,
+         {pow2} * 2 - 1 AS cap
+  FROM d JOIN spine b
+    ON d.ntoks >= {pow2} AND d.ntoks < {pow2} * 2
+)
+SELECT bucket, cap,
+       count(*) AS n_docs,
+       CAST((count(*) + 31) {idiv} 32 AS BIGINT) AS n_batches,
+       CAST(sum(ntoks) AS BIGINT) AS total_tokens,
+       CAST(sum(cap - ntoks) AS BIGINT) AS waste_to_cap,
+       CAST(count(*) * max(ntoks) - sum(ntoks) AS BIGINT) AS waste_to_max
+FROM bucketed
+GROUP BY bucket, cap"""
+
+
+def q_kmeans_lloyd_df(spark, sf_dir: str):
+    """Spark side of kmeans_lloyd_embeddings as a genuine iterative
+    DataFrame loop: exploded dims persisted once, each Lloyd iteration is
+    (broadcast centroids -> assign -> persist -> recenter).  The unrolled
+    SQL form (q_kmeans_lloyd_embeddings) is the DuckDB oracle only —
+    running it on Spark inlines every CTE, so the whole upstream subtree
+    re-executes per reference (~9 s even on 500 vectors); the loop form
+    computes each iteration exactly once (same arithmetic: exact decimal
+    distances, (dist, cid) struct-min argmin, round-6 centroid means).
+    Scale: centroids are k x dims rows (broadcast); assignments shuffle
+    (vecs x k) rows keyed (vec_id, cid); iterations extend naturally
+    beyond the oracle-pinned 2."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    ev = spark.sql(_explode_dims("spark")).persist()
+    seed_ids = spark.sql(
+        f"SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {_K}"
+    )
+    cent = ev.join(
+        F.broadcast(seed_ids), ev["vec_id"] == seed_ids["cid"]
+    ).select("cid", "idx", F.col("v").alias("cv"))
+    asg = None
+    cent_used = cent
+    for _ in range(2):
+        d = (
+            ev.join(F.broadcast(cent), "idx")
+            .withColumn("di", F.expr("CAST((v - cv) * 1000 AS DECIMAL(18,6))"))
+            .groupBy("vec_id", "cid")
+            .agg(F.expr("sum(CAST(di * di AS DECIMAL(38,12)))").alias("dist"))
+        )
+        asg = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cid").alias("cid"),
+                F.col("m.dist").alias("dist"),
+            )
+            .persist()
+        )
+        cent_used = cent
+        cent = (
+            asg.join(ev, "vec_id")
+            .groupBy("cid", "idx")
+            .agg(
+                F.expr(
+                    "CAST(round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)"
+                    " / count(*), 6) AS DECIMAL(18,6))"
+                ).alias("cv")
+            )
+        )
+    # norms are over the centroids the FINAL assignment measured against
+    # (cent_used == iteration-1 centroids), exactly as the oracle reports.
+    norms = cent_used.groupBy("cid").agg(
+        F.expr(
+            "CAST(floor(sum(CAST(cv * 1000 AS DECIMAL(18,3))"
+            " * CAST(cv * 1000 AS DECIMAL(18,3)))) AS BIGINT)"
+        ).alias("centroid_norm2_micro")
+    )
+    return (
+        asg.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                "CAST(floor(sum(CAST(dist AS DECIMAL(38,12)))) AS BIGINT)"
+            ).alias("inertia_micro"),
+        )
+        .join(F.broadcast(norms), "cid")
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_vecs",
+            "inertia_micro",
+            "centroid_norm2_micro",
+        )
+    )
+
+
+PIPELINE_EXT_QUERIES = {
+    "inverted_index_postings": q_inverted_index_postings,
+    "split_train_val_test": q_split_train_val_test,
+    "bigram_lm_kn_stats": q_bigram_lm_kn_stats,
+    "length_bucket_batches": q_length_bucket_batches,
+}
+
+# name -> (spark_builder, oracle_sql) — merged into _df_queries()
+PIPELINE_DF_QUERIES = {
+    "kmeans_lloyd_embeddings": (
+        q_kmeans_lloyd_df,
+        q_kmeans_lloyd_embeddings("duckdb"),
+    ),
+}
