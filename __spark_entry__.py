@@ -105,6 +105,7 @@ def _all_queries() -> dict:
     from summarydb_spark.plans.advanced_sql import ADVANCED_QUERIES
     from summarydb_spark.plans.analytics_ext import ANALYTICS_EXT_QUERIES
     from summarydb_spark.plans.coverage_ext import COVERAGE_EXT_QUERIES
+    from summarydb_spark.plans.dq_sql import DQ_QUERIES
     from summarydb_spark.plans.llm_sql import LLM_QUERIES
     from summarydb_spark.plans.pipeline_ext import PIPELINE_EXT_QUERIES
     from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
@@ -122,6 +123,7 @@ def _all_queries() -> dict:
         **COVERAGE_EXT_QUERIES,
         **ANALYTICS_EXT_QUERIES,
         **PIPELINE_EXT_QUERIES,
+        **DQ_QUERIES,
     }
 
 

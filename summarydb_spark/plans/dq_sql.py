@@ -1,0 +1,170 @@
+"""Data-quality validation batch: column profiling, referential-integrity
+checks, and rule-based validation — the dbt-test / Great-Expectations
+style gate a 100 TB pipeline runs before training on a new data drop.
+
+Same one-template-two-dialects scheme as portable_sql (the DuckDB
+rendering is the correctness oracle).
+
+Portability rules (see portable_sql):
+- numeric min/max report as DOUBLE columns; string min/max as separate
+  VARCHAR columns (never numbers rendered to strings — the engines
+  format doubles differently);
+- dates/timestamps profile as epoch micros (exact integers);
+- all violation counts are conditional counts — integer, exact.
+
+Scale notes (100 TB discipline):
+- dq_column_profile: ONE scan of the fact table; all per-column stats
+  come out of a single aggregate (the multiple count(DISTINCT)s expand
+  the aggregate input #cols times — at extreme scale swap them for
+  approx_count_distinct, same plan shape); the per-column rows are then
+  a constant-spine cross join over the single stats row.
+- dq_referential_orphans: each relationship is a left anti-join shaped
+  aggregate (child LEFT JOIN parent on the FK, count parent-null rows).
+  Dimension sides are broadcast-size; fact-fact (lineitem->orders)
+  shuffles on the join key exactly once.  Orphan counts and reverse
+  coverage (parents with no children) come from the same join pass.
+- dq_rule_violations: conditional counts — map-side math, one tiny
+  aggregate per source table, no joins.
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_sql import epoch_us
+
+
+def q_dq_column_profile(dialect: str) -> str:
+    """Single-pass column profile of lineitem: null count, distinct
+    count, numeric min/max (DOUBLE), string min/max — one row per
+    profiled column, one scan of the table."""
+    t = epoch_us("l_shipdate", dialect)
+    return f"""
+WITH stats AS (
+  SELECT count(*) AS n_rows,
+         count(*) - count(l_quantity)      AS null_qty,
+         count(*) - count(l_extendedprice) AS null_price,
+         count(*) - count(l_discount)      AS null_disc,
+         count(*) - count(l_shipdate)      AS null_ship,
+         count(*) - count(l_returnflag)    AS null_flag,
+         count(DISTINCT l_quantity)      AS nd_qty,
+         count(DISTINCT l_extendedprice) AS nd_price,
+         count(DISTINCT l_discount)      AS nd_disc,
+         count(DISTINCT l_shipdate)      AS nd_ship,
+         count(DISTINCT l_returnflag)    AS nd_flag,
+         min(l_quantity) AS min_qty,           max(l_quantity) AS max_qty,
+         min(l_extendedprice) AS min_price,    max(l_extendedprice) AS max_price,
+         min(l_discount) AS min_disc,          max(l_discount) AS max_disc,
+         min({t}) AS min_ship,                 max({t}) AS max_ship,
+         min(l_returnflag) AS min_flag,        max(l_returnflag) AS max_flag
+  FROM lineitem
+),
+spine AS (
+  SELECT c FROM (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount'),
+                        ('l_shipdate'), ('l_returnflag')) AS t(c)
+)
+SELECT s.c AS col_name,
+       st.n_rows,
+       CAST(CASE s.c WHEN 'l_quantity' THEN st.null_qty
+                     WHEN 'l_extendedprice' THEN st.null_price
+                     WHEN 'l_discount' THEN st.null_disc
+                     WHEN 'l_shipdate' THEN st.null_ship
+                     ELSE st.null_flag END AS BIGINT) AS n_nulls,
+       CAST(CASE s.c WHEN 'l_quantity' THEN st.nd_qty
+                     WHEN 'l_extendedprice' THEN st.nd_price
+                     WHEN 'l_discount' THEN st.nd_disc
+                     WHEN 'l_shipdate' THEN st.nd_ship
+                     ELSE st.nd_flag END AS BIGINT) AS n_distinct,
+       CAST(CASE s.c WHEN 'l_quantity' THEN st.min_qty
+                     WHEN 'l_extendedprice' THEN st.min_price
+                     WHEN 'l_discount' THEN st.min_disc
+                     WHEN 'l_shipdate' THEN CAST(st.min_ship AS DOUBLE)
+                     END AS DOUBLE) AS min_num,
+       CAST(CASE s.c WHEN 'l_quantity' THEN st.max_qty
+                     WHEN 'l_extendedprice' THEN st.max_price
+                     WHEN 'l_discount' THEN st.max_disc
+                     WHEN 'l_shipdate' THEN CAST(st.max_ship AS DOUBLE)
+                     END AS DOUBLE) AS max_num,
+       CASE s.c WHEN 'l_returnflag' THEN st.min_flag END AS min_str,
+       CASE s.c WHEN 'l_returnflag' THEN st.max_flag END AS max_str
+FROM spine s CROSS JOIN stats st"""
+
+
+def q_dq_referential_orphans(dialect: str) -> str:
+    """Referential-integrity sweep: for each FK relationship, the child
+    row count and orphan count (child rows whose parent is missing), plus
+    reverse-coverage checks (parents with no children — e.g. customers
+    who never ordered, parts never shipped).  Each check is one
+    join-shaped aggregate; dimension sides broadcast."""
+    return """
+SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+       count(*) AS n_rows,
+       count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_violations
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey -> part', count(*),
+       count(CASE WHEN p.p_partkey IS NULL THEN 1 END)
+FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+UNION ALL
+SELECT 'orders.o_custkey -> customer', count(*),
+       count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'customer.c_nationkey -> nation', count(*),
+       count(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+UNION ALL
+SELECT 'customers without orders', (SELECT count(*) FROM customer),
+       count(*)
+FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NULL
+UNION ALL
+SELECT 'parts never shipped', (SELECT count(*) FROM part),
+       count(*)
+FROM part p LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+  ON l.l_partkey = p.p_partkey
+WHERE l.l_partkey IS NULL"""
+
+
+def q_dq_rule_violations(dialect: str) -> str:
+    """Rule-based validation: domain membership, numeric ranges, key
+    uniqueness, and event-time freshness — one (rule, n_checked,
+    n_violations) row per rule, conditional counts only (no joins).
+    The discount<=0.05 rule is a deliberately tight gate that fails on
+    this data — a DQ suite must demonstrate a failing rule's reporting
+    path, not just green checkmarks."""
+    t = epoch_us("ts", dialect)
+    return f"""
+SELECT 'orders.o_orderstatus in (O,F,P)' AS rule,
+       count(*) AS n_checked,
+       count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_quantity in [1,50]', count(*),
+       count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_discount <= 0.05 (tight gate)', count(*),
+       count(CASE WHEN l_discount > 0.05 THEN 1 END)
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_orderkey unique',
+       (SELECT count(*) FROM orders),
+       CAST((SELECT count(*) FROM orders) -
+            (SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'events.value >= 0', count(*),
+       count(CASE WHEN value < 0 THEN 1 END)
+FROM events
+UNION ALL
+SELECT 'events.ts in 2024-2026', count(*),
+       count(CASE WHEN {t} < 1704067200000000
+                    OR {t} >= 1767225600000000 THEN 1 END)
+FROM events"""
+
+
+DQ_QUERIES = {
+    "dq_column_profile": q_dq_column_profile,
+    "dq_referential_orphans": q_dq_referential_orphans,
+    "dq_rule_violations": q_dq_rule_violations,
+}

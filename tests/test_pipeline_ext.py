@@ -105,3 +105,49 @@ def test_bigram_no_token_self_join(spark):
     plan = plan_of(spark, "bigram_lm_kn_stats")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dq_column_profile_counts(spark):
+    rows = {r.col_name: r for r in run(spark, "dq_column_profile").collect()}
+    assert set(rows) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+        "l_returnflag",
+    }
+    n = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    for r in rows.values():
+        assert r.n_rows == n and r.n_nulls == 0
+        assert 1 <= r.n_distinct <= n
+    assert rows["l_quantity"].min_num >= 1 and rows["l_quantity"].max_num <= 50
+    assert rows["l_returnflag"].min_str is not None
+    assert rows["l_quantity"].min_str is None  # numeric cols: no string stats
+
+
+def test_dq_referential_orphans_clean_fks(spark):
+    rows = {r.relationship: r for r in run(spark, "dq_referential_orphans").collect()}
+    # generated data has intact FKs; reverse-coverage rows may be non-zero
+    for rel in (
+        "lineitem.l_orderkey -> orders",
+        "lineitem.l_partkey -> part",
+        "orders.o_custkey -> customer",
+        "customer.c_nationkey -> nation",
+    ):
+        assert rows[rel].n_violations == 0
+    assert rows["customers without orders"].n_violations >= 0
+
+
+def test_dq_rule_violations_reports_failing_rule(spark):
+    rows = {r.rule: r for r in run(spark, "dq_rule_violations").collect()}
+    assert rows["orders.o_orderkey unique"].n_violations == 0
+    assert rows["lineitem.l_quantity in [1,50]"].n_violations == 0
+    # the deliberately tight discount gate must exercise the failure path
+    assert rows["lineitem.l_discount <= 0.05 (tight gate)"].n_violations > 0
+
+
+def test_dq_profile_single_scan(spark):
+    """One scan of lineitem: the profile must not union per-column scans."""
+    import re
+
+    plan = plan_of(spark, "dq_column_profile")
+    # each scan node appears once as a "(N) Scan parquet" detail header
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Expand" in plan  # multi-distinct expand, by design
