@@ -288,7 +288,76 @@ JOIN du u ON u.day BETWEEN s.day - 6 AND s.day
 GROUP BY s.day"""
 
 
+def q_downsample_m4_daily(dialect: str) -> str:
+    """M4 time-series downsampling: per (event_type, day) bucket keep the
+    first/last/min/max points — the standard error-free downsampler for
+    line-chart rendering (each pixel column's extremes survive).  One
+    window pass: four row_numbers over the same partition (one exchange,
+    co-sorted), then a constant 4-role spine unpivots the picks — the
+    windowed relation evaluates once, never per role.  Tie-breaks are
+    total orders ((t, event_id) / (value, t, event_id)), so both engines
+    pick identical rows; values pass through untouched (no float math).
+    Scale: shuffle carries the raw points once, keyed by bucket; output
+    is <= 4 rows per bucket regardless of input size."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    part = "PARTITION BY event_type, day"
+    return f"""
+WITH e AS (
+  SELECT event_type, ({t} {idiv} 86400000000) AS day,
+         {t} AS t, value, event_id
+  FROM events
+),
+r AS (
+  SELECT event_type, day, t, value,
+    row_number() OVER ({part} ORDER BY t, event_id) AS rf,
+    row_number() OVER ({part} ORDER BY t DESC, event_id DESC) AS rl,
+    row_number() OVER ({part} ORDER BY value, t, event_id) AS rmin,
+    row_number() OVER ({part} ORDER BY value DESC, t, event_id) AS rmax
+  FROM e
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, roles.role, t, value
+FROM r
+CROSS JOIN (VALUES ('first'), ('last'), ('min'), ('max')) AS roles(role)
+WHERE (roles.role = 'first' AND r.rf = 1)
+   OR (roles.role = 'last' AND r.rl = 1)
+   OR (roles.role = 'min' AND r.rmin = 1)
+   OR (roles.role = 'max' AND r.rmax = 1)"""
+
+
+def q_weighted_sample_ares(dialect: str) -> str:
+    """A-Res weighted sampling without replacement: top-20 orders by the
+    Efraimidis-Spirakis key ln(u)/w (monotone in u^(1/w)), with u an
+    md5-derived uniform — deterministic across engines, retries, and
+    arrival order, unlike rand().  The key rounds to 9 decimals before
+    ranking so a 1-ulp libm ln() divergence between engines cannot flip
+    the order; (key, orderkey) is a total order.  Scale: one map-side
+    key computation + a top-k (TakeOrdered — no global sort
+    materialization)."""
+    key_col = "CAST(o_orderkey AS STRING)" if dialect == "spark" else (
+        "CAST(o_orderkey AS VARCHAR)")
+    h = md560(f"concat('ares:', {key_col})", dialect)
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice AS w,
+         (CAST({h} AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+  FROM orders
+),
+scored AS (
+  SELECT o_orderkey, w, round(ln(u) / w, 9) AS ares_key
+  FROM keyed WHERE w > 0
+)
+SELECT o_orderkey, w, ares_key,
+       CAST(row_number() OVER (ORDER BY ares_key DESC, o_orderkey)
+            AS BIGINT) AS rnk
+FROM scored
+ORDER BY ares_key DESC, o_orderkey
+LIMIT 20"""
+
+
 ANALYTICS_EXT_QUERIES = {
+    "downsample_m4_daily": q_downsample_m4_daily,
+    "weighted_sample_ares": q_weighted_sample_ares,
     "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "reservoir_sample_events": q_reservoir_sample_events,
     "skew_key_profile": q_skew_key_profile,

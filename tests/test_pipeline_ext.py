@@ -151,3 +151,51 @@ def test_dq_profile_single_scan(spark):
     # each scan node appears once as a "(N) Scan parquet" detail header
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "Expand" in plan  # multi-distinct expand, by design
+
+
+def test_m4_downsample_semantics(spark):
+    rows = run(spark, "downsample_m4_daily").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault((r.event_type, r.day), {})[r.role] = r
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert by_bucket
+    for (_etype, _day), picks in by_bucket.items():
+        assert set(picks) == {"first", "last", "min", "max"}
+        assert picks["first"].t <= picks["last"].t
+        assert picks["min"].value <= picks["max"].value
+        # extremes bound every pick
+        for r in picks.values():
+            assert picks["min"].value <= r.value <= picks["max"].value
+            assert picks["first"].t <= r.t <= picks["last"].t
+    n_buckets = (
+        ev.selectExpr(
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) div 86400000000 AS day",
+        )
+        .distinct()
+        .count()
+    )
+    assert len(rows) == 4 * n_buckets
+
+
+def test_m4_single_exchange(spark):
+    """Four ranked picks must share ONE shuffle (co-partitioned sorts),
+    not four."""
+    import re
+
+    plan = plan_of(spark, "downsample_m4_daily")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_weighted_sample_ares_is_topk(spark):
+    rows = run(spark, "weighted_sample_ares").collect()
+    assert len(rows) == 20
+    keys = [r.ares_key for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    assert [r.rnk for r in rows] == list(range(1, 21))
+    # deterministic: rerun yields the identical sample
+    again = run(spark, "weighted_sample_ares").collect()
+    assert [r.o_orderkey for r in rows] == [r.o_orderkey for r in again]
+    plan = plan_of(spark, "weighted_sample_ares")
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
