@@ -308,7 +308,168 @@ WHERE tv IS NOT NULL
 GROUP BY ((tv {idiv} 86400000000) + 3) % 7"""
 
 
+def q_linreg_price_vs_quantity(dialect: str) -> str:
+    """Per-group ordinary least squares (slope / intercept / r^2) of
+    extendedprice on quantity, from the same order-independent decimal
+    power sums as q_corr_quantity_price — regr_slope/regr_intercept/
+    regr_r2 semantics without relying on either engine's regr_*
+    builtins agreeing bit-for-bit.  One hash aggregate; the closed-form
+    expression tree is written identically in both dialects."""
+    return f"""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         {dsum('l_quantity')} AS sx,
+         {dsum('l_extendedprice')} AS sy,
+         {dsum('l_quantity * l_quantity')} AS sxx,
+         {dsum('l_extendedprice * l_extendedprice', 2)} AS syy,
+         {dsum('l_quantity * l_extendedprice', 2)} AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+         AS slope,
+       CAST(round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                  4) AS DOUBLE) AS intercept,
+       CAST(round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            AS DOUBLE) AS r2
+FROM m"""
+
+
+def q_markov_event_transitions(dialect: str) -> str:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | cur_type) in exact ppm (integer division —
+    engine-identical), counts per (cur, next) pair.  One window (lead
+    over the user partition, ordered by event time) then one hash
+    aggregate; the row-probability normalizer is a window over the
+    already-aggregated transition matrix (25 rows), not the event
+    stream."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH s AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY {t}, event_id) AS next_type
+  FROM events
+),
+tr AS (
+  SELECT cur_type, next_type, count(*) AS n_trans
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+)
+SELECT cur_type, next_type, n_trans,
+       CAST(n_trans * 1000000 {idiv}
+            sum(n_trans) OVER (PARTITION BY cur_type) AS BIGINT)
+         AS prob_ppm
+FROM tr"""
+
+
+def q_cusum_drift_daily(dialect: str) -> str:
+    """CUSUM drift detection: per event type, the running sum of each
+    day's deviation from the type's all-time daily-mean value — the
+    classic changepoint monitor for data-quality drift.  All state is
+    exact decimal (daily sums recovered at scale 4, the mean rounded to
+    a scale-6 decimal once, deviations and the cumulative sum exact
+    thereafter); the output is integer micro-units so no round-half tie
+    can split the engines.  Shuffle carries (type x day) rows only."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH d AS (
+  SELECT event_type, ({t} {idiv} 86400000000) AS day,
+         CAST({dsum("value")} AS DECIMAL(18,4)) AS sum_v,
+         count(*) AS n
+  FROM events
+  GROUP BY event_type, ({t} {idiv} 86400000000)
+),
+g AS (
+  SELECT event_type,
+         CAST(round(CAST(sum(CAST(sum_v AS DECIMAL(38,4))) AS DOUBLE)
+                    / sum(n), 6) AS DECIMAL(18,6)) AS mean_per_event
+  FROM d GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n,
+         CAST(d.sum_v AS DECIMAL(38,6)) - d.n * g.mean_per_event AS dev
+  FROM d JOIN g ON g.event_type = d.event_type
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+       CAST(CAST(dev * 1000000 AS DECIMAL(38,0)) AS BIGINT) AS dev_micro,
+       CAST(CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) * 1000000
+                 AS DECIMAL(38,0)) AS BIGINT) AS cusum_micro,
+       CASE WHEN abs(sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW))
+                 > 2000.0 THEN 1 ELSE 0 END AS drift_flag
+FROM dev"""
+
+
+def q_ab_test_conversion(dialect: str) -> str:
+    """Two-proportion z-test between deterministic md5-assigned user
+    cohorts (the A/B assignment every experimentation system derives
+    from a user-id hash): per-cohort converters (users with >= 14
+    purchase events — every user purchases at least once in this data,
+    so raw has-purchased is degenerate at p=1), exposed users,
+    conversion rate, and the pooled z statistic with a |z| > 1.96
+    significance flag.  The pooled variance is nullif-guarded (a
+    degenerate cohort yields NULL z, never a divide-by-zero under ANSI).
+    Rates and z round to 6 before output (double quotients — tie-free);
+    the per-user reduction is one aggregate, cohort stats are 2 rows."""
+    key = ("CAST(user_id AS STRING)" if dialect == "spark"
+           else "CAST(user_id AS VARCHAR)")
+    from summarydb_spark.plans.portable_dedup import md560
+
+    h = md560(f"concat('ab:', {key})", dialect)
+    pmod = "pmod(h, 2)" if dialect == "spark" else "((h % 2) + 2) % 2"
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted,
+         {h} AS h
+  FROM events
+  GROUP BY user_id
+),
+c AS (
+  SELECT {pmod} AS cohort,
+         count(*) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM u GROUP BY {pmod}
+),
+w AS (
+  SELECT
+    max(CASE WHEN cohort = 0 THEN n_users END) AS na,
+    max(CASE WHEN cohort = 0 THEN n_converted END) AS ca,
+    max(CASE WHEN cohort = 1 THEN n_users END) AS nb,
+    max(CASE WHEN cohort = 1 THEN n_converted END) AS cb
+  FROM c
+),
+z AS (
+  SELECT na, ca, nb, cb,
+         (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+         / nullif(sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                       * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                       * (1.0 / na + 1.0 / nb)), 0.0) AS zval
+  FROM w
+)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       CAST(round(CAST(ca AS DOUBLE) / na, 6) AS DOUBLE) AS rate_a,
+       CAST(round(CAST(cb AS DOUBLE) / nb, 6) AS DOUBLE) AS rate_b,
+       CAST(round(zval, 6) AS DOUBLE) AS z_stat,
+       CASE WHEN abs(zval) > 1.96 THEN 1 ELSE 0 END AS significant
+FROM z"""
+
+
 STATS_EXT_QUERIES = {
+    "linreg_price_vs_quantity": q_linreg_price_vs_quantity,
+    "markov_event_transitions": q_markov_event_transitions,
+    "cusum_drift_daily": q_cusum_drift_daily,
+    "ab_test_conversion": q_ab_test_conversion,
     "ingest_clamp_monotonic": q_ingest_clamp,
     "tpch_q13_like_custdist": q_custdist,
     "tpch_q18_like_large_orders": q_large_orders,

