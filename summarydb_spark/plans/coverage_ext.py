@@ -165,6 +165,7 @@ def q_curation_pipeline(dialect: str) -> str:
         )
         inter = "size(array_intersect(a.sh, b.sh))"
         uni = "size(array_union(a.sh, b.sh))"
+        sz_a, sz_b = "size(a.sh)", "size(b.sh)"
         # Two Spark-only hints keep the verify join healthy above the
         # dedup Window: BROADCAST(b) (no size estimate through a Window,
         # so the planner would sort-merge on the handful of block keys),
@@ -185,6 +186,7 @@ def q_curation_pipeline(dialect: str) -> str:
         )
         inter = "len(list_intersect(a.sh, b.sh))"
         uni = "len(list_distinct(list_concat(a.sh, b.sh)))"
+        sz_a, sz_b = "len(a.sh)", "len(b.sh)"
         hint = ""
         sh_hint = ""
     return f"""
@@ -217,7 +219,11 @@ pairs AS (
   FROM sh a JOIN sh b
     ON a.lang = b.lang AND a.len_bucket = b.len_bucket
    AND a.doc_id < b.doc_id
-  WHERE CAST({inter} AS DOUBLE) / {uni} >= 0.8
+  -- size-ratio prune BEFORE the set math: J >= 0.8 forces
+  -- min(|a|,|b|) >= 0.8 * max(|a|,|b|) (|inter| <= min, |union| >= max),
+  -- so pairs outside the ratio skip the intersect/union entirely
+  WHERE {sz_a} * 5 >= {sz_b} * 4 AND {sz_b} * 5 >= {sz_a} * 4
+    AND CAST({inter} AS DOUBLE) / {uni} >= 0.8
 ),
 dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
 annot AS (
