@@ -92,24 +92,30 @@ def q_dq_referential_orphans(dialect: str) -> str:
     """Referential-integrity sweep: for each FK relationship, the child
     row count and orphan count (child rows whose parent is missing), plus
     reverse-coverage checks (parents with no children — e.g. customers
-    who never ordered, parts never shipped).  Each check is one
-    join-shaped aggregate; dimension sides broadcast."""
+    who never ordered, parts never shipped).  A NULL FK is NOT an orphan
+    (dbt/GE relationship-test semantics — nullness is dq_column_profile's
+    dimension); each check is one join-shaped aggregate, dimension sides
+    broadcast."""
     return """
 SELECT 'lineitem.l_orderkey -> orders' AS relationship,
        count(*) AS n_rows,
-       count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_violations
+       count(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                  THEN 1 END) AS n_violations
 FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
 UNION ALL
 SELECT 'lineitem.l_partkey -> part', count(*),
-       count(CASE WHEN p.p_partkey IS NULL THEN 1 END)
+       count(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+                  THEN 1 END)
 FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
 UNION ALL
 SELECT 'orders.o_custkey -> customer', count(*),
-       count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+       count(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                  THEN 1 END)
 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 UNION ALL
 SELECT 'customer.c_nationkey -> nation', count(*),
-       count(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+       count(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                  THEN 1 END)
 FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
 UNION ALL
 SELECT 'customers without orders', (SELECT count(*) FROM customer),
@@ -157,7 +163,7 @@ SELECT 'events.value >= 0', count(*),
        count(CASE WHEN value < 0 THEN 1 END)
 FROM events
 UNION ALL
-SELECT 'events.ts in 2024-2026', count(*),
+SELECT 'events.ts in [2024-01-01, 2026-01-01)', count(*),
        count(CASE WHEN {t} < 1704067200000000
                     OR {t} >= 1767225600000000 THEN 1 END)
 FROM events"""

@@ -43,15 +43,10 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+from summarydb_spark.plans.portable_dedup import _norm as _norm_text
 from summarydb_spark.plans.portable_dedup import md560
 
 _K = 8  # k-means clusters (seeds = 8 smallest vec_ids)
-
-
-def _norm_text(dialect: str) -> str:
-    if dialect == "spark":
-        return "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
-    return "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def _explode_dims(dialect: str, rel: str = "embeddings") -> str:
@@ -272,8 +267,10 @@ def q_length_bucket_batches(dialect: str) -> str:
     return f"""
 WITH d AS (SELECT doc_id, CAST({ntoks} AS BIGINT) AS ntoks FROM documents),
 spine AS (
-  SELECT b FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10),
-                        (11), (12), (13), (14), (15), (16)) AS t(b)
+  -- b=0 catches 1-token docs (split() never yields an empty array, so
+  -- ntoks >= 1 always); domain covered: ntoks in [1, 2^17)
+  SELECT b FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9),
+                        (10), (11), (12), (13), (14), (15), (16)) AS t(b)
 ),
 bucketed AS (
   SELECT d.doc_id, d.ntoks, b.b AS bucket,
@@ -332,9 +329,12 @@ def q_kmeans_lloyd_df(spark, sf_dir: str):
                 F.col("m.cid").alias("cid"),
                 F.col("m.dist").alias("dist"),
             )
-            .persist()
         )
         cent_used = cent
+        # persist the k x dims centroids, NOT the full assignment: the
+        # final DAG references each cent twice (next assignment + norms)
+        # but each asg only once, so caching the tiny relation gives the
+        # same no-recompute guarantee at negligible pinned memory
         cent = (
             asg.join(ev, "vec_id")
             .groupBy("cid", "idx")
@@ -344,6 +344,7 @@ def q_kmeans_lloyd_df(spark, sf_dir: str):
                     " / count(*), 6) AS DECIMAL(18,6))"
                 ).alias("cv")
             )
+            .persist()
         )
     # norms are over the centroids the FINAL assignment measured against
     # (cent_used == iteration-1 centroids), exactly as the oracle reports.
