@@ -372,7 +372,73 @@ def q_kmeans_lloyd_df(spark, sf_dir: str):
     )
 
 
+def q_knn_classification_accuracy(dialect: str) -> str:
+    """Embedding-quality eval: leave-out kNN classification — every 50th
+    vector becomes a probe, classified by majority label of its 5 nearest
+    train vectors (cosine), scored against its own label.  Per-label
+    probe count / correct count / accuracy — the evaluation loop that
+    gates an embedding model's deployment.  Cosines round to 6 before
+    ranking (the knn_brute_cosine convention: fold order is
+    deterministic in both engines, rounding absorbs 1-ulp drift); vote
+    ties break on the smaller label.  Scale: probes x corpus candidate
+    scoring (the exact twin of the ANN recall path — at 100 TB the
+    candidate set comes from the persisted LSH/IVF index instead of the
+    full corpus; the vote/score tail is identical)."""
+    if dialect == "spark":
+        dot = ("aggregate(zip_with(q.embedding, c.embedding, (x, y) -> x * y),"
+               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        nrm = (
+            "sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v)) * "
+            "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v))"
+        )
+        cos = f"({dot}) / ({nrm})"
+        emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    else:
+        cos = "list_cosine_similarity(q.embedding, c.embedding)"
+        emb = "CAST(embedding AS DOUBLE[])"
+    return f"""
+WITH e AS (SELECT vec_id, label, {emb} AS embedding FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 50 = 7),
+tr AS (SELECT * FROM e WHERE vec_id % 50 <> 7),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.label AS cand_label,
+         round({cos}, 6) AS cosine, c.vec_id AS cand_id
+  FROM q CROSS JOIN tr c
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, cand_label, count(*) AS n_votes
+  FROM rk WHERE rnk <= 5
+  GROUP BY query_id, true_label, cand_label
+),
+pred AS (
+  SELECT query_id, true_label, cand_label AS pred_label
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, cand_label) AS vr
+    FROM votes
+  ) v WHERE vr = 1
+)
+SELECT true_label AS label,
+       count(*) AS n_probes,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(round(CAST(sum(CASE WHEN pred_label = true_label
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS DOUBLE) AS accuracy
+FROM pred
+GROUP BY true_label"""
+
+
 PIPELINE_EXT_QUERIES = {
+    "knn_classification_accuracy": q_knn_classification_accuracy,
     "inverted_index_postings": q_inverted_index_postings,
     "split_train_val_test": q_split_train_val_test,
     "bigram_lm_kn_stats": q_bigram_lm_kn_stats,

@@ -465,7 +465,51 @@ SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
 FROM z"""
 
 
+def q_time_to_conversion(dialect: str) -> str:
+    """View-to-purchase latency distribution: per user, the first
+    'view' and the first 'purchase' at or after it; latencies (whole
+    seconds — integer floor division, engine-exact) summarize to
+    min / p50 / p90 / max per user-id parity cohort.  percentile_cont
+    interpolation runs on integer seconds, so the interpolated value is
+    a short dyadic fraction — exactly representable, no 1-ulp drift.
+    Scale: one aggregate to (user, first_view), one conditional
+    aggregate for the first qualifying purchase (no self-join of the
+    raw stream), percentiles over #users rows."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    pc = ("percentile(lat_s, {q})" if dialect == "spark"
+          else "quantile_cont(lat_s, {q})")
+    return f"""
+WITH fv AS (
+  SELECT user_id, min({t}) AS first_view
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id,
+         min(CASE WHEN {t} >= f.first_view THEN {t} END) AS first_purchase,
+         min(f.first_view) AS first_view
+  FROM events e JOIN fv f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         (first_purchase - first_view) {idiv} 1000000 AS lat_s
+  FROM fp WHERE first_purchase IS NOT NULL
+)
+SELECT cohort,
+       count(*) AS n_users,
+       CAST(min(lat_s) AS BIGINT) AS min_s,
+       CAST(round({pc.format(q='0.5')}, 6) AS DOUBLE) AS p50_s,
+       CAST(round({pc.format(q='0.9')}, 6) AS DOUBLE) AS p90_s,
+       CAST(max(lat_s) AS BIGINT) AS max_s
+FROM lat
+GROUP BY cohort"""
+
+
 STATS_EXT_QUERIES = {
+    "time_to_conversion": q_time_to_conversion,
     "linreg_price_vs_quantity": q_linreg_price_vs_quantity,
     "markov_event_transitions": q_markov_event_transitions,
     "cusum_drift_daily": q_cusum_drift_daily,

@@ -252,3 +252,22 @@ def test_ab_test_covers_all_users(spark):
     assert r.n_a + r.n_b == n_users
     assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
     assert r.significant in (0, 1)
+
+
+def test_knn_classification_covers_probes(spark):
+    rows = run(spark, "knn_classification_accuracy").collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_probes = emb.where("vec_id % 50 = 7").count()
+    assert sum(r.n_probes for r in rows) == n_probes
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_probes
+        assert abs(r.accuracy - r.n_correct / r.n_probes) < 1e-6
+
+
+def test_time_to_conversion_ordering(spark):
+    rows = run(spark, "time_to_conversion").collect()
+    assert {r.cohort for r in rows} <= {0, 1}
+    for r in rows:
+        assert r.n_users > 0
+        assert r.min_s <= r.p50_s <= r.p90_s <= r.max_s
+        assert r.min_s >= 0  # purchase is at-or-after the first view
