@@ -355,9 +355,151 @@ ORDER BY ares_key DESC, o_orderkey
 LIMIT 20"""
 
 
+def q_gini_customer_revenue(dialect: str) -> str:
+    """Revenue-concentration (Lorenz/Gini) diagnostics per market
+    segment: the Gini coefficient of customer order totals, from the
+    trapezoid form G = 1 - sum((cum_prev + cum) * share) / total — all
+    accumulation in exact decimals over the (already aggregated)
+    customer totals, one double division + round at the very end.  The
+    shuffle carries #customers rows; the windows order by (total,
+    custkey) — a total order, so both engines walk the identical Lorenz
+    curve."""
+    return f"""
+WITH ct AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST({dsum("o.o_totalprice", 2)} AS DECIMAL(18,2)) AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+w AS (
+  SELECT segment, revenue,
+         sum(CAST(revenue AS DECIMAL(38,2)))
+           OVER (PARTITION BY segment ORDER BY revenue, o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         count(*) OVER (PARTITION BY segment) AS n,
+         sum(CAST(revenue AS DECIMAL(38,2)))
+           OVER (PARTITION BY segment) AS total
+  FROM ct
+)
+SELECT segment, CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(round(CAST(max(total) AS DOUBLE), 2) AS DOUBLE) AS total_revenue,
+       CAST(round(1.0
+                  - CAST(sum(CAST(2 * cum - CAST(revenue AS DECIMAL(38,2))
+                                  AS DECIMAL(38,2))) AS DOUBLE)
+                    / (CAST(max(n) AS DOUBLE) * CAST(max(total) AS DOUBLE)),
+                  6) AS DOUBLE) AS gini
+FROM w
+GROUP BY segment"""
+
+
+def q_heatmap_dow_hour(dialect: str) -> str:
+    """Seasonality heat map: event count and value sum per (day-of-week,
+    hour-of-day) cell — the 2-D calendar profile a monitoring dashboard
+    renders.  dow/hour come from integer epoch arithmetic (epoch day 0 =
+    Thursday), so bucketing is engine-exact; one hash aggregate, output
+    is <= 7 x 24 cells regardless of input size."""
+    t = epoch_us("ts", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH e AS (
+  SELECT ((({t} {idiv} 86400000000) + 4) % 7) AS dow,
+         (({t} {idiv} 3600000000) % 24) AS hour,
+         value
+  FROM events
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       count(*) AS n_events,
+       {dsum("value")} AS sum_value
+FROM e
+GROUP BY dow, hour"""
+
+
+def q_burstiness_interarrival(dialect: str) -> str:
+    """Traffic-shape diagnostics per event type: mean, coefficient of
+    variation, and burstiness index B = (cv - 1)/(cv + 1) of
+    inter-arrival gaps (B < 0 regular, ~0 Poisson, > 0 bursty).  Gaps
+    are integer micros from one lag() window; moments come from decimal
+    power sums over the gap relation — the same order-independent
+    discipline as the corr/linreg family."""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         {t} - lag({t}) OVER (PARTITION BY event_type
+                              ORDER BY {t}, event_id) AS gap
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*) AS n,
+         {dsum("CAST(gap AS DOUBLE) / 1000000.0")} AS s1,
+         {dsum("(CAST(gap AS DOUBLE) / 1000000.0)"
+               " * (CAST(gap AS DOUBLE) / 1000000.0)", 2)} AS s2
+  FROM s WHERE gap IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(round(s1 / n, 6) AS DOUBLE) AS mean_gap_s,
+       CAST(round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n), 6)
+            AS DOUBLE) AS cv,
+       CAST(round((sqrt((s2 - s1 * s1 / n) / (n - 1)) - s1 / n)
+                  / (sqrt((s2 - s1 * s1 / n) / (n - 1)) + s1 / n), 6)
+            AS DOUBLE) AS burstiness
+FROM m"""
+
+
+def q_zipf_token_fit(dialect: str) -> str:
+    """Zipf's-law diagnostics of the token distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-30 vocabulary (a healthy natural
+    corpus fits ~ -1; synthetic/templated text flattens) plus r^2.  The
+    libm ln() values feed ONLY power sums whose final expressions round
+    to 6 (the linreg convention) — a 1-ulp ln() divergence cannot
+    surface.  Token counting is one explode + hash agg; the regression
+    runs over 30 rows."""
+    norm = (
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+        if dialect == "spark"
+        else "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    )
+    if dialect == "spark":
+        tk = (f"SELECT tok FROM documents "
+              f"LATERAL VIEW explode(split({norm}, ' ')) AS tok")
+    else:
+        tk = (f"SELECT unnest(string_split({norm}, ' ')) AS tok "
+              f"FROM documents")
+    return f"""
+WITH tk AS ({tk}),
+freq AS (SELECT tok, count(*) AS f FROM tk GROUP BY tok),
+rk AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rank
+  FROM freq
+),
+pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+  FROM rk WHERE rank <= 30
+),
+m AS (
+  SELECT count(*) AS n,
+         {dsum("x", 6)} AS sx, {dsum("y", 6)} AS sy,
+         {dsum("x * x", 6)} AS sxx, {dsum("y * y", 6)} AS syy,
+         {dsum("x * y", 6)} AS sxy
+  FROM pts
+)
+SELECT n,
+       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+         AS zipf_slope,
+       CAST(round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            AS DOUBLE) AS r2
+FROM m"""
+
+
 ANALYTICS_EXT_QUERIES = {
     "downsample_m4_daily": q_downsample_m4_daily,
     "weighted_sample_ares": q_weighted_sample_ares,
+    "gini_customer_revenue": q_gini_customer_revenue,
+    "heatmap_dow_hour": q_heatmap_dow_hour,
+    "burstiness_interarrival": q_burstiness_interarrival,
+    "zipf_token_fit": q_zipf_token_fit,
     "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "reservoir_sample_events": q_reservoir_sample_events,
     "skew_key_profile": q_skew_key_profile,

@@ -271,3 +271,36 @@ def test_time_to_conversion_ordering(spark):
         assert r.n_users > 0
         assert r.min_s <= r.p50_s <= r.p90_s <= r.max_s
         assert r.min_s >= 0  # purchase is at-or-after the first view
+
+
+def test_gini_in_unit_interval(spark):
+    rows = run(spark, "gini_customer_revenue").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_customers > 0 and r.total_revenue > 0
+
+
+def test_heatmap_cells_bounded(spark):
+    rows = run(spark, "heatmap_dow_hour").collect()
+    assert 0 < len(rows) <= 7 * 24
+    ev_n = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == ev_n
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+
+
+def test_burstiness_bounded(spark):
+    rows = run(spark, "burstiness_interarrival").collect()
+    assert rows
+    for r in rows:
+        assert r.mean_gap_s > 0
+        assert r.cv > 0
+        assert -1.0 < r.burstiness < 1.0  # B = (cv-1)/(cv+1)
+
+
+def test_zipf_fit_shape(spark):
+    r = run(spark, "zipf_token_fit").collect()[0]
+    assert r.n == min(30, r.n)
+    assert r.zipf_slope < 0  # frequency decreases with rank
+    assert 0.0 <= r.r2 <= 1.0
