@@ -386,7 +386,8 @@ SELECT segment, CAST(max(n) AS BIGINT) AS n_customers,
        CAST(round(1.0
                   - CAST(sum(CAST(2 * cum - CAST(revenue AS DECIMAL(38,2))
                                   AS DECIMAL(38,2))) AS DOUBLE)
-                    / (CAST(max(n) AS DOUBLE) * CAST(max(total) AS DOUBLE)),
+                    / nullif(CAST(max(n) AS DOUBLE)
+                             * CAST(max(total) AS DOUBLE), 0.0),
                   6) AS DOUBLE) AS gini
 FROM w
 GROUP BY segment"""
@@ -420,7 +421,10 @@ def q_burstiness_interarrival(dialect: str) -> str:
     inter-arrival gaps (B < 0 regular, ~0 Poisson, > 0 bursty).  Gaps
     are integer micros from one lag() window; moments come from decimal
     power sums over the gap relation — the same order-independent
-    discipline as the corr/linreg family."""
+    discipline as the corr/linreg family.  Degenerate inputs stay
+    total: a type with < 2 gaps drops out (variance undefined), and an
+    all-zero-gap type reports NULL cv/burstiness via nullif rather than
+    an ANSI divide-by-zero."""
     t = epoch_us("ts", dialect)
     return f"""
 WITH s AS (
@@ -436,14 +440,15 @@ m AS (
                " * (CAST(gap AS DOUBLE) / 1000000.0)", 2)} AS s2
   FROM s WHERE gap IS NOT NULL
   GROUP BY event_type
+  HAVING count(*) >= 2
 )
 SELECT event_type, n,
        CAST(round(s1 / n, 6) AS DOUBLE) AS mean_gap_s,
-       CAST(round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n), 6)
-            AS DOUBLE) AS cv,
+       CAST(round(sqrt((s2 - s1 * s1 / n) / (n - 1))
+                  / nullif(s1 / n, 0.0), 6) AS DOUBLE) AS cv,
        CAST(round((sqrt((s2 - s1 * s1 / n) / (n - 1)) - s1 / n)
-                  / (sqrt((s2 - s1 * s1 / n) / (n - 1)) + s1 / n), 6)
-            AS DOUBLE) AS burstiness
+                  / nullif(sqrt((s2 - s1 * s1 / n) / (n - 1)) + s1 / n,
+                           0.0), 6) AS DOUBLE) AS burstiness
 FROM m"""
 
 

@@ -328,13 +328,13 @@ WITH m AS (
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
-         AS slope,
-       CAST(round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                  4) AS DOUBLE) AS intercept,
+       CAST(round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6)
+            AS DOUBLE) AS slope,
+       CAST(round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+                        * sx) / n, 4) AS DOUBLE) AS intercept,
        CAST(round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-            AS DOUBLE) AS r2
+                  / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0),
+                  6) AS DOUBLE) AS r2
 FROM m"""
 
 
