@@ -38,7 +38,7 @@ def q_tpch_q14_like_promo(dialect: str) -> str:
 SELECT year(l.l_shipdate) * 100 + month(l.l_shipdate) AS ym,
        {dsum(promo)} AS promo_revenue,
        {dsum(rev)} AS total_revenue,
-       round({dsum(promo)} / {dsum(rev)}, 6) AS promo_share,
+       round({dsum(promo)} / nullif({dsum(rev)}, 0.0), 6) AS promo_share,
        count(*) AS n_items
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey

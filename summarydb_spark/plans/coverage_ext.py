@@ -352,7 +352,7 @@ def q_quality_weighted_sample(dialect: str) -> str:
 WITH f AS (
   SELECT doc_id, lang,
          CAST({ntok} AS DOUBLE) AS n_tok,
-         CAST({nalpha} AS DOUBLE) / length(text) AS alpha_ratio,
+         CAST({nalpha} AS DOUBLE) / nullif(length(text), 0) AS alpha_ratio,
          {u} AS u
   FROM documents
 ),

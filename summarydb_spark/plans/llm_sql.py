@@ -68,8 +68,9 @@ SELECT doc_id,
        {ntok} AS n_tokens,
        {bpe} AS n_bpe_pieces,
        {ndis} AS n_distinct_tokens,
-       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / {ntok}, 6) AS avg_token_len,
-       round(CAST({ndis} AS DOUBLE) / {ntok}, 6) AS type_token_ratio
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / nullif({ntok}, 0), 6)
+         AS avg_token_len,
+       round(CAST({ndis} AS DOUBLE) / nullif({ntok}, 0), 6) AS type_token_ratio
 FROM documents"""
 
 
@@ -92,9 +93,9 @@ WITH f AS (
 ),
 s AS (
   SELECT doc_id, n_chars, n_tokens,
-         round(n_stop / n_tokens, 6) AS stopword_ratio,
-         round(n_alpha / n_chars, 6) AS alpha_ratio,
-         round(n_distinct / n_tokens, 6) AS distinct_ratio,
+         round(n_stop / nullif(n_tokens, 0.0), 6) AS stopword_ratio,
+         round(n_alpha / nullif(n_chars, 0.0), 6) AS alpha_ratio,
+         round(n_distinct / nullif(n_tokens, 0.0), 6) AS distinct_ratio,
          round(least(n_tokens / 100.0, 1.0), 6) AS length_score
   FROM f
 )
@@ -244,7 +245,7 @@ def q_knn_brute_cosine(dialect: str) -> str:
             "sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)) * "
             "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
         )
-        cos = f"({dot}) / ({nrm})"
+        cos = f"({dot}) / nullif({nrm}, 0.0)"
         emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
     else:
         cos = "list_cosine_similarity(q.embedding, c.embedding)"

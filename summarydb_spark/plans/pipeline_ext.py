@@ -393,7 +393,7 @@ def q_knn_classification_accuracy(dialect: str) -> str:
             "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE),"
             " (acc, v) -> acc + v * v))"
         )
-        cos = f"({dot}) / ({nrm})"
+        cos = f"({dot}) / nullif({nrm}, 0.0)"
         emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
     else:
         cos = "list_cosine_similarity(q.embedding, c.embedding)"

@@ -411,7 +411,8 @@ def q_regexp_source_buckets(dialect: str) -> str:
     regexp_extract coverage with an identical call shape in both engines."""
     return """
 WITH x AS (
-  SELECT CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) AS src_id,
+  SELECT CAST(nullif(regexp_extract(source, '[0-9]+', 0), '') AS BIGINT)
+           AS src_id,
          n_chars
   FROM documents
 )

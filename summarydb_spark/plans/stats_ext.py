@@ -142,11 +142,13 @@ WITH m AS (
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       CAST(round((sxy - sx * sy / n) / (n - 1), 4) AS DOUBLE) AS covar_qp,
+       CAST(round((sxy - sx * sy / n) / nullif(n - 1, 0), 4) AS DOUBLE)
+         AS covar_qp,
        CAST(round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-            AS DOUBLE) AS corr_qp,
-       CAST(round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS DOUBLE) AS std_qty
+             / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0),
+             6) AS DOUBLE) AS corr_qp,
+       CAST(round(sqrt((sxx - sx * sx / n) / nullif(n - 1, 0)), 6) AS DOUBLE)
+         AS std_qty
 FROM m"""
 
 
