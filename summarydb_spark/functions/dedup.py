@@ -391,7 +391,9 @@ def cosine(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    # zero-norm vectors yield NULL (dropped by any >= threshold filter)
+    # rather than an ANSI divide-by-zero
+    return dot / F.nullif(na * nb, F.lit(0.0))
 
 
 def embedding_near_dups(
@@ -490,8 +492,11 @@ def semantic_dedup(
     if clusters is None:
         bucket = F.lit(0)
         for i in range(n_sign_dims):
+            # try_element_at: a vector shorter than n_sign_dims contributes
+            # sign bit 0 for the missing dims instead of an ANSI
+            # out-of-bounds error
             bucket = bucket + F.when(
-                F.element_at(F.col("v"), i + 1) >= 0, F.lit(1 << i)
+                F.expr(f"try_element_at(v, {i + 1})") >= 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
         vecs = vecs.withColumn("bucket", bucket)
     else:

@@ -123,10 +123,21 @@ def train_ivf_centroids(
         nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
         return F.transform(col, lambda x: x / nrm)
 
-    train = corpus.select(norm(_as_double(F.col(emb_col))).alias("cv"))
+    nrm2 = F.aggregate(
+        _as_double(F.col(emb_col)), F.lit(0.0), lambda a, v: a + v * v
+    )
+    train = corpus.where(nrm2 > 0).select(
+        norm(_as_double(F.col(emb_col))).alias("cv")
+    )
     if sample_fraction < 1.0:
         train = train.sample(sample_fraction, seed=seed)
     sample = np.array(train.limit(1_000_000).toPandas()["cv"].tolist())
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"IVF training needs >= n_centroids={n_centroids} non-zero "
+            f"vectors, got {len(sample)}; lower n_centroids or grow the "
+            "corpus"
+        )
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
     for _ in range(max_iter):
@@ -255,6 +266,19 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def _require_dim(corpus: DataFrame, emb_col: str, dim: int) -> None:
+    """Fail fast (driver-side, one-row lookup) when the corpus vectors do
+    not match the planes' dimensionality — a deep executor-side numpy
+    shape error otherwise.  FAISS-style contract: the index is built for
+    a fixed dim; pass ``dim=`` to match the data."""
+    row = corpus.select(F.size(F.col(emb_col)).alias("d")).head()
+    if row is not None and row["d"] != dim:
+        raise ValueError(
+            f"embedding dim {row['d']} != index dim {dim}; pass dim="
+            f"{row['d']} when building/searching this index"
+        )
+
+
 def lsh_encode(
     corpus: DataFrame,
     emb_col: str = "embedding",
@@ -270,6 +294,7 @@ def lsh_encode(
     (un-exploded: one row per vector; searches explode JVM-side).  The
     hyperplanes are derived deterministically from ``seed``, so a search
     session reconstructs the same planes without storing them."""
+    _require_dim(corpus, emb_col, dim)
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     sigsf = _sigs_all_tables_udf(tables)
     return corpus.select(
@@ -453,12 +478,21 @@ def train_pq_codebooks(
         nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
         return F.transform(col, lambda x: x / nrm)
 
+    nrm2 = F.aggregate(
+        _as_double(F.col(emb_col)), F.lit(0.0), lambda a, v: a + v * v
+    )
     sample = np.array(
-        corpus.select(norm(_as_double(F.col(emb_col))).alias("cv"))
+        corpus.where(nrm2 > 0)
+        .select(norm(_as_double(F.col(emb_col))).alias("cv"))
         .limit(1_000_000)
         .toPandas()["cv"]
         .tolist()
     )
+    if len(sample) < k:
+        raise ValueError(
+            f"PQ training needs >= k={k} non-zero vectors per codebook, "
+            f"got {len(sample)}; lower k or grow the corpus"
+        )
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

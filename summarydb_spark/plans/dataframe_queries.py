@@ -177,7 +177,10 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         from summarydb_spark.functions.dedup import _hyperplanes
         from summarydb_spark.functions.similarity import _sigs_all_tables_udf
 
+        from summarydb_spark.functions.similarity import _require_dim
+
         embs = _embs(s, sf_dir)
+        _require_dim(embs, "embedding", 64)
         idx = F.expr(
             "transform(embedding, (x, i) -> x * cast(1.0 + 0.002 * ((i % 7) - 3) as float))"
         )

@@ -170,12 +170,18 @@ def q_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.join(exact, "event_type").select(
         "event_type",
-        (F.abs(F.col("q0_5") - F.col("e50")) / F.abs(F.col("e50")) < 0.1).alias(
-            "q50_within_10pct"
-        ),
-        (F.abs(F.col("q0_9") - F.col("e90")) / F.abs(F.col("e90")) < 0.1).alias(
-            "q90_within_10pct"
-        ),
+        # nullif: an all-zero value distribution (|exact| = 0) reports NULL
+        # rather than an ANSI divide-by-zero
+        (
+            F.abs(F.col("q0_5") - F.col("e50"))
+            / F.nullif(F.abs(F.col("e50")), F.lit(0.0))
+            < 0.1
+        ).alias("q50_within_10pct"),
+        (
+            F.abs(F.col("q0_9") - F.col("e90"))
+            / F.nullif(F.abs(F.col("e90")), F.lit(0.0))
+            < 0.1
+        ).alias("q90_within_10pct"),
     )
 
 

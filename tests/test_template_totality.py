@@ -103,3 +103,27 @@ def test_every_sql_template_is_total(degenerate):
         except Exception as exc:  # noqa: BLE001 - collecting the full list
             failures.append((name, str(exc).splitlines()[0][:160]))
     assert not failures, "\n".join(f"{n}: {m}" for n, m in failures)
+
+
+def test_dataframe_builders_on_tiny_parquet(degenerate, tmp_path_factory):
+    """DataFrame-built queries (ANN, sketches, media, SQL-surface, ...)
+    read parquet from sf_dir; they must come up on a 1-3-row dataset —
+    either producing a result or failing with an intentional, actionable
+    error (ValueError with sizing guidance), never an engine crash."""
+    spark = degenerate
+    root = tmp_path_factory.mktemp("tinysf")
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events documents embeddings").split():
+        spark.table(name).coalesce(1).write.mode("overwrite").parquet(
+            str(root / f"{name}.parquet")
+        )
+    failures = []
+    for name, (builder, _oracle) in sorted(entry._df_queries().items()):
+        try:
+            builder(spark, str(root)).collect()
+        except ValueError:
+            pass  # intentional, documented sizing/shape refusal
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"{type(exc).__name__}: "
+                             f"{str(exc).splitlines()[0][:140]}"))
+    assert not failures, "\n".join(f"{n}: {m}" for n, m in failures)
