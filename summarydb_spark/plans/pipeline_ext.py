@@ -437,8 +437,120 @@ FROM pred
 GROUP BY true_label"""
 
 
+def q_ngram_novelty_score(dialect: str) -> str:
+    """Order-aware novelty scoring: for each document (in doc_id order),
+    the fraction of its distinct 3-gram shingles that no EARLIER document
+    contains — the metric a streaming curation pipeline uses to measure
+    how much new content each increment actually adds (near-1 = fresh,
+    near-0 = rehash).  One shingle explode, one first-owner aggregate
+    (min doc_id per gram), one per-doc ratio in exact ppm.  Scale: the
+    gram relation shuffles once keyed by gram; everything after is sized
+    by distinct grams, not corpus bytes."""
+    norm = _norm_text(dialect)
+    if dialect == "spark":
+        sh = (
+            "SELECT DISTINCT doc_id, concat_ws(' ', element_at(toks, i),"
+            " element_at(toks, i + 1), element_at(toks, i + 2)) AS g "
+            f"FROM (SELECT doc_id, split({norm}, ' ') AS toks FROM documents)"
+            " LATERAL VIEW explode(sequence(1, size(toks) - 2)) s AS i "
+            "WHERE size(toks) >= 3"
+        )
+    else:
+        sh = (
+            "SELECT DISTINCT doc_id,"
+            " toks[t.i] || ' ' || toks[t.i + 1] || ' ' || toks[t.i + 2] AS g "
+            f"FROM (SELECT doc_id, string_split({norm}, ' ') AS toks"
+            " FROM documents), unnest(range(1, len(toks) - 1)) AS t(i) "
+            "WHERE len(toks) >= 3"
+        )
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH sh AS ({sh}),
+own AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           AS n_novel
+  FROM sh s JOIN own o ON o.g = s.g
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel * 1000000 {idiv} n_grams AS BIGINT) AS novelty_ppm
+FROM per_doc
+ORDER BY novelty_ppm, doc_id
+LIMIT 50"""
+
+
+def q_dup_graph_degree_stats(dialect: str) -> str:
+    """Degree distribution of the near-duplicate graph (3-gram Jaccard >=
+    0.2 pairs — the verified dedup_ngram_jaccard relation): how many
+    documents have 1, 2, 3... near-dup partners.  The shape analysis a
+    dedup strategy review starts from (a heavy-tailed degree profile
+    means clusters, not pairs — connected components needed).  Reuses
+    the pair query's exact SQL so the graph is oracle-consistent."""
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+
+    pair_sql = q_dedup_ngram_jaccard(dialect)
+    return f"""
+WITH pairs AS ({pair_sql}),
+deg AS (
+  SELECT doc_id, count(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+  ) e GROUP BY doc_id
+)
+SELECT degree,
+       count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM deg
+GROUP BY degree"""
+
+
+def q_dataset_card_summary(dialect: str) -> str:
+    """One-row corpus datasheet: document/char/token totals, language and
+    source cardinalities, exact-duplicate rate in ppm, and length
+    percentiles — the numbers a dataset card publishes.  Single scan +
+    one aggregate (the duplicate rate folds the text-hash distinct count
+    into the same pass); percentiles interpolate over integer token
+    counts (dyadic-exact)."""
+    norm = _norm_text(dialect)
+    ntoks = (
+        f"size(split({norm}, ' '))" if dialect == "spark"
+        else f"len(string_split({norm}, ' '))"
+    )
+    idiv = "div" if dialect == "spark" else "//"
+    pc = ("percentile(ntoks, {q})" if dialect == "spark"
+          else "quantile_cont(ntoks, {q})")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST({ntoks} AS BIGINT) AS ntoks,
+         md5({norm}) AS h
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(ntoks) AS BIGINT) AS total_tokens,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       CAST((count(*) - count(DISTINCT h)) * 1000000 {idiv} count(*)
+            AS BIGINT) AS exact_dup_ppm,
+       CAST(min(ntoks) AS BIGINT) AS min_tokens,
+       CAST(round({pc.format(q='0.5')}, 6) AS DOUBLE) AS p50_tokens,
+       CAST(round({pc.format(q='0.9')}, 6) AS DOUBLE) AS p90_tokens,
+       CAST(max(ntoks) AS BIGINT) AS max_tokens
+FROM d"""
+
+
 PIPELINE_EXT_QUERIES = {
     "knn_classification_accuracy": q_knn_classification_accuracy,
+    "ngram_novelty_score": q_ngram_novelty_score,
+    "dup_graph_degree_stats": q_dup_graph_degree_stats,
+    "dataset_card_summary": q_dataset_card_summary,
     "inverted_index_postings": q_inverted_index_postings,
     "split_train_val_test": q_split_train_val_test,
     "bigram_lm_kn_stats": q_bigram_lm_kn_stats,

