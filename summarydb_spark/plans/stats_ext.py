@@ -510,8 +510,79 @@ FROM lat
 GROUP BY cohort"""
 
 
+def q_winsorized_mean_by_type(dialect: str) -> str:
+    """Robust location estimates per event type: the winsorized mean
+    (values clipped to [p05, p95]) next to the raw mean — the outlier-
+    resistant metric a monitoring pipeline tracks when heavy tails make
+    the plain mean jumpy.  The percentile bounds round to 6 BEFORE
+    clipping so a 1-ulp interpolation difference between engines cannot
+    flip a clip decision; all sums are exact decimals.  Plan: one
+    percentile aggregate (tiny output), broadcast back over the scan,
+    one clipped aggregate."""
+    pc = ("percentile(value, {q})" if dialect == "spark"
+          else "quantile_cont(value, {q})")
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         round({pc.format(q='0.05')}, 6) AS lo,
+         round({pc.format(q='0.95')}, 6) AS hi
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type,
+         e.value,
+         least(greatest(e.value, b.lo), b.hi) AS wv
+  FROM events e JOIN b ON b.event_type = e.event_type
+)
+SELECT event_type,
+       count(*) AS n,
+       {dsum("value")} AS sum_raw,
+       {dsum("wv")} AS sum_winsorized,
+       CAST(round({dsum("value")} / count(*), 6) AS DOUBLE) AS mean_raw,
+       CAST(round({dsum("wv")} / count(*), 6) AS DOUBLE) AS mean_winsorized
+FROM clipped
+GROUP BY event_type"""
+
+
+def q_mad_outliers_by_type(dialect: str) -> str:
+    """Median-absolute-deviation outlier detection per event type: count
+    of values beyond median +/- 3 * 1.4826 * MAD (the robust z-score
+    rule immune to the outliers it hunts).  Both the median and the MAD
+    round to 6 before the threshold compare, so the boundary decision is
+    engine-identical; two percentile aggregates (each over already-
+    grouped relations), no window over the raw stream."""
+    pc = ("percentile({col}, 0.5)" if dialect == "spark"
+          else "quantile_cont({col}, 0.5)")
+    return f"""
+WITH med AS (
+  SELECT event_type, round({pc.format(col='value')}, 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, max(med) AS med,
+         round({pc.format(col='adev')}, 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       CAST(max(d.med) AS DOUBLE) AS median_v,
+       CAST(max(m.mad) AS DOUBLE) AS mad_v,
+       CAST(sum(CASE WHEN abs(d.value - d.med)
+                          > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type"""
+
+
 STATS_EXT_QUERIES = {
     "time_to_conversion": q_time_to_conversion,
+    "winsorized_mean_by_type": q_winsorized_mean_by_type,
+    "mad_outliers_by_type": q_mad_outliers_by_type,
     "linreg_price_vs_quantity": q_linreg_price_vs_quantity,
     "markov_event_transitions": q_markov_event_transitions,
     "cusum_drift_daily": q_cusum_drift_daily,

@@ -331,3 +331,21 @@ def test_dataset_card_totals(spark):
     assert r.total_chars == sum(x.n_chars for x in docs.select("n_chars").collect())
     assert r.min_tokens <= r.p50_tokens <= r.p90_tokens <= r.max_tokens
     assert 0 <= r.exact_dup_ppm < 1_000_000
+
+
+def test_winsorized_mean_pulls_toward_center(spark):
+    rows = run(spark, "winsorized_mean_by_type").collect()
+    assert rows
+    for r in rows:
+        # clipping cannot widen the spread: winsorized sum is bounded by
+        # n * [lo, hi] and the mean moves toward the bulk
+        assert abs(r.mean_winsorized) <= abs(r.mean_raw) + abs(r.mean_raw - r.mean_winsorized)
+        assert r.n > 0
+
+
+def test_mad_outliers_bounded(spark):
+    rows = run(spark, "mad_outliers_by_type").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n
+        assert r.mad_v >= 0
