@@ -546,11 +546,55 @@ SELECT count(*) AS n_docs,
 FROM d"""
 
 
+def q_cross_source_overlap(dialect: str) -> str:
+    """Between-source contamination matrix: for every ordered source
+    pair (a, b), the fraction of a's distinct 3-gram shingles that also
+    occur in b (ppm, integer-exact) — the grid a data-mixing review
+    reads to find sources that are near-copies of each other before
+    weighting them independently.  One shingle explode deduped to
+    (source, gram), a self-equi-join keyed by gram (quadratic only in
+    sources sharing a gram, bounded by #sources^2 output), totals join
+    back broadcast-size.  Diagonal rows (a = a) are the built-in sanity
+    check: overlap_ppm = 1000000 exactly."""
+    norm = _norm_text(dialect)
+    if dialect == "spark":
+        sh = (
+            "SELECT DISTINCT source, concat_ws(' ', element_at(toks, i),"
+            " element_at(toks, i + 1), element_at(toks, i + 2)) AS g "
+            f"FROM (SELECT source, split({norm}, ' ') AS toks FROM documents)"
+            " LATERAL VIEW explode(sequence(1, size(toks) - 2)) s AS i "
+            "WHERE size(toks) >= 3"
+        )
+    else:
+        sh = (
+            "SELECT DISTINCT source,"
+            " toks[t.i] || ' ' || toks[t.i + 1] || ' ' || toks[t.i + 2] AS g "
+            f"FROM (SELECT source, string_split({norm}, ' ') AS toks"
+            " FROM documents), unnest(range(1, len(toks) - 1)) AS t(i) "
+            "WHERE len(toks) >= 3"
+        )
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH sh AS ({sh}),
+tot AS (SELECT source, count(*) AS n_grams FROM sh GROUP BY source),
+ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+  FROM sh a JOIN sh b ON b.g = a.g
+  GROUP BY a.source, b.source
+)
+SELECT o.src_a, o.src_b,
+       CAST(o.shared AS BIGINT) AS shared_grams,
+       CAST(t.n_grams AS BIGINT) AS total_grams_a,
+       CAST(o.shared * 1000000 {idiv} t.n_grams AS BIGINT) AS overlap_ppm
+FROM ov o JOIN tot t ON t.source = o.src_a"""
+
+
 PIPELINE_EXT_QUERIES = {
     "knn_classification_accuracy": q_knn_classification_accuracy,
     "ngram_novelty_score": q_ngram_novelty_score,
     "dup_graph_degree_stats": q_dup_graph_degree_stats,
     "dataset_card_summary": q_dataset_card_summary,
+    "cross_source_overlap": q_cross_source_overlap,
     "inverted_index_postings": q_inverted_index_postings,
     "split_train_val_test": q_split_train_val_test,
     "bigram_lm_kn_stats": q_bigram_lm_kn_stats,

@@ -349,3 +349,14 @@ def test_mad_outliers_bounded(spark):
     for r in rows:
         assert 0 <= r.n_outliers <= r.n
         assert r.mad_v >= 0
+
+
+def test_cross_source_overlap_diagonal_exact(spark):
+    rows = run(spark, "cross_source_overlap").collect()
+    srcs = {r.src_a for r in rows}
+    diag = {r.src_a: r for r in rows if r.src_a == r.src_b}
+    assert set(diag) == srcs  # every source overlaps itself...
+    for r in diag.values():
+        assert r.overlap_ppm == 1_000_000  # ...completely
+    for r in rows:
+        assert 0 < r.shared_grams <= r.total_grams_a
