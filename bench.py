@@ -60,26 +60,39 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    payload = json.dumps(
-        {
-            "metric": "headline_suite_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "sf": sf,
-            "n_queries": len(times),
-            "suite_wall_incl_reps": round(time.time() - suite_t0, 3),
-        }
-    )
-    # persist next to the repo as well: stdout capture has truncated the
-    # front of this (long) line in past rounds — the file is the durable
-    # record covering every query
+    full = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "suite_wall_incl_reps": round(time.time() - suite_t0, 3),
+    }
+    # The full per-query map goes to BENCH_LATEST.json — the durable record
+    # covering every query.  The driver keeps only the LAST 2000 chars of
+    # stdout and tries to json-parse them (r2-r4 records all show
+    # parsed:null because the full 156-query line is ~5KB), so the printed
+    # line carries the totals plus as many of the slowest queries as fit
+    # under that cap; "queries_full" points at the complete record.
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LATEST.json"
     )
     with open(out_path, "w") as f:
-        f.write(payload + "\n")
-    print(payload)
+        f.write(json.dumps(full) + "\n")
+
+    compact = dict(full)
+    compact["queries_full"] = "BENCH_LATEST.json"
+    by_cost = sorted(times.items(), key=lambda kv: -kv[1])
+    k = len(by_cost)
+    while k > 0:
+        compact["queries"] = dict(by_cost[:k])
+        compact["queries_omitted"] = len(times) - k
+        line = json.dumps(compact)
+        if len(line) <= 1900:
+            break
+        k -= 5
+    print(line)
 
 
 if __name__ == "__main__":

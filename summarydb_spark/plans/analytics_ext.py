@@ -344,7 +344,7 @@ WITH keyed AS (
   FROM orders
 ),
 scored AS (
-  SELECT o_orderkey, w, round(ln(u) / w, 9) AS ares_key
+  SELECT o_orderkey, w, round(ln(u) / w, 9) + 0.0 AS ares_key
   FROM keyed WHERE w > 0
 )
 SELECT o_orderkey, w, ares_key,

@@ -71,6 +71,18 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> bool:
                     f"(row {bad}: {aa[bad]!r} vs {bb[bad]!r})"
                 )
                 ok = False
+            # -0.0 vs +0.0: abs-diff is 0 but the driver's value hash sees
+            # different bytes (r4 evidence: weighted_sample_ares, where
+            # DuckDB round() keeps the sign of -1e-10 and Spark's
+            # BigDecimal round drops it).
+            sign_diff = np.signbit(aa) != np.signbit(bb)
+            if np.where(both_nan, False, sign_diff).any():
+                bad = int(np.argmax(np.where(both_nan, False, sign_diff)))
+                print(
+                    f"  SIGNBIT DIFF col={c} "
+                    f"(row {bad}: {aa[bad]!r} vs {bb[bad]!r})"
+                )
+                ok = False
         else:
             eq = a.astype(str).to_numpy() == b.astype(str).to_numpy()
             if not eq.all():
