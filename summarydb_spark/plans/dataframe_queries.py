@@ -1044,6 +1044,181 @@ SELECT c.doc_id, c.component_id,
 FROM comp c"""
 
 
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph (3-gram Jaccard >= 0.1
+    edges — the same relation dedup_cluster_cc clusters): edge/node/wedge
+    counts and global transitivity (3*triangles/wedges), the standard
+    cohesion diagnostic separating chain-shaped dup clusters (templated
+    boilerplate) from clique-shaped ones (true copies).
+
+    Scale shape: edges carry doc_a < doc_b, so each triangle a<b<c is
+    enumerated exactly once by the two equi-joins (e1.b=e2.a wedge build,
+    then closing-edge probe) — the classic distributed triangle count; at
+    100 TB the wedge join is ordered by degree (low-degree endpoint first)
+    to bound fan-out, which the a<b orientation approximates here.  The
+    pair relation is persisted once and read by all three legs + the
+    degree pass (Spark would otherwise re-execute the shingle join per
+    reference)."""
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    e = (
+        spark.sql(q_dedup_ngram_jaccard("spark", threshold=0.1))
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("(deg * (deg - 1)) div 2")), F.lit(0)
+        ).cast("long").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges"), F.lit(0)).cast("double"),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+def _oracle_dup_graph_triangles() -> str:
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+
+    pair_sql = q_dedup_ngram_jaccard("duckdb", threshold=0.1)
+    return f"""
+WITH pairs AS ({pair_sql}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+  ) GROUP BY n
+),
+w AS (
+  SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT) AS n_wedges,
+         count(*) AS n_nodes
+  FROM deg
+),
+t AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+c AS (SELECT count(*) AS n_edges FROM e)
+SELECT w.n_nodes, c.n_edges, w.n_wedges, t.n_triangles,
+       round(3.0 * t.n_triangles / nullif(w.n_wedges, 0), 6) AS transitivity
+FROM c, w, t"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each near-dup cluster (the
+    dedup_cluster_cc components), KEEP the longest document (ties to the
+    lowest doc_id) and count what gets dropped — the decision step that
+    turns a dup graph into an actual training-set edit, where "best" is
+    the doc most likely to be the complete original rather than a
+    truncated mirror.
+
+    Scale shape: components via min-label propagation (O(diameter)
+    rounds), then one window rank per component and a hash aggregate —
+    no step materializes a cluster's documents in one task beyond the
+    per-component window sort, which is bounded by the largest cluster
+    (salt/split oversized clusters at 100 TB)."""
+    from pyspark.sql import Window
+
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    pairs = spark.sql(q_dedup_ngram_jaccard("spark", threshold=0.1))
+    comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    j = comp.join(docs, comp["node"] == docs["doc_id"]).select(
+        F.col("component").alias("component_id"), "doc_id", "n_chars"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("component_id").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+    )
+    return (
+        j.withColumn("rk", rk)
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+            (
+                F.sum("n_chars")
+                - F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+            ).cast("long").alias("dropped_chars"),
+        )
+    )
+
+
+def _oracle_dedup_keep_best() -> str:
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+
+    pair_sql = q_dedup_ngram_jaccard("duckdb", threshold=0.1)
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.n
+),
+comp AS (SELECT n AS doc_id, min(lbl) AS component_id FROM reach GROUP BY n),
+j AS (
+  SELECT c.component_id, c.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.component_id
+           ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rk
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component_id,
+       count(*) AS n_docs,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+       max(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+       CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END)
+            AS BIGINT) AS dropped_chars
+FROM j
+GROUP BY component_id"""
+
+
 def _q_sql_surface(op: str):
     """Approx range queries through the SQL-registered function surface
     (plans/sql_surface.py): ``SELECT ... FROM qr, LATERAL d{op}(...)`` —
@@ -1225,6 +1400,11 @@ DF_QUERIES = {
     "media_resize_16x16": (q_media_resize, ORACLE_MEDIA_RESIZE),
     "media_byte_histogram": (q_media_histogram, ORACLE_MEDIA_HISTOGRAM),
     "dedup_cluster_cc": (q_dedup_cluster_cc, _oracle_dedup_cluster_cc()),
+    "dup_graph_triangles": (
+        q_dup_graph_triangles,
+        _oracle_dup_graph_triangles(),
+    ),
+    "dedup_keep_best": (q_dedup_keep_best, _oracle_dedup_keep_best()),
     "audio_frame_features": (q_audio_frame_features, ORACLE_AUDIO_FRAMES),
     "sketch_range_batched": (q_sketch_range_batched, ORACLE_SKETCH_RANGE_BATCHED),
     "decontam_bloom_prefilter": (q_decontam_bloom, _oracle_decontam_bloom()),

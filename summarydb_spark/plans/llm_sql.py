@@ -266,6 +266,47 @@ SELECT query_id, neighbor_id, cosine, rnk
 FROM rk WHERE rnk <= 5"""
 
 
+def q_hard_negative_mining(dialect: str) -> str:
+    """Hard-negative mining for contrastive training: for each of 10
+    probe vectors, the 5 most-similar corpus vectors with a DIFFERENT
+    label — the negatives that sit closest to the decision boundary and
+    carry the most gradient signal.
+
+    Scale shape: the probe batch is tiny and broadcasts against one
+    corpus scan (same plan as knn_brute_cosine); the label inequality is
+    a cheap join residual, not a post-filter over a materialized top-k,
+    so the per-probe heap sees only true negatives.  For probe sets too
+    large to broadcast, route through the persisted ANN index
+    (functions.similarity) and apply the same label predicate to the
+    candidate stream."""
+    if dialect == "spark":
+        dot = "aggregate(zip_with(q.embedding, c.embedding, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        nrm = (
+            "sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)) * "
+            "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+        )
+        cos = f"({dot}) / nullif({nrm}, 0.0)"
+        emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    else:
+        cos = "list_cosine_similarity(q.embedding, c.embedding)"
+        emb = "CAST(embedding AS DOUBLE[])"
+    return f"""
+WITH e AS (SELECT vec_id, label, {emb} AS embedding FROM embeddings),
+q AS (SELECT vec_id, label, embedding FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         round({cos}, 6) AS cosine
+  FROM q JOIN e c ON c.label != q.label
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rnk
+  FROM scored
+)
+SELECT query_id, query_label, negative_id, negative_label, cosine, rnk
+FROM rk WHERE rnk <= 5"""
+
+
 def q_decontam_ngram(dialect: str, n: int = 5, threshold: float = 0.5) -> str:
     """Benchmark decontamination: n-gram containment of every corpus doc
     against a deterministic "benchmark" subset (doc_id % 37 == 0 stands in
@@ -632,6 +673,7 @@ LLM_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "decontam_ngram_containment": q_decontam_ngram,
     "knn_brute_cosine": q_knn_brute_cosine,
+    "hard_negative_mining": q_hard_negative_mining,
     "pii_scrub_redact": q_pii_scrub,
     "cdc_chunk_stats": q_cdc_chunks,
     "mix_weights_by_lang": q_mix_weights,
