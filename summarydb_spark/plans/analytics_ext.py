@@ -422,9 +422,13 @@ def q_burstiness_interarrival(dialect: str) -> str:
     are integer micros from one lag() window; moments come from decimal
     power sums over the gap relation — the same order-independent
     discipline as the corr/linreg family.  Degenerate inputs stay
-    total: a type with < 2 gaps drops out (variance undefined), and an
-    all-zero-gap type reports NULL cv/burstiness via nullif rather than
-    an ANSI divide-by-zero."""
+    total: a type with < 2 gaps drops out (variance undefined); the
+    sample variance is clamped at 0 before sqrt (the rounded power sums
+    can dip epsilon-negative for near-constant gaps, and sqrt(-eps) is
+    NaN, not NULL), so perfectly regular gaps report cv 0 and
+    burstiness -1 — the exact regular-limit values — while an
+    all-zero-gap type reports NULL via nullif rather than an ANSI
+    divide-by-zero."""
     t = epoch_us("ts", dialect)
     return f"""
 WITH s AS (
@@ -442,14 +446,19 @@ m AS (
   GROUP BY event_type
   HAVING count(*) >= 2
 )
+,
+m2 AS (
+  SELECT event_type, n, s1,
+         greatest((s2 - s1 * s1 / n) / (n - 1), 0.0) AS v
+  FROM m
+)
 SELECT event_type, n,
        CAST(round(s1 / n, 6) AS DOUBLE) AS mean_gap_s,
-       CAST(round(sqrt((s2 - s1 * s1 / n) / (n - 1))
-                  / nullif(s1 / n, 0.0), 6) AS DOUBLE) AS cv,
-       CAST(round((sqrt((s2 - s1 * s1 / n) / (n - 1)) - s1 / n)
-                  / nullif(sqrt((s2 - s1 * s1 / n) / (n - 1)) + s1 / n,
-                           0.0), 6) AS DOUBLE) AS burstiness
-FROM m"""
+       CAST(round(sqrt(v) / nullif(s1 / n, 0.0), 6) AS DOUBLE) AS cv,
+       CAST(round((sqrt(v) - s1 / n)
+                  / nullif(sqrt(v) + s1 / n, 0.0), 6) AS DOUBLE)
+         AS burstiness
+FROM m2"""
 
 
 def q_zipf_token_fit(dialect: str) -> str:
@@ -490,11 +499,12 @@ m AS (
   FROM pts
 )
 SELECT n,
-       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+       CAST(round((n * sxy - sx * sy)
+                  / nullif(n * sxx - sx * sx, 0.0), 6) AS DOUBLE)
          AS zipf_slope,
        CAST(round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-            AS DOUBLE) AS r2
+                  / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0),
+                  6) AS DOUBLE) AS r2
 FROM m"""
 
 

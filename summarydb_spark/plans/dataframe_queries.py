@@ -1063,10 +1063,15 @@ def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from summarydb_spark.sources.tables import register_tables
 
     register_tables(spark, sf_dir)
+    # localCheckpoint, not persist: the cached-plan entry a persist()
+    # creates lives in the session CacheManager until an unpersist that a
+    # query builder has no good place to issue; a checkpointed RDD's
+    # blocks are instead freed by the ContextCleaner once the DataFrame
+    # is unreferenced (same lifetime discipline as connected_components)
     e = (
         spark.sql(q_dedup_ngram_jaccard("spark", threshold=0.1))
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))

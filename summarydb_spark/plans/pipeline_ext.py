@@ -537,8 +537,8 @@ SELECT count(*) AS n_docs,
        CAST(sum(ntoks) AS BIGINT) AS total_tokens,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources,
-       CAST((count(*) - count(DISTINCT h)) * 1000000 {idiv} count(*)
-            AS BIGINT) AS exact_dup_ppm,
+       CAST((count(*) - count(DISTINCT h)) * 1000000
+            {idiv} nullif(count(*), 0) AS BIGINT) AS exact_dup_ppm,
        CAST(min(ntoks) AS BIGINT) AS min_tokens,
        CAST(round({pc.format(q='0.5')}, 6) AS DOUBLE) AS p50_tokens,
        CAST(round({pc.format(q='0.9')}, 6) AS DOUBLE) AS p90_tokens,

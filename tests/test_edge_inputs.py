@@ -132,3 +132,75 @@ def test_split_covers_arbitrary_ids(spark):
     rows = spark.sql(q_split_train_val_test("spark")).collect()
     assert sum(r.n_docs for r in rows) == 997
     assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_zipf_total_on_flat_and_single_token_corpora(spark):
+    from summarydb_spark.plans.analytics_ext import q_zipf_token_fit
+
+    # every token frequency equal (all y identical): r2's variance
+    # denominator is exactly 0 -> NULL, slope numerator is 0 -> 0.0
+    _docs_view(spark, ["alpha beta gamma delta"])
+    r = spark.sql(q_zipf_token_fit("spark")).collect()[0]
+    assert r.zipf_slope == 0.0
+    assert r.r2 is None
+
+    # one distinct token: a single (x, y) point, both denominators 0
+    _docs_view(spark, ["a a a a a"])
+    r = spark.sql(q_zipf_token_fit("spark")).collect()[0]
+    assert r.zipf_slope is None
+    assert r.r2 is None
+
+
+def test_dataset_card_total_on_empty_corpus(spark):
+    from summarydb_spark.plans.pipeline_ext import q_dataset_card_summary
+
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).createOrReplaceTempView("documents")
+    r = spark.sql(q_dataset_card_summary("spark")).collect()[0]
+    assert r.n_docs == 0
+    assert r.exact_dup_ppm is None  # nullif(count(*), 0), not a crash
+
+
+def test_burstiness_regular_gaps_report_regular_limit(spark):
+    from summarydb_spark.plans.analytics_ext import q_burstiness_interarrival
+
+    # equal nonzero gaps whose rounded power sums make the sample
+    # variance epsilon-NEGATIVE without the greatest(v, 0) clamp: the
+    # rounded s2 undercuts s1^2/n, sqrt would be NaN.  With the clamp
+    # the regular-limit values come out exactly: cv 0, burstiness -1.
+    g_us = 1_414_250  # round(3*g^2, 2) < round(3*g, 4)^2 / 3: var -2.3e-4
+    _events_view(
+        spark,
+        [
+            (TS0 + datetime.timedelta(microseconds=i * g_us), 1, "tick", 1.0)
+            for i in range(4)
+        ],
+    )
+    r = spark.sql(q_burstiness_interarrival("spark")).collect()[0]
+    assert r.cv == 0.0
+    assert r.burstiness == -1.0
+
+
+def test_novelty_closed_form_on_tiny_corpus(spark):
+    from summarydb_spark.plans.pipeline_ext import q_ngram_novelty_score
+
+    # 3 docs, all inside the LIMIT window: doc 0 owns every gram
+    # (novelty 1.0), doc 1 is an exact copy (novelty 0), doc 2 shares
+    # exactly one of its two grams with doc 0 (novelty 0.5)
+    _docs_view(
+        spark,
+        [
+            "alpha beta gamma delta",
+            "alpha beta gamma delta",
+            "omega alpha beta gamma",
+        ],
+    )
+    by_doc = {
+        r.doc_id: r for r in spark.sql(q_ngram_novelty_score("spark")).collect()
+    }
+    assert by_doc[0].novelty_ppm == 1_000_000
+    assert by_doc[1].novelty_ppm == 0
+    assert by_doc[2].n_grams == 2 and by_doc[2].n_novel == 1
+    assert by_doc[2].novelty_ppm == 500_000

@@ -10,6 +10,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 import __spark_entry__ as entry
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -312,9 +314,12 @@ def test_novelty_first_doc_is_fully_novel(spark):
     for r in rows:
         assert 0 <= r.n_novel <= r.n_grams
         assert r.novelty_ppm == r.n_novel * 1_000_000 // r.n_grams
-    # the lowest doc_id with >=3 tokens owns all its grams (novelty 1.0)
-    full = run(spark, "ngram_novelty_score").where("novelty_ppm = 1000000")
-    assert full.count() >= 0  # present unless trimmed by the LIMIT window
+    # the output is the 50 LEAST-novel docs in ascending order — assert
+    # the ordering contract the LIMIT depends on (the first-doc-owns-all
+    # closed form is pinned on a tiny corpus in test_edge_inputs)
+    ppms = [r.novelty_ppm for r in rows]
+    assert ppms == sorted(ppms)
+    assert len(rows) == 50
 
 
 def test_dup_graph_degrees_consistent(spark):
@@ -333,14 +338,28 @@ def test_dataset_card_totals(spark):
     assert 0 <= r.exact_dup_ppm < 1_000_000
 
 
-def test_winsorized_mean_pulls_toward_center(spark):
+def test_winsorized_mean_matches_independent_recompute(spark):
+    import numpy as np
+
     rows = run(spark, "winsorized_mean_by_type").collect()
     assert rows
+    vals = {}
+    for v in (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(v.event_type, []).append(v.value)
     for r in rows:
-        # clipping cannot widen the spread: winsorized sum is bounded by
-        # n * [lo, hi] and the mean moves toward the bulk
-        assert abs(r.mean_winsorized) <= abs(r.mean_raw) + abs(r.mean_raw - r.mean_winsorized)
-        assert r.n > 0
+        a = np.array(vals[r.event_type])
+        assert r.n == len(a)
+        # same construction as the query: linear-interp percentiles
+        # rounded to 6 BEFORE clipping
+        lo = round(float(np.percentile(a, 5)), 6)
+        hi = round(float(np.percentile(a, 95)), 6)
+        expect = float(np.clip(a, lo, hi).mean())
+        assert r.mean_winsorized == pytest.approx(expect, abs=1e-6)
+        assert r.mean_raw == pytest.approx(float(a.mean()), abs=1e-6)
 
 
 def test_mad_outliers_bounded(spark):

@@ -64,6 +64,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> bool:
             aa, bb = a.astype(float).to_numpy(), b.astype(float).to_numpy()
             both_nan = np.isnan(aa) & np.isnan(bb)
             diff = np.where(both_nan, 0.0, np.abs(aa - bb))
+            # a one-sided NaN makes abs(a-b) NaN, and NaN > 0 is False —
+            # without this it would silently pass as a MATCH
+            diff = np.where(np.isnan(aa) ^ np.isnan(bb), np.inf, diff)
             if diff.max(initial=0.0) > 0:
                 bad = int(np.argmax(diff))
                 print(
