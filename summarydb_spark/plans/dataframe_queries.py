@@ -834,7 +834,8 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t").alias("tmax"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
-    ).persist()  # a few rows per stream; reused by all four range frames
+    ).localCheckpoint(eager=True)  # a few rows per stream; reused by all
+    # four range frames (checkpoint, not persist: blocks free on GC)
     third = F.floor((F.col("tmax") - F.col("tmin")) / 3).cast("long")
     half = F.floor((F.col("tmax") - F.col("tmin")) / 2).cast("long")
     r = (
@@ -858,9 +859,9 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # referenced three times (fused frame, covering join, final
-        # assembly); persisting the 3xstreams rows keeps each reference a
-        # memory scan instead of replicating the union subtree
-        .persist()
+        # assembly); checkpointing the 3xstreams rows keeps each reference
+        # a block scan instead of replicating the union subtree
+        .localCheckpoint(eager=True)
     )
 
     # ONE overlap join + ONE aggregation answers all four ops per range
@@ -879,9 +880,9 @@ def q_sketch_range_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quantile_value").alias("q50_v"),
         )
         # referenced twice (quantile probe into the exact-stats pass AND
-        # the final assembly) — without persist the whole overlap-join +
+        # the final assembly) — without this the whole overlap-join +
         # 4-op aggregation subtree executes twice (~1s of the query)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     quan = fused.select("stream_id", "qid", "q50_v")
 
@@ -1330,7 +1331,7 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same (doc_id, shingles) relation — without persist each of the
     # three references re-runs the tokenize + n-gram xxhash64 fold over
     # every document (the dominant cost of this query)
-    shingled = base.select("doc_id", sh.alias("sh")).persist()
+    shingled = base.select("doc_id", sh.alias("sh")).localCheckpoint(eager=True)
     bench_raw = shingled.where("doc_id % 37 = 0").select(
         F.explode("sh").alias("s")
     )

@@ -305,7 +305,10 @@ def q_kmeans_lloyd_df(spark, sf_dir: str):
     from summarydb_spark.sources.tables import register_tables
 
     register_tables(spark, sf_dir)
-    ev = spark.sql(_explode_dims("spark")).persist()
+    # localCheckpoint (not persist): frees blocks on GC instead of
+    # leaking a CacheManager entry per invocation, and caps the
+    # iterative lineage
+    ev = spark.sql(_explode_dims("spark")).localCheckpoint(eager=True)
     seed_ids = spark.sql(
         f"SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {_K}"
     )
@@ -344,7 +347,7 @@ def q_kmeans_lloyd_df(spark, sf_dir: str):
                     " / count(*), 6) AS DECIMAL(18,6))"
                 ).alias("cv")
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
     # norms are over the centroids the FINAL assignment measured against
     # (cent_used == iteration-1 centroids), exactly as the oracle reports.
