@@ -998,6 +998,26 @@ SELECT stream_id, qid,
 FROM cov GROUP BY stream_id, qid"""
 
 
+def _ngram_pairs_t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-gram Jaccard >= 0.1 near-dup pair relation as a
+    fingerprint-keyed persisted store (sources.tables.ensure_store): a
+    production dedup service materializes the pair table once per corpus
+    snapshot and every graph consumer — clustering, triangle census,
+    keeper selection — reads it, instead of re-running the shingle join
+    per query.  The oracles still recompute pairs from raw documents, so
+    a stale/wrong store cannot silently pass the gate."""
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+    from summarydb_spark.sources.tables import ensure_store, register_tables
+
+    register_tables(spark, sf_dir)
+
+    def build(s):
+        return s.sql(q_dedup_ngram_jaccard("spark", threshold=0.1)), None
+
+    path = ensure_store(spark, sf_dir, "ngram_pairs_t01", build, coalesce=0)
+    return spark.read.parquet(path)
+
+
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate clusters via connected components
     (iterative min-label propagation, functions.dedup.connected_components).
@@ -1008,11 +1028,7 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over its own pair computation reaches identical components).
     Output: (doc_id, component_id=min id, component_size) for clustered
     docs only."""
-    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
-    from summarydb_spark.sources.tables import register_tables
-
-    register_tables(spark, sf_dir)
-    pairs = spark.sql(q_dedup_ngram_jaccard("spark", threshold=0.1))
+    pairs = _ngram_pairs_t01(spark, sf_dir)
     comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
     return comp.join(sizes, "component").select(
@@ -1057,22 +1073,11 @@ def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     then closing-edge probe) — the classic distributed triangle count; at
     100 TB the wedge join is ordered by degree (low-degree endpoint first)
     to bound fan-out, which the a<b orientation approximates here.  The
-    pair relation is persisted once and read by all three legs + the
-    degree pass (Spark would otherwise re-execute the shingle join per
-    reference)."""
-    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
-    from summarydb_spark.sources.tables import register_tables
-
-    register_tables(spark, sf_dir)
-    # localCheckpoint, not persist: the cached-plan entry a persist()
-    # creates lives in the session CacheManager until an unpersist that a
-    # query builder has no good place to issue; a checkpointed RDD's
-    # blocks are instead freed by the ContextCleaner once the DataFrame
-    # is unreferenced (same lifetime discipline as connected_components)
-    e = (
-        spark.sql(q_dedup_ngram_jaccard("spark", threshold=0.1))
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=True)
+    pair relation comes from the persisted ngram_pairs_t01 store, so all
+    three legs + the degree pass are parquet scans (Spark would otherwise
+    re-execute the shingle join per reference)."""
+    e = _ngram_pairs_t01(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -1157,11 +1162,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (salt/split oversized clusters at 100 TB)."""
     from pyspark.sql import Window
 
-    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
-    from summarydb_spark.sources.tables import register_tables
-
-    register_tables(spark, sf_dir)
-    pairs = spark.sql(q_dedup_ngram_jaccard("spark", threshold=0.1))
+    pairs = _ngram_pairs_t01(spark, sf_dir)
     comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
     docs = spark.table("documents").select("doc_id", "n_chars")
     j = comp.join(docs, comp["node"] == docs["doc_id"]).select(
