@@ -266,6 +266,44 @@ SELECT query_id, neighbor_id, cosine, rnk
 FROM rk WHERE rnk <= 5"""
 
 
+def q_embedding_anisotropy(dialect: str) -> str:
+    """Anisotropy diagnostic of the embedding space: the mean cosine over
+    a deterministic pair sample (vec i with vec i+997 — a fixed stride,
+    not rand(), so every engine/retry scores the same pairs).  Isotropic
+    embeddings average ~0; a large positive mean is the classic
+    "narrow cone" pathology that degrades cosine-based retrieval and
+    dedup thresholds.  Per-pair cosines round to 6 then accumulate as
+    exact decimals (order-independent across engines).
+
+    Scale shape: the stride join is a self equi-join on vec_id (+997) —
+    one shuffle keyed by id, sample size = corpus size, no quadratic
+    blow-up; the aggregate is a single global row."""
+    if dialect == "spark":
+        dot = "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        nrm = (
+            "sqrt(aggregate(a.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)) * "
+            "sqrt(aggregate(b.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+        )
+        cos = f"({dot}) / nullif({nrm}, 0.0)"
+        emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    else:
+        cos = "list_cosine_similarity(a.embedding, b.embedding)"
+        emb = "CAST(embedding AS DOUBLE[])"
+    return f"""
+WITH e AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+pc AS (
+  SELECT round({cos}, 6) AS c
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 997
+)
+SELECT count(*) AS n_pairs,
+       CAST(round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+                  / nullif(count(*), 0), 6) AS DOUBLE) AS mean_cos,
+       CAST(round(CAST(sum(CAST(abs(c) AS DECIMAL(18,6))) AS DOUBLE)
+                  / nullif(count(*), 0), 6) AS DOUBLE) AS mean_abs_cos,
+       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+FROM pc"""
+
+
 def q_hard_negative_mining(dialect: str) -> str:
     """Hard-negative mining for contrastive training: for each of 10
     probe vectors, the 5 most-similar corpus vectors with a DIFFERENT
@@ -674,6 +712,7 @@ LLM_QUERIES = {
     "decontam_ngram_containment": q_decontam_ngram,
     "knn_brute_cosine": q_knn_brute_cosine,
     "hard_negative_mining": q_hard_negative_mining,
+    "embedding_anisotropy": q_embedding_anisotropy,
     "pii_scrub_redact": q_pii_scrub,
     "cdc_chunk_stats": q_cdc_chunks,
     "mix_weights_by_lang": q_mix_weights,
