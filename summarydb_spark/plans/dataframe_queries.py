@@ -1006,6 +1006,41 @@ SELECT stream_id, qid,
 FROM cov GROUP BY stream_id, qid"""
 
 
+def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Near-dup pair relation (3-gram Jaccard >= threshold) as a
+    fingerprint-keyed persisted store — one materialization per corpus
+    snapshot per threshold, shared by every graph consumer."""
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+    from summarydb_spark.sources.tables import ensure_store, register_tables
+
+    register_tables(spark, sf_dir)
+    name = f"ngram_pairs_t{str(threshold).replace('.', '')}"
+
+    def build(s):
+        return s.sql(q_dedup_ngram_jaccard("spark", threshold=threshold)), None
+
+    path = ensure_store(spark, sf_dir, name, build, coalesce=0)
+    return spark.read.parquet(path)
+
+
+def q_dup_graph_degree_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of plans.pipeline_ext.q_dup_graph_degree_stats,
+    reading the persisted t=0.2 pair store instead of re-running the
+    corpus-wide shingle join per call; the SQL template remains the
+    DuckDB oracle (which recomputes pairs from raw documents, so a stale
+    store cannot pass the gate)."""
+    pairs = _ngram_pairs(spark, sf_dir, 0.2)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
 def _ngram_pairs_t01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-gram Jaccard >= 0.1 near-dup pair relation as a
     fingerprint-keyed persisted store (sources.tables.ensure_store): a
@@ -1014,16 +1049,7 @@ def _ngram_pairs_t01(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper selection — reads it, instead of re-running the shingle join
     per query.  The oracles still recompute pairs from raw documents, so
     a stale/wrong store cannot silently pass the gate."""
-    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
-    from summarydb_spark.sources.tables import ensure_store, register_tables
-
-    register_tables(spark, sf_dir)
-
-    def build(s):
-        return s.sql(q_dedup_ngram_jaccard("spark", threshold=0.1)), None
-
-    path = ensure_store(spark, sf_dir, "ngram_pairs_t01", build, coalesce=0)
-    return spark.read.parquet(path)
+    return _ngram_pairs(spark, sf_dir, 0.1)
 
 
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,26 +1347,34 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/llm_sql.q_decontam_ngram) and share its oracle — a bloom FP can
     only add a candidate that the verify join then rejects."""
     from summarydb_spark.functions import sketch
+    from summarydb_spark.sources.tables import ensure_store
 
     n, threshold = 5, 0.5
     m_bits, k = 1 << 17, 5
-    base = _docs(spark, sf_dir).select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    sh = F.when(
-        F.size("toks") >= n,
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {n}), "
-                f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))))"
-            )
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("toks")))))
-    # shingle ONCE: bench, corpus, and the per-doc totals all derive from
-    # the same (doc_id, shingles) relation — without persist each of the
-    # three references re-runs the tokenize + n-gram xxhash64 fold over
-    # every document (the dominant cost of this query)
-    shingled = base.select("doc_id", sh.alias("sh")).persist()
+
+    # shingle ONCE, persisted: bench, corpus, and the per-doc totals all
+    # derive from the same (doc_id, shingles) relation — the tokenize +
+    # n-gram xxhash64 fold is the dominant cost of this query, and a
+    # production decontamination service materializes the shingle index
+    # once per corpus snapshot (same ensure_store discipline as the ANN /
+    # near-dup-pair stores; the oracle recomputes shingles from raw text)
+    def build(s):
+        base = _docs(s, sf_dir).select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+        sh = F.when(
+            F.size("toks") >= n,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}), "
+                    f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))))"
+                )
+            ),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("toks")))))
+        return base.select("doc_id", sh.alias("sh")), None
+
+    path = ensure_store(spark, sf_dir, "ngram_shingles_x5", build, coalesce=0)
+    shingled = spark.read.parquet(path)
     bench_raw = shingled.where("doc_id % 37 = 0").select(
         F.explode("sh").alias("s")
     )
@@ -1384,8 +1418,6 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # plan-keyed CacheManager dedupe makes the shingled persist a single
-    # shared entry across invocations, not a leak (see sketch_range note)
     return final
 
 
@@ -1422,8 +1454,24 @@ DF_QUERIES = {
         q_dup_graph_triangles,
         _oracle_dup_graph_triangles(),
     ),
+    "dup_graph_degree_stats": (
+        q_dup_graph_degree_stats_df,
+        None,  # resolved below: the SQL template's DuckDB rendering
+    ),
     "dedup_keep_best": (q_dedup_keep_best, _oracle_dedup_keep_best()),
     "audio_frame_features": (q_audio_frame_features, ORACLE_AUDIO_FRAMES),
     "sketch_range_batched": (q_sketch_range_batched, ORACLE_SKETCH_RANGE_BATCHED),
     "decontam_bloom_prefilter": (q_decontam_bloom, _oracle_decontam_bloom()),
 }
+
+
+def _degree_stats_oracle() -> str:
+    from summarydb_spark.plans.pipeline_ext import q_dup_graph_degree_stats
+
+    return q_dup_graph_degree_stats("duckdb")
+
+
+DF_QUERIES["dup_graph_degree_stats"] = (
+    q_dup_graph_degree_stats_df,
+    _degree_stats_oracle(),
+)
