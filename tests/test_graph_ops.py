@@ -82,3 +82,124 @@ def test_hard_negative_mining_labels_and_ranks(spark):
         assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the Spark graph queries vs independent brute-force
+# Python implementations over hypothesis-generated corpora.  Expected
+# pairs use 3-gram STRING shingles (set-identical to the engines'
+# 64-bit-hash shingles modulo astronomically-unlikely collisions); the
+# blocking (same lang + floor(n_chars/100) bucket, doc_a < doc_b,
+# J >= 0.1) replicates q_dedup_ngram_jaccard exactly.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TOKENS = [f"w{i}" for i in range(9)]
+
+
+def _shingles(text):
+    toks = text.split(" ")
+    if len(toks) >= 3:
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    return {" ".join(toks)}
+
+
+def _expected_pairs(texts):
+    sh = {i: _shingles(t) for i, t in texts.items()}
+    bucket = {i: len(t) // 100 for i, t in texts.items()}
+    pairs = []
+    ids = sorted(texts)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            if bucket[a] != bucket[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= 0.1:
+                pairs.append((a, b))
+    return pairs
+
+
+def _components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+corpus_strategy = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=20),
+    values=st.lists(st.sampled_from(TOKENS), min_size=3, max_size=12).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+def _write_corpus(spark, tmpdir, texts):
+    rows = [(i, t, "en", "src", len(t)) for i, t in sorted(texts.items())]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmpdir) + "/documents.parquet"
+    )
+    return str(tmpdir)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=corpus_strategy)
+def test_triangles_match_bruteforce(spark, tmp_path_factory, texts):
+    from summarydb_spark.plans.dataframe_queries import q_dup_graph_triangles
+
+    d = _write_corpus(spark, tmp_path_factory.mktemp("corpus"), texts)
+    pairs = _expected_pairs(texts)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp_tri = sum(
+        1
+        for a, b in pairs
+        for c in adj.get(a, set())
+        if c > b and c in adj.get(b, set())
+    )
+    exp_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    row = q_dup_graph_triangles(spark, d).collect()[0]
+    assert row.n_edges == len(pairs)
+    assert row.n_nodes == len(adj)
+    assert row.n_wedges == exp_wedges
+    assert row.n_triangles == exp_tri
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=corpus_strategy)
+def test_keep_best_matches_bruteforce(spark, tmp_path_factory, texts):
+    from summarydb_spark.plans.dataframe_queries import q_dedup_keep_best
+
+    d = _write_corpus(spark, tmp_path_factory.mktemp("corpus"), texts)
+    comp = _components(_expected_pairs(texts))
+    expected = {}
+    for n, c in comp.items():
+        best = expected.get(c)
+        cand = (len(texts[n]), -n)  # longest, ties -> lowest doc_id
+        if best is None or cand > best[0]:
+            expected[c] = (cand, n)
+    rows = {r.component_id: r for r in q_dedup_keep_best(spark, d).collect()}
+    assert set(rows) == set(expected)
+    for c, (_, keeper) in expected.items():
+        assert rows[c].kept_doc == keeper
+        assert rows[c].n_docs == sum(1 for n in comp if comp[n] == c)
