@@ -178,7 +178,14 @@ class Stream:
             t = int(t)
             if rows or m.n > 0:
                 last = rows[-1][2] if rows else m.last_ts
-                if t < last:
+                # strictly-increasing clamp (t <= last bumps): the engine
+                # contract everywhere (operators/summary.clamp_monotonic's
+                # closed form, the streaming path, this driver path).  The
+                # reference passes EQUAL stamps through (strict < at
+                # core/pipeline.go:81-84); we strengthen to strict
+                # monotonicity so every ingest path yields identical
+                # windows for identical input.
+                if t <= last:
                     t = last + 1
             rows.append((m.stream_id, m.next_seq, t, float(v)))
             m.next_seq += 1
@@ -229,6 +236,8 @@ class Stream:
         m = self.meta
         from pyspark.sql import Window
 
+        from summarydb_spark.operators.summary import clamp_monotonic
+
         base = df.select(
             F.lit(m.stream_id).cast("long").alias("stream_id"),
             F.col(ts_col).cast("long").alias("ts"),
@@ -238,13 +247,34 @@ class Stream:
         base = base.withColumn(
             "seq", F.lit(m.next_seq) + F.row_number().over(w).cast("long") - 1
         )
-        cnt, max_ts = base.agg(F.count(F.lit(1)), F.max("ts")).first()
-        self._db._write_events(base.select("stream_id", "seq", "ts", "value"))
-        m.next_seq += cnt
-        m.n += cnt
-        m.last_ts = max(m.last_ts, max_ts)
-        m.dirty = True
-        self._db._save_registry()
+        # same strictly-increasing clamp as every other ingest path,
+        # continued from the stream's committed last timestamp
+        base = clamp_monotonic(
+            base,
+            order_col="seq",
+            last_ts={m.stream_id: m.last_ts} if m.n > 0 else None,
+        )
+        # write FIRST, then derive the counters from the written segment:
+        # one evaluation of the input plan (agg + write was two, and a
+        # non-deterministic source could commit counters disagreeing with
+        # the rows actually written), and an empty input stays total
+        # (max(ts) of an empty segment is None -> counters untouched)
+        seg_path = self._db._write_events(
+            base.select("stream_id", "seq", "ts", "value")
+        )
+        # explicit schema: an empty input writes a segment with no parquet
+        # footers, which schema inference cannot read
+        cnt, max_ts = (
+            self._db.spark.read.schema(EVENT_SCHEMA).parquet(seg_path)
+            .agg(F.count(F.lit(1)), F.max("ts"))
+            .first()
+        )
+        if cnt:
+            m.next_seq += cnt
+            m.n += cnt
+            m.last_ts = max(m.last_ts, max_ts)
+            m.dirty = True
+        self._db._commit()
 
     # -- landmarks ------------------------------------------------------
 
@@ -295,7 +325,7 @@ class Stream:
                 [(self.meta.stream_id, t0, t0, t1, None, None)], LANDMARK_SCHEMA
             )
             self._db._write_landmarks(marker.unionByName(out))
-            self._db._save_registry()
+            self._db._commit()
             import shutil
 
             shutil.rmtree(self._landmark_stage_path(), ignore_errors=True)
@@ -309,7 +339,7 @@ class Stream:
             ] + [(self.meta.stream_id, t0, t0, t1, None, None)]
             df = spark.createDataFrame(rows, LANDMARK_SCHEMA)
             self._db._write_landmarks(df)
-            self._db._save_registry()
+            self._db._commit()
 
     # -- flush / query --------------------------------------------------
 
@@ -833,6 +863,21 @@ class SummaryDB:
 
     # -- registry -------------------------------------------------------
 
+    def _commit(self) -> None:
+        """Persist registry state WITHOUT stranding buffered appends.
+
+        Every public commit point must go through here: meta counters
+        (next_seq/n/last_ts) already reflect rows that may still sit in
+        the driver _pending buffer, so writing the registry alone would
+        commit counters whose rows exist in no event segment — a crash
+        then makes WAL replay skip them (seq < committed next_seq) and
+        the acknowledged rows are lost forever.  Flushing first keeps the
+        rows+counters single-commit invariant _flush_pending documents."""
+        if self._pending:
+            self._flush_pending()  # writes rows, registry, truncates WAL
+        else:
+            self._save_registry()
+
     def _save_registry(self) -> None:
         data = {
             "streams": {
@@ -947,7 +992,7 @@ class SummaryDB:
         )
         s = Stream(self, meta)
         self._streams[sid] = s
-        self._save_registry()
+        self._commit()
         return s
 
     def get_stream(self, stream_id: int) -> Stream:
@@ -961,7 +1006,7 @@ class SummaryDB:
 
         return "s" + uuid.uuid4().hex[:10]
 
-    def _write_events(self, df: DataFrame) -> None:
+    def _write_events(self, df: DataFrame) -> str:
         """Write one immutable event segment.  The segment becomes visible
         only when a subsequent _save_registry commits its name — a crash
         mid-write (or between write and commit) leaves an orphan directory
@@ -969,10 +1014,10 @@ class SummaryDB:
         manifest-commit model (the tiny-Delta analogue of the reference's
         single-transaction batch put, storage/badger_backend.go:226-263)."""
         seg = self._new_seg()
-        df.write.partitionBy("stream_id").parquet(
-            os.path.join(self._events_path, f"seg={seg}")
-        )
+        path = os.path.join(self._events_path, f"seg={seg}")
+        df.write.partitionBy("stream_id").parquet(path)
         self._segments["events"].append(seg)
+        return path
 
     def _write_landmarks(self, df: DataFrame) -> None:
         """Write one immutable landmark segment (same commit protocol as

@@ -62,6 +62,28 @@ def _counts_df(ref: DataFrame, counts: CountsLike) -> Optional[DataFrame]:
     )
 
 
+def _carry_counts(nc: DataFrame, carried: Optional[DataFrame]) -> DataFrame:
+    """Extend the per-stream post-batch totals with counts derived from
+    carried-over state, for streams present in the old summary/sketch
+    state but absent from BOTH the batch and base_counts.  Without this,
+    _with_base fills _n = 0 for those streams and their carried windows
+    re-bucket at a garbage rank (negative count_end - _n), corrupting the
+    persisted state.  ``carried`` is (stream_id, n) derived from the old
+    state itself; batch/base counts win when present."""
+    if carried is None:
+        return nc
+    c = carried.select(
+        F.col("stream_id").alias("_c_sid"), F.col("n").alias("_carry_n")
+    )
+    return (
+        nc.join(c, nc["stream_id"] == c["_c_sid"], "full_outer")
+        .select(
+            F.coalesce(nc["stream_id"], c["_c_sid"]).alias("stream_id"),
+            F.coalesce(nc["n"], c["_carry_n"]).cast("long").alias("n"),
+        )
+    )
+
+
 def _with_base(df: DataFrame, base_df: Optional[DataFrame], out_col: str) -> DataFrame:
     """Join per-stream base counts onto ``df`` as ``out_col`` (0 for
     streams with no prior state).
@@ -198,6 +220,13 @@ def merge_summary_increment(
 
     # per-stream new total N' (old N + batch size), broadcast-joined on
     nc = _new_counts_df(batch, base_df, stream_col)
+    if old_summary is not None:
+        nc = _carry_counts(
+            nc,
+            old_summary.groupBy("stream_id").agg(
+                (F.max("count_end") + 1).cast("long").alias("n")
+            ),
+        )
     units = _with_base(units, nc, "_n")
 
     exp2 = (
@@ -284,6 +313,14 @@ def merge_sketch_increment(
     )
 
     nc = _new_counts_df(batch, base_df, stream_col)
+    if old_sketches is not None:
+        # window_id = count_start, count = elements -> last index + 1
+        nc = _carry_counts(
+            nc,
+            old_sketches.groupBy("stream_id").agg(
+                F.max(F.col("window_id") + F.col("count")).cast("long").alias("n")
+            ),
+        )
 
     exp2 = (
         isinstance(windowing, ExpWindowing)

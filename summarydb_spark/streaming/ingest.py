@@ -166,8 +166,23 @@ class StreamingSummarizer:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         vdir = os.path.join(self.state_dir, f"v={batch_id}")
+        latest = latest_version(self.state_dir)
+        if latest is not None and batch_id < latest:
+            # A batch id BEHIND the committed head means the streaming
+            # checkpoint does not belong to this state dir (it was
+            # deleted/reset or points at different source offsets).
+            # Proceeding would either silently skip data (v=batch_id
+            # already committed) or write versions latest_version() never
+            # selects — both are silent corruption; refuse loudly instead
+            # (same contract as the engine's legacy-layout open refusal).
+            raise RuntimeError(
+                f"state_dir {self.state_dir!r} is at v={latest} but the "
+                f"checkpoint delivered batch {batch_id}; the checkpoint "
+                "was reset or belongs to another query. Use a fresh "
+                "state_dir or restore the original checkpoint."
+            )
         if os.path.exists(os.path.join(vdir, "_COMMIT")):
-            return  # replayed batch after crash: already folded in
+            return  # replay of the last committed batch: already folded
         if batch.isEmpty():
             return
         old_summary, state = load_state_df(self.spark, self.state_dir)
@@ -246,6 +261,14 @@ class StreamingSummarizer:
             json.dump({"batch_id": batch_id}, f)
         with open(os.path.join(vdir, "_COMMIT"), "w"):
             pass
+        # prune superseded snapshots (keep the new head + one previous):
+        # only the head is ever read, and an unbounded version history
+        # grows the state dir by a full summary copy per micro-batch
+        stale = sorted(v for v in _versions(self.state_dir) if v < batch_id)
+        for v in stale[:-1]:
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"v={v}"), ignore_errors=True
+            )
 
     # -- stream wiring -----------------------------------------------------
 
