@@ -73,6 +73,12 @@ LANDMARK_SCHEMA = T.StructType(
 
 DEFAULT_OPS = ("count", "sum", "max", "min")
 
+# Batched query paths push the queried stream set into the store scan as a
+# partition filter.  Above this many distinct streams the in-list would
+# bloat the plan for no benefit (a batch touching >10k streams is close to
+# a full scan anyway) — fall back to the unpruned scan.
+_PRUNE_MAX_STREAMS = 10_000
+
 
 def prune_landmark_scan(lraw: DataFrame, t0: int, t1: int) -> Optional[DataFrame]:
     """Push the landmark index-selection predicates into the parquet scan.
@@ -355,7 +361,12 @@ class Stream:
                 f"stream {self.meta.stream_id} has no sketch state; declare "
                 f"sketch ops {SKETCH_OPS} at new_stream()"
             )
-        return self._db.spark.read.parquet(self._db._sketches_path)
+        # partition-prune to this stream's directory (the store is
+        # partitionBy(sid)) — every single-stream sketch query then scans
+        # O(log n) rows regardless of how many streams the DB holds
+        return self._db._pruned_store_scan(
+            self._db._sketches_path, [self.meta.stream_id]
+        )
 
     def _landmark_points(self, t0: int, t1: int) -> list:
         lm = self._db.landmarks_df()
@@ -417,7 +428,9 @@ class Stream:
         swins: List[SummaryWindowRow] = []
         if os.path.isdir(self._db._summary_path):
             rows = (
-                spark.read.parquet(self._db._summary_path)
+                self._db._pruned_store_scan(
+                    self._db._summary_path, [self.meta.stream_id]
+                )
                 .where(
                     (F.col("stream_id") == self.meta.stream_id)
                     & (F.col("time_end") >= t0)
@@ -474,53 +487,16 @@ class Stream:
         queries cost one broadcast-join job instead of Q driver round
         trips (SURVEY §7 "What's hard" #4 — keep query compilation lazy
         to batch many queries per job).
-        """
-        from summarydb_spark.operators.query_df import (
-            approx_range_frame,
-            minmax_range_frame,
-        )
 
-        if self.meta.dirty:
-            self.flush()
-        spark = self._db.spark
-        ranges_df = spark.createDataFrame(
-            [
-                (self.meta.stream_id, i, int(t0), int(t1))
-                for i, (t0, t1) in enumerate(ranges)
-            ],
-            "stream_id long, qid long, t0 long, t1 long",
-        )
-        summary = (
-            spark.read.parquet(self._db._summary_path)
-            if os.path.isdir(self._db._summary_path)
-            else spark.createDataFrame(
-                [], "stream_id long, time_start long, time_end long, "
-                "count double, sum double, max double, min double"
-            )
-        )
-        lwin = lpts = None
-        lm = self._db.landmarks_df()
-        if lm is not None:
-            lraw = lm.where(F.col("stream_id") == self.meta.stream_id)
-            lwin = lraw.select(
-                "stream_id", "window_id", "time_start", "time_end"
-            ).distinct()
-            lpts = lraw.where(F.col("ts").isNotNull()).select(
-                "stream_id", "window_id", "ts", "value"
-            )
-        if op in ("count", "sum"):
-            out = approx_range_frame(
-                summary, ranges_df, op, params,
-                landmark_windows=lwin, landmark_points=lpts,
-            )
-        elif op in ("max", "min"):
-            out = minmax_range_frame(
-                summary, ranges_df, op,
-                landmark_windows=lwin, landmark_points=lpts,
-            )
-        else:
-            raise ValueError(f"unknown operator: {op}")
-        return out.drop("stream_id").orderBy("qid")
+        Thin view over the cross-stream ``SummaryDB.query_many`` (same
+        plan with a one-element stream set, so the store scan prunes to
+        this stream's partition).
+        """
+        return self._db.query_many(
+            op,
+            [(self.meta.stream_id, int(t0), int(t1)) for t0, t1 in ranges],
+            params,
+        ).drop("stream_id")
 
     def query_many_sketch(
         self,
@@ -615,6 +591,7 @@ class SummaryDB:
 
         self.flush(stream_ids={s for s, _t0, _t1 in triples})
         spark = self.spark
+        sids = sorted({int(s) for s, _t0, _t1 in triples})
         ranges_df = spark.createDataFrame(
             [
                 (int(s), i, int(t0), int(t1))
@@ -623,7 +600,7 @@ class SummaryDB:
             "stream_id long, qid long, t0 long, t1 long",
         )
         summary = (
-            spark.read.parquet(self._summary_path)
+            self._pruned_store_scan(self._summary_path, sids)
             if os.path.isdir(self._summary_path)
             else spark.createDataFrame(
                 [], "stream_id long, time_start long, time_end long, "
@@ -633,6 +610,11 @@ class SummaryDB:
         lwin = lpts = None
         lraw = self.landmarks_df()
         if lraw is not None:
+            if len(sids) <= _PRUNE_MAX_STREAMS:
+                # push the queried stream set into the landmark scan
+                # (min/max row-group pruning; VERDICT r3 item 3's
+                # batched-path analogue)
+                lraw = lraw.where(F.col("stream_id").isin(sids))
             lwin = lraw.select(
                 "stream_id", "window_id", "time_start", "time_end"
             ).distinct()
@@ -687,16 +669,19 @@ class SummaryDB:
                 f"no sketch state at {self._sketches_path}; declare sketch "
                 f"ops at new_stream()"
             )
+        sids = sorted({int(req[0]) for req in requests})
         lpts = None
         if any(req[1] == "membership" for req in requests):
             lm = self.landmarks_df()
             if lm is not None:
+                if len(sids) <= _PRUNE_MAX_STREAMS:
+                    lm = lm.where(F.col("stream_id").isin(sids))
                 lpts = lm.where(F.col("ts").isNotNull()).select(
                     "stream_id", "ts", "value"
                 )
         return batched_sketch_requests(
             self.spark,
-            self.spark.read.parquet(self._sketches_path),
+            self._pruned_store_scan(self._sketches_path, sids),
             requests,
             landmark_points=lpts,
         )
@@ -860,6 +845,22 @@ class SummaryDB:
     def _sketches_path(self) -> str:
         v = self._stores.get("sketches")
         return os.path.join(self.path, v) if v else os.path.join(self.path, "sketches")
+
+    def _pruned_store_scan(self, path: str, sids: Sequence[int]) -> DataFrame:
+        """Scan a versioned store pruned to the queried stream set.
+
+        The stores are written ``partitionBy(sid)`` (one directory per
+        stream, ``_write_store_version``), so an ``isin`` on the partition
+        column drops every other stream's files at plan time
+        (PartitionFilters — stronger than row-group stats, which still
+        list and open every file's footer).  At 1M streams a 3-stream
+        batch reads 3 directories, not the whole store.  Falls back to
+        the full scan for huge stream sets (``_PRUNE_MAX_STREAMS``),
+        where the in-list would bloat the plan for no pruning benefit."""
+        df = self.spark.read.parquet(path)
+        if 0 < len(sids) <= _PRUNE_MAX_STREAMS and "sid" in df.columns:
+            df = df.where(F.col("sid").isin([int(s) for s in sids]))
+        return df
 
     # -- registry -------------------------------------------------------
 

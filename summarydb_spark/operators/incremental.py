@@ -118,6 +118,34 @@ def _with_base(df: DataFrame, base_df: Optional[DataFrame], out_col: str) -> Dat
     ).drop("_b_sid", "_b_n")
 
 
+def _indexed_events(
+    batch: DataFrame,
+    base_df: Optional[DataFrame],
+    *,
+    stream_col: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Normalize batch events and assign insertion indexes that continue
+    each stream's existing count (``base_df``: stream_id, n).  Returns
+    (stream_id, ts, value, *order_cols, _base, _idx) — the shared front
+    half of ``merge_summary_increment`` / ``merge_sketch_increment``."""
+    # window ordering references the post-select names (ts_col -> "ts")
+    order = [F.col("ts").asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy("stream_id").orderBy(*order)
+    ev = batch.select(
+        F.col(stream_col).alias("stream_id"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        *[F.col(c) for c in order_cols],
+    )
+    ev = _with_base(ev, base_df, "_base")
+    return ev.withColumn(
+        "_idx", F.row_number().over(w).cast("long") - 1 + F.col("_base")
+    )
+
+
 def _events_as_units(
     batch: DataFrame,
     base_df: Optional[DataFrame],
@@ -129,18 +157,13 @@ def _events_as_units(
 ) -> DataFrame:
     """Turn batch events into singleton units with insertion indexes that
     continue each stream's existing count (``base_df``: stream_id, n)."""
-    # window ordering references the post-select names (ts_col -> "ts")
-    order = [F.col("ts").asc()] + [F.col(c).asc() for c in order_cols]
-    w = Window.partitionBy("stream_id").orderBy(*order)
-    ev = batch.select(
-        F.col(stream_col).alias("stream_id"),
-        F.col(ts_col).cast("long").alias("ts"),
-        F.col(value_col).cast("double").alias("value"),
-        *[F.col(c) for c in order_cols],
-    )
-    ev = _with_base(ev, base_df, "_base")
-    ev = ev.withColumn(
-        "_idx", F.row_number().over(w).cast("long") - 1 + F.col("_base")
+    ev = _indexed_events(
+        batch,
+        base_df,
+        stream_col=stream_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        order_cols=order_cols,
     )
     return ev.select(
         "stream_id",
@@ -296,19 +319,16 @@ def merge_sketch_increment(
 
     # -- index + bucket the batch events at the new N -----------------------
     base_df = _counts_df(batch, base_counts)
-    order = [F.col("ts").asc()] + [F.col(c).asc() for c in order_cols]
-    w = Window.partitionBy("stream_id").orderBy(*order)
-    ev = batch.select(
-        F.col(stream_col).alias("stream_id"),
-        F.col(ts_col).cast("long").alias("ts"),
-        F.col(value_col).cast("double").alias("value"),
-        *[F.col(c) for c in order_cols],
-    )
-    ev = _with_base(ev, base_df, "_base")
     ev = (
-        ev.withColumn(
-            "idx", F.row_number().over(w).cast("long") - 1 + F.col("_base")
+        _indexed_events(
+            batch,
+            base_df,
+            stream_col=stream_col,
+            ts_col=ts_col,
+            value_col=value_col,
+            order_cols=order_cols,
         )
+        .withColumnRenamed("_idx", "idx")
         .drop("_base", *order_cols)
     )
 

@@ -113,3 +113,44 @@ def test_db_level_query_many_across_streams(spark, tmp_path):
                 assert abs(got["value"] - single.value) <= max(
                     1e-9, 1e-12 * abs(single.value)
                 ), (op, i, got["value"], single.value)
+
+
+def test_query_many_prunes_store_partitions(spark, tmp_path):
+    """The batched paths must push the queried stream set into the store
+    scan as a PARTITION filter (the store is partitionBy(sid)): at 1M
+    streams a 1-stream batch reads one directory, not the whole store."""
+    import contextlib
+    import io
+
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    streams = [
+        db.new_stream(ops=["count", "sum"], windowing=ExpWindowing(2.0))
+        for _ in range(3)
+    ]
+    for k, s in enumerate(streams):
+        s.append_pairs([(i, float(i + k)) for i in range(40)])
+    db.flush()
+
+    out = db.query_many("count", [(streams[0].stream_id, 0, 39)])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln and "sid" in ln
+    ]
+    assert any(
+        "IN" in ln or "isnotnull" in ln or "=" in ln for ln in part_lines
+    ), plan
+
+    # pruned result == unpruned single-stream answer (other streams intact)
+    row = out.collect()[0]
+    single = streams[0].query("count", 0, 39)
+    assert abs(row["value"] - single.value) < 1e-9
+
+    # per-stream delegation keeps the old schema (no stream_id column)
+    per_stream = streams[1].query_many("count", [(0, 39)])
+    assert "stream_id" not in per_stream.columns
+    got = per_stream.collect()[0]
+    want = streams[1].query("count", 0, 39)
+    assert abs(got["value"] - want.value) < 1e-9
