@@ -441,11 +441,23 @@ def _lsh_scored_candidates(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # candidates are bounded by |queries| x tables x probes x bucket size —
+    # tiny next to the corpus — so broadcast THEM into the payload join:
+    # the corpus vectors are scanned once in place instead of shuffled
+    # (a sort-merge here exchanges every cv to pair with a few thousand
+    # candidate rows).  A query batch large enough to break this broadcast
+    # should use repartition + the plain join — at that point the shuffle
+    # is amortized over the batch.
     return (
-        cand.join(
-            F.broadcast(q.select("query_id", "qv")), "query_id"
+        enc.select("neighbor_id", "cv")
+        .join(
+            F.broadcast(
+                cand.join(
+                    F.broadcast(q.select("query_id", "qv")), "query_id"
+                )
+            ),
+            "neighbor_id",
         )
-        .join(enc.select("neighbor_id", "cv"), "neighbor_id")
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
     )
 

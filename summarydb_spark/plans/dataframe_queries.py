@@ -300,6 +300,15 @@ ORDER BY vec_id"""
 # surfaces a ~0.5-cosine natural row instead and the hash diverges).
 _PLANT_SCALES = (0.001, 0.004, 0.012)
 
+# 16 hyperplanes = 65536 buckets/table: with 6 tables and Hamming-2
+# multiprobe, a tau=0.999 pair (theta 0.045 rad; expected differing planes
+# 16*theta/pi ~ 0.23/table) misses a table only when >2 planes flip —
+# P ~ 1.6e-3/table, ~1e-17 across 6 tables — while the candidate set drops
+# from ~37/256 of the corpus per table (8 planes: ~87% overall, near brute
+# force) to ~137/65536 (~1% overall).  The planted-truth oracles hash-check
+# recall end-to-end, so the margin is verified, not assumed.
+_LSH_PLANES = 16
+
 
 def _planted_corpus(embs: DataFrame) -> DataFrame:
     out = embs
@@ -385,11 +394,17 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, method: str):
             books = similarity.train_pq_codebooks(embs, m=4, k=32)
             return similarity.pq_encode(corpus, books), {"_model.npy": _np_bytes(books)}
         enc = similarity.lsh_encode(
-            corpus, dim=64, n_planes=8, n_tables=6, seed=42
+            corpus, dim=64, n_planes=_LSH_PLANES, n_tables=6, seed=42
         )
         return enc, None
 
-    path = ensure_store(spark, sf_dir, f"ann_{method}_index", build)
+    # the lsh store name carries the plane count: encodings are only
+    # readable by query signatures built with the SAME planes, so a param
+    # change must miss the old store rather than silently probe it
+    name = (
+        f"ann_lsh_p{_LSH_PLANES}_index" if method == "lsh" else f"ann_{method}_index"
+    )
+    path = ensure_store(spark, sf_dir, name, build)
     model = (
         _np_from_bytes(store_sidecar(path, "_model.npy"))
         if method in ("ivf", "pq")
@@ -407,7 +422,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded, _ = _ensure_ann_index(spark, sf_dir, "lsh")
     queries = _emb_probes(spark, sf_dir)
     out = similarity.lsh_topk(
-        None, queries, k=3, n_planes=8, n_tables=6, probe_hamming=2,
+        None, queries, k=3, n_planes=_LSH_PLANES, n_tables=6, probe_hamming=2,
         encoded=encoded,
     )
     return out.select(
@@ -460,7 +475,8 @@ def q_ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded, _ = _ensure_ann_index(spark, sf_dir, "lsh")
     queries = _emb_probes(spark, sf_dir)
     out = similarity.lsh_radius(
-        None, queries, tau=0.999, n_planes=8, n_tables=6, probe_hamming=2,
+        None, queries, tau=0.999, n_planes=_LSH_PLANES, n_tables=6,
+        probe_hamming=2,
         encoded=encoded,
     )
     return out.select(
