@@ -176,6 +176,36 @@ def _cms_col(value: Column, depth_i: int, width: int) -> Column:
     return F.pmod(F.xxhash64(value, F.lit(1000 + depth_i)), F.lit(width))
 
 
+def cms_probe_key(value: Column, depth_i: int, width: int) -> Column:
+    """Flattened ``depth*width + col`` key of ``value`` in a per-window CMS
+    map (operators/sketch_windows.py builds the map with exactly this
+    layout).  Build and probe MUST share the hash definition: a probe with
+    a drifted seed reads absent keys, and the ``coalesce(..., 0)`` miss
+    default silently collapses every estimate to 0."""
+    return F.lit(depth_i * width) + _cms_col(value, depth_i, width)
+
+
+def kll_fold(ks: Column) -> Column:
+    """Merge an array of KLL sketches in canonical order: sort the array
+    first (``collect_list`` order is task-scheduling-dependent), then
+    left-fold the binary merge.  Null/empty arrays fold to NULL
+    (try_element_at).
+
+    The sort removes merge ORDER as a variance source, but the merged
+    bytes are still not reproducible: DataSketches KLL compaction keeps
+    odd or even items by an internal random coin, so identical inputs in
+    identical order produce different (all valid) sketches run-to-run —
+    measured on Spark 4.1.  Anything exposed to a value-hash oracle must
+    therefore be a rank-tolerance bound check, never raw estimates or
+    sketch bytes (the registered sketch queries all do this)."""
+    sorted_ks = F.array_sort(ks)
+    return F.reduce(
+        F.slice(sorted_ks, 2, F.greatest(F.size(sorted_ks) - 1, F.lit(0))),
+        F.try_element_at(sorted_ks, F.lit(1)),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+
+
 def cms_aggregate(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -245,7 +275,10 @@ def cms_estimate(
             )
         ).alias("_dc"),
     ).select(*gcols, "_probe", "_dc._depth", "_dc._col")
-    joined = counters.join(F.broadcast(p), gcols + ["_depth", "_col"], "right").select(
+    # right-outer builds on the LEFT side: hint the (tiny) counters relation
+    # — F.broadcast(p) on the preserved side cannot be honored and Spark
+    # silently fell back to a shuffle join
+    joined = F.broadcast(counters).join(p, gcols + ["_depth", "_col"], "right").select(
         *gcols, "_probe", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy(*gcols, "_probe").agg(F.min("cnt").alias("estimate"))
@@ -295,11 +328,7 @@ def kll_quantiles_over(
         F.collect_list("kll").alias("_ks")
     ).select(
         *merge_group_cols,
-        F.reduce(
-            F.slice("_ks", 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
-            F.try_element_at(F.col("_ks"), F.lit(1)),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("kll"),
+        kll_fold(F.col("_ks")).alias("kll"),
     )
     cols = [
         F.kll_sketch_get_quantile_double("kll", F.lit(q)).alias(

@@ -381,14 +381,9 @@ def merge_sketch_increment(
         aggs.append(F.collect_list("kll").alias("_klls"))
     merged = units.groupBy("stream_id", "bucket").agg(*aggs)
     if "kll" in ops:
-        merged = merged.withColumn(
-            "kll",
-            F.reduce(
-                F.slice("_klls", 2, F.greatest(F.size("_klls") - 1, F.lit(0))),
-                F.element_at("_klls", 1),
-                lambda acc, x: F.kll_sketch_merge_double(acc, x),
-            ),
-        ).drop("_klls")
+        from summarydb_spark.functions.sketch import kll_fold
+
+        merged = merged.withColumn("kll", kll_fold(F.col("_klls"))).drop("_klls")
     if "bloom" in ops:
         bl = (
             units.select("stream_id", "bucket", F.explode("bloom").alias("w", "bits"))

@@ -266,12 +266,7 @@ def query_frequency(
     cols = [
         F.coalesce(
             F.element_at(
-                "cms",
-                F.lit(i * CMS_WIDTH)
-                + F.pmod(
-                    F.xxhash64(F.lit(float(member)), F.lit(1000 + i)),
-                    F.lit(CMS_WIDTH),
-                ),
+                "cms", sketch.cms_probe_key(F.lit(float(member)), i, CMS_WIDTH)
             ),
             F.lit(0).cast("long"),
         )
@@ -302,14 +297,8 @@ def query_quantile(
     """Approx value quantile over the covering windows (KLL merge)."""
     merged = (
         _overlap(sketches, stream_id, t0, t1)
-        .agg(F.array_sort(F.collect_list("kll")).alias("ks"))
-        .select(
-            F.reduce(
-                F.slice("ks", 2, F.greatest(F.size("ks") - 1, F.lit(0))),
-                F.try_element_at(F.col("ks"), F.lit(1)),
-                lambda acc, x: F.kll_sketch_merge_double(acc, x),
-            ).alias("kll")
-        )
+        .agg(F.collect_list("kll").alias("ks"))
+        .select(sketch.kll_fold(F.col("ks")).alias("kll"))
     )
     row = merged.select(
         F.kll_sketch_get_quantile_double("kll", F.lit(float(q))).alias("v")
@@ -392,12 +381,7 @@ def sketch_range_frame_multi(
         proj_cols += [
             F.coalesce(
                 F.element_at(
-                    "cms",
-                    F.lit(i * cms_width)
-                    + F.pmod(
-                        F.xxhash64(F.col("member"), F.lit(1000 + i)),
-                        F.lit(cms_width),
-                    ),
+                    "cms", sketch.cms_probe_key(F.col("member"), i, cms_width)
                 ),
                 F.lit(0).cast("long"),
             ).alias(f"_c{i}")
@@ -411,7 +395,7 @@ def sketch_range_frame_multi(
         )
     if "quantile" in ops:
         proj_cols.append(F.col("kll"))
-        aggs.append(F.array_sort(F.collect_list("kll")).alias("_ks"))
+        aggs.append(F.collect_list("kll").alias("_ks"))
 
     res = j.select(*key, *proj_cols).groupBy(*key).agg(*aggs)
 
@@ -448,11 +432,7 @@ def sketch_range_frame_multi(
             (F.lit(rse) * F.col("_nd").cast("double")).alias("distinct_error"),
         ]
     if "quantile" in ops:
-        merged = F.reduce(
-            F.slice("_ks", 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
-            F.try_element_at(F.col("_ks"), F.lit(1)),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        )
+        merged = sketch.kll_fold(F.col("_ks"))
         out_cols += [
             F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(
                 "quantile_value"

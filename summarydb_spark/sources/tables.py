@@ -145,11 +145,43 @@ def _store_path(sf_dir: str, view: str) -> str:
     # size/mtime_ns), not path alone: the test harness regenerates the
     # parquet between rounds, and a path-only key would silently serve
     # summaries of the previous dataset.
-    return os.path.join(
-        os.environ.get("SUMMARYDB_STORE_DIR", _STORE_ROOT),
-        _source_fingerprint(sf_dir),
-        view,
-    )
+    root = os.environ.get("SUMMARYDB_STORE_DIR", _STORE_ROOT)
+    fp_dir = os.path.join(root, _source_fingerprint(sf_dir))
+    _claim_fingerprint(root, fp_dir, sf_dir)
+    return os.path.join(fp_dir, view)
+
+
+def _claim_fingerprint(root: str, fp_dir: str, sf_dir: str) -> None:
+    """Record which source dir owns a fingerprint and retire that source's
+    superseded fingerprints.
+
+    A testdata regeneration changes the fingerprint, and without pruning
+    every regeneration strands the previous fingerprint's complete store
+    tree (split table copies, summary/sketch/ANN stores) forever.  On the
+    first sighting of a new fingerprint, write a ``_source.txt`` marker
+    and delete sibling fingerprint dirs whose marker names the SAME source
+    dir — other scale factors keep theirs.  Runs once per fingerprint (the
+    marker gates it); single-writer by contract, like the stores."""
+    marker = os.path.join(fp_dir, "_source.txt")
+    if os.path.exists(marker):
+        return
+    import shutil
+
+    src = os.path.abspath(sf_dir)
+    os.makedirs(fp_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(src)
+    for sib in os.listdir(root):
+        sib_dir = os.path.join(root, sib)
+        if sib_dir == fp_dir or not os.path.isdir(sib_dir):
+            continue
+        try:
+            with open(os.path.join(sib_dir, "_source.txt")) as f:
+                owner = f.read()
+        except OSError:
+            continue  # unmarked/foreign dir: not attributable, keep it
+        if owner == src:
+            shutil.rmtree(sib_dir, ignore_errors=True)
 
 
 def ensure_summary_views(spark: SparkSession, sf_dir: str) -> None:

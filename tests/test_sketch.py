@@ -129,3 +129,50 @@ def test_kll_quantiles_bounded_rank_error(spark, events):
         # KLL(k=200) rank error ~1.3%; translate via local value spread
         assert abs(r["q0_5"] - r["e50"]) / max(abs(r["e50"]), 1e-9) < 0.15
         assert abs(r["q0_9"] - r["e90"]) / max(abs(r["e90"]), 1e-9) < 0.15
+
+
+def test_kll_fold_rank_error_under_any_merge_order(spark):
+    """KLL merged bytes are NOT reproducible — DataSketches compaction
+    flips an internal random coin, so identical inputs yield different
+    (valid) sketches run-to-run; bit-stability is impossible and nothing
+    may expose raw estimates to a value-hash oracle.  What IS guaranteed,
+    and pinned here: every merge order's fold answers quantile queries
+    within the k=200 normalized rank error (~1.65%; asserted at 3x)."""
+    vals = [float(i) for i in range(500)]
+    parts = [vals[0:100], vals[100:350], vals[350:500]]
+    sks = [
+        spark.createDataFrame([(v,) for v in p], "v double")
+        .agg(F.kll_sketch_agg_double("v", F.lit(200)).alias("kll"))
+        .first()["kll"]
+        for p in parts
+    ]
+    import itertools
+
+    for perm in itertools.permutations(sks):
+        row = (
+            spark.createDataFrame([(list(perm),)], "ks array<binary>")
+            .select(
+                F.kll_sketch_get_quantile_double(
+                    sketch.kll_fold(F.col("ks")), F.lit(0.5)
+                ).alias("med")
+            )
+            .first()
+        )
+        # true median rank 250/500; 3x the 1.65% rank error ~ +-25 ranks
+        assert abs(row["med"] - 249.5) <= 25.0, row["med"]
+
+
+def test_cms_estimate_join_broadcasts(spark, events):
+    """The estimate join must actually broadcast: a right-outer join can
+    only build left, so the hint belongs on the counters side — on the
+    probe side Spark drops it and silently shuffles both sides."""
+    import contextlib
+    import io
+
+    counters = sketch.cms_aggregate(events, ["event_type"], "user_id", width=4096)
+    probes = events.select("event_type", F.col("user_id").alias("probe")).distinct()
+    est = sketch.cms_estimate(counters, probes, ["event_type"], width=4096)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        est.explain(mode="formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()

@@ -104,3 +104,40 @@ def test_orc_source_identical(spark, tmp_path, event_slice):
         return sorted(tuple(r) for r in rows)
 
     assert canon(from_orc) == canon(from_parquet)
+
+
+def test_stale_fingerprint_stores_are_pruned(tmp_path, monkeypatch):
+    """A source regeneration changes the store fingerprint; the superseded
+    fingerprint's whole tree must be retired (it stranded multi-GB split
+    copies forever), while other sources' fingerprints stay intact."""
+    import os
+
+    from summarydb_spark.sources import tables as T
+
+    root = str(tmp_path / "store")
+    monkeypatch.setenv("SUMMARYDB_STORE_DIR", root)
+
+    src_a = tmp_path / "sf_a"
+    src_b = tmp_path / "sf_b"
+    for d in (src_a, src_b):
+        d.mkdir()
+        (d / "region.parquet").write_bytes(b"x")
+
+    fp_a1 = os.path.dirname(T._store_path(str(src_a), "v"))
+    fp_b = os.path.dirname(T._store_path(str(src_b), "v"))
+    os.makedirs(os.path.join(fp_a1, "some_store"), exist_ok=True)
+    assert os.path.isdir(fp_a1) and os.path.isdir(fp_b)
+
+    # regenerate source a -> new fingerprint; a's old tree goes, b's stays
+    os.utime(src_a / "region.parquet", ns=(1, 10**15))
+    fp_a2 = os.path.dirname(T._store_path(str(src_a), "v"))
+    assert fp_a2 != fp_a1
+    assert not os.path.isdir(fp_a1), "stale fingerprint tree not pruned"
+    assert os.path.isdir(fp_b), "other source's fingerprint wrongly pruned"
+
+    # unmarked (unattributable) dirs are left alone
+    foreign = os.path.join(root, "deadbeef0000")
+    os.makedirs(foreign)
+    os.utime(src_a / "region.parquet", ns=(2, 2 * 10**15))
+    T._store_path(str(src_a), "v")
+    assert os.path.isdir(foreign)
