@@ -59,9 +59,16 @@ def exact_dedup(
     h = F.md5(normalize_text(F.col(text_col)))
     w = df.withColumn("content_hash", h)
     keepers = w.groupBy("content_hash").agg(F.min(id_col).alias("_keeper"))
+    # left join + coalesce: a NULL text hashes to NULL, which an inner
+    # equi-join would silently DELETE from the corpus; nullness is its own
+    # quality dimension (dq convention), not content equality — NULL-text
+    # rows pass through as non-duplicates
     return (
-        w.join(keepers, "content_hash")
-        .withColumn("is_duplicate", F.col(id_col) != F.col("_keeper"))
+        w.join(keepers, "content_hash", "left")
+        .withColumn(
+            "is_duplicate",
+            F.coalesce(F.col(id_col) != F.col("_keeper"), F.lit(False)),
+        )
         .drop("_keeper")
     )
 
@@ -419,8 +426,12 @@ def embedding_near_dups(
     (_id, v, sig) relation (persisted signature store); ``df`` is ignored.
     """
     if sigs is None:
-        from summarydb_spark.functions.similarity import _sigs_all_tables_udf
+        from summarydb_spark.functions.similarity import (
+            _require_dim,
+            _sigs_all_tables_udf,
+        )
 
+        _require_dim(df, emb_col, dim)
         planes = _hyperplanes(dim, n_planes, seed)
         sigf = _sigs_all_tables_udf([planes])
         vecs = df.select(
@@ -436,6 +447,12 @@ def embedding_near_dups(
         probes += [
             F.col("sig").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
             for i in range(n_planes)
+        ]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("sig").bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
         ]
     narrow = sigs.select("_id", "sig")
     probed = narrow.withColumn("probe", F.explode(F.array(*probes)))
@@ -469,8 +486,13 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus into clusters, compute pairwise
-    cosines *inside each cluster only*, and greedily drop every vector that
-    is >= threshold-similar to a lower-id keeper.
+    cosines *inside each cluster only*, and drop every vector that is
+    >= threshold-similar to ANY lower-id vector — the paper's
+    upper-triangular max rule, which tests against predecessors regardless
+    of whether they were themselves dropped.  In a similarity chain
+    (1~2~3, 1!~3) this removes BOTH 2 and 3 (sequential greedy would keep
+    3); ``keeper_id`` is the lowest-id similar predecessor and may itself
+    appear in the dropped set.  Survivors = ids absent from the output.
 
     Cluster assignment defaults to the sign pattern of the first
     ``n_sign_dims`` components — a fixed, data-independent hyperplane
@@ -483,7 +505,7 @@ def semantic_dedup(
     (the reference has no vector surface; SURVEY.md §2.6).
 
     Returns (vec_id, keeper_id, cosine): one row per *dropped* vector with
-    its lowest-id keeper and their exact cosine.
+    its lowest-id similar predecessor and their exact cosine.
     """
     vecs = df.select(
         F.col(id_col).alias("_id"),
@@ -583,7 +605,12 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # exact decimal sum: int64 node ids near 2^62 overflow a long sum
+        # (ANSI throw, or silent wraparound breaking the monotone-decrease
+        # invariant); decimal(38,0) is exact past 1e37
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

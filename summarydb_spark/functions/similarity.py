@@ -72,6 +72,22 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _nrm2(col: Column) -> Column:
+    """Squared L2 norm of an array<double> column."""
+    return F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v)
+
+
+def _l2norm(col: Column) -> Column:
+    """L2-normalized copy of an array<double> column.  Zero-norm vectors
+    normalize to NULL components (nullif guard) instead of an ANSI
+    DIVIDE_BY_ZERO crash — cosine geometry is undefined at zero.  Callers
+    whose output feeds an Arrow UDF (encode/search paths) must drop zero
+    vectors first with ``_nrm2(col) > 0``; NULLs would crash the numpy
+    matmul executor-side."""
+    nrm = F.nullif(F.sqrt(_nrm2(col)), F.lit(0.0))
+    return F.transform(col, lambda x: x / nrm)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,15 +135,8 @@ def train_ivf_centroids(
     train once on a ~1M-row sample, persist the centroids, and amortize
     them over every subsequent search (the FAISS build/search split)."""
 
-    def norm(col):
-        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
-        return F.transform(col, lambda x: x / nrm)
-
-    nrm2 = F.aggregate(
-        _as_double(F.col(emb_col)), F.lit(0.0), lambda a, v: a + v * v
-    )
-    train = corpus.where(nrm2 > 0).select(
-        norm(_as_double(F.col(emb_col))).alias("cv")
+    train = corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0).select(
+        _l2norm(_as_double(F.col(emb_col))).alias("cv")
     )
     if sample_fraction < 1.0:
         train = train.sample(sample_fraction, seed=seed)
@@ -165,17 +174,19 @@ def ivf_encode(
     ``list_id`` so searches scan only probed lists."""
     cdots = _mat_dots_udf(centroids)
 
-    def norm(col):
-        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
-        return F.transform(col, lambda x: x / nrm)
-
     def argmax_idx(dots: Column) -> Column:
         return F.array_position(dots, F.array_max(dots)).cast("int") - 1
 
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        norm(_as_double(F.col(emb_col))).alias("cv"),
-    ).withColumn("list_id", argmax_idx(cdots(F.col("cv"))))
+    # zero vectors are excluded from the index (same contract as training:
+    # cosine-undefined, and a NULL cv would crash the assignment matmul)
+    return (
+        corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _l2norm(_as_double(F.col(emb_col))).alias("cv"),
+        )
+        .withColumn("list_id", argmax_idx(cdots(F.col("cv"))))
+    )
 
 
 def ivf_topk(
@@ -220,19 +231,18 @@ def ivf_topk(
         else ivf_encode(corpus, centroids, emb_col=emb_col, id_col=id_col)
     )
 
-    # L2-normalize so max-dot == max-cosine
-    def norm(col):
-        nrm = F.sqrt(
-            F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v)
-        )
-        return F.transform(col, lambda x: x / nrm)
-
     cdots = _mat_dots_udf(centroids)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        norm(_as_double(F.col(emb_col))).alias("qv"),
-    ).withColumn("_dots", cdots(F.col("qv")))
+    # L2-normalize so max-dot == max-cosine; zero-norm probes have no
+    # defined neighbors and are dropped (vs an ANSI divide crash)
+    q = (
+        queries.where(_nrm2(_as_double(F.col(emb_col))) > 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            _l2norm(_as_double(F.col(emb_col))).alias("qv"),
+        )
+        .withColumn("_dots", cdots(F.col("qv")))
+    )
     # top-n_probe centroid ids: sort (dot, idx) structs descending
     ranked = F.slice(
         F.reverse(
@@ -378,6 +388,10 @@ def _lsh_scored_candidates(
     """Shared candidate stage of lsh_topk / lsh_radius: sign queries, probe
     every table's buckets (multi-probe), exact-cosine each distinct
     (query, neighbor) candidate exactly once."""
+    # fail fast on the PRODUCTION path too: with a prebuilt `encoded` index
+    # lsh_encode's driver-side dim check never runs, and a query/index
+    # mismatch otherwise dies as a numpy shape error on executors mid-job
+    _require_dim(queries, emb_col, dim)
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     sigsf = _sigs_all_tables_udf(tables)
 
@@ -486,16 +500,9 @@ def train_pq_codebooks(
     ``d``-wide dot product.
     """
 
-    def norm(col):
-        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
-        return F.transform(col, lambda x: x / nrm)
-
-    nrm2 = F.aggregate(
-        _as_double(F.col(emb_col)), F.lit(0.0), lambda a, v: a + v * v
-    )
     sample = np.array(
-        corpus.where(nrm2 > 0)
-        .select(norm(_as_double(F.col(emb_col))).alias("cv"))
+        corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0)
+        .select(_l2norm(_as_double(F.col(emb_col))).alias("cv"))
         .limit(1_000_000)
         .toPandas()["cv"]
         .tolist()
@@ -575,14 +582,15 @@ def pq_encode(
     cold storage fetched for the exact re-rank of ~``rerank`` rows/query."""
     enc = _pq_encode_udf(codebooks)
 
-    def norm(col):
-        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
-        return F.transform(col, lambda x: x / nrm)
-
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        norm(_as_double(F.col(emb_col))).alias("cv"),
-    ).withColumn("codes", enc(F.col("cv")))
+    # zero vectors excluded, as in ivf_encode
+    return (
+        corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _l2norm(_as_double(F.col(emb_col))).alias("cv"),
+        )
+        .withColumn("codes", enc(F.col("cv")))
+    )
 
 
 def pq_topk(
@@ -611,10 +619,6 @@ def pq_topk(
     """
     m, kk, _sub = codebooks.shape
 
-    def norm(col):
-        nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
-        return F.transform(col, lambda x: x / nrm)
-
     lut = _pq_lut_udf(codebooks)
 
     c = (
@@ -623,10 +627,15 @@ def pq_topk(
         else pq_encode(corpus, codebooks, emb_col=emb_col, id_col=id_col)
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        norm(_as_double(F.col(emb_col))).alias("qv"),
-    ).withColumn("lut", lut(F.col("qv")))
+    # zero-norm probes dropped, as in ivf_topk
+    q = (
+        queries.where(_nrm2(_as_double(F.col(emb_col))) > 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            _l2norm(_as_double(F.col(emb_col))).alias("qv"),
+        )
+        .withColumn("lut", lut(F.col("qv")))
+    )
 
     # ADC score = sum_j lut[j*k + codes[j]] — m element_at lookups per
     # pair, JVM-side

@@ -138,8 +138,11 @@ def approx_range_frame(
     params = params or QueryParams()
     val = F.col("count") if op == "count" else F.col("sum")
 
+    # join back on the FULL query key: two streams may legitimately carry
+    # the same (qid, t0, t1) — e.g. callers issuing per-stream qid=0 like
+    # the portable_sql twin — and a 3-column join would cross-match them
     parts = _parts(ranges, summary, val)
-    base = ranges.join(parts.drop("stream_id"), ["qid", "t0", "t1"], "left")
+    base = ranges.join(parts, _KEY, "left")
 
     zero = F.lit(0).cast("long")
     # no-overlap queries flow through the Python defaults: a zero-sum
@@ -304,7 +307,8 @@ def minmax_range_frame(
         .groupBy(*_KEY)
         .agg(F.max("v").alias("win_best"))
     )
-    base = ranges.join(sel.drop("stream_id"), ["qid", "t0", "t1"], "left")
+    # full-key join: per-stream-constant qids must not cross-match streams
+    base = ranges.join(sel, _KEY, "left")
 
     if landmark_windows is not None and landmark_points is not None:
         lsel = _selected_landmarks(ranges, landmark_windows)
