@@ -26,19 +26,34 @@ def bpe_piece_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]"))
 
 
+def _tokens(t: Column) -> Column:
+    """\\s+-delimited tokens; empty/whitespace-only text -> empty array
+    (a bare split returns [''] there), NULL text -> NULL.  One shared
+    tokenization: split(' ') would disagree with the \\S+ counter on
+    multi-space/tab text (type_token_ratio > 1)."""
+    return F.when(
+        F.trim(t) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
-    toks = F.split(t, " ")
+    toks = _tokens(t)
+    n_tokens = token_count(t)
     return (
-        df.withColumn("n_tokens", token_count(t))
+        df.withColumn("n_tokens", n_tokens)
         .withColumn("n_bpe_pieces", bpe_piece_count(t))
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
         .withColumn(
+            # nullif: empty documents report NULL, not an ANSI
+            # divide-by-zero that kills the stage
             "avg_token_len",
-            F.length(F.replace(t, F.lit(" "), F.lit(""))) / F.col("n_tokens"),
+            F.length(F.regexp_replace(t, r"\s", ""))
+            / F.nullif(n_tokens, F.lit(0)),
         )
         .withColumn(
-            "type_token_ratio", F.col("n_distinct_tokens") / F.col("n_tokens")
+            "type_token_ratio",
+            F.col("n_distinct_tokens") / F.nullif(n_tokens, F.lit(0)),
         )
     )
 
@@ -50,11 +65,13 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_pat = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
     n_stop = F.regexp_count(F.lower(t), F.lit(stop_pat)).cast("double")
     n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("double")
-    n_distinct = F.size(F.array_distinct(F.split(t, " "))).cast("double")
+    n_distinct = F.size(F.array_distinct(_tokens(t))).cast("double")
+    # nullif guards: an empty document scores NULL ratios (and a low
+    # composite below), never an ANSI divide-by-zero
     out = (
-        df.withColumn("stopword_ratio", n_stop / n_tokens)
-        .withColumn("alpha_ratio", n_alpha / F.length(t))
-        .withColumn("distinct_ratio", n_distinct / n_tokens)
+        df.withColumn("stopword_ratio", n_stop / F.nullif(n_tokens, F.lit(0.0)))
+        .withColumn("alpha_ratio", n_alpha / F.nullif(F.length(t), F.lit(0)))
+        .withColumn("distinct_ratio", n_distinct / F.nullif(n_tokens, F.lit(0.0)))
         .withColumn("length_score", F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
     )
     score = (
@@ -79,15 +96,23 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = df
     for lang, c in scores.items():
         df = df.withColumn(f"score_{lang}", c)
+    # first-match argmax: a when-chain reaching language i means every
+    # earlier language already failed its ties-to-later check, so only the
+    # ties-to-LATER comparisons are needed (a beats-all-earlier clause is
+    # provably redundant and was dropped)
     pred = None
     for i, lang in enumerate(LANG_ORDER[:-1]):
         cond = F.lit(True)
         for l2 in LANG_ORDER[i + 1 :]:
             cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{l2}"))
-        for l0 in LANG_ORDER[:i]:
-            cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{l0}"))
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     pred = pred.otherwise(LANG_ORDER[-1])
+    # NULL text -> NULL language: the all-NULL score comparisons would
+    # otherwise fall through every when() and mislabel the row as the
+    # chain's final language
+    pred = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        pred
+    )
     total = sum((F.col(f"score_{lang}") for lang in LANG_ORDER), F.lit(0))
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
     return df.withColumn("predicted_lang", pred).withColumn(
@@ -128,4 +153,12 @@ def with_rolling_fingerprint(
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
         ),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
-    return df.withColumn("rolling_min_hash", F.array_min(spans))
+    # NULL text -> NULL hash (concat_ws would silently hash a null array
+    # as '', colliding every null document with every empty one in
+    # near-dup blocking — with_fingerprint keeps md5(NULL) null, match it)
+    return df.withColumn(
+        "rolling_min_hash",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long")).otherwise(
+            F.array_min(spans)
+        ),
+    )

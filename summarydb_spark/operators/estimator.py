@@ -170,7 +170,11 @@ def stats_to_ci(
     z = z_score(confidence)
     if math.isinf(z):
         return mean, lower, upper
-    sd = sd_multiplier * math.sqrt(var)
+    # the proration var term sum*ratio*(1-ratio) goes negative when a
+    # window's sum is negative; Go's math.Sqrt propagates NaN there
+    # (stats/utils.go ConvertStatsBoundsToCI) where math.sqrt raises —
+    # match the reference instead of crashing the query
+    sd = sd_multiplier * (math.sqrt(var) if var >= 0.0 else float("nan"))
     return mean, max(mean - z * sd, lower), min(mean + z * sd, upper)
 
 

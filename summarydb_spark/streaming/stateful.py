@@ -59,6 +59,11 @@ def _welford_merge(
 
 
 def _series_welford(s: pd.Series) -> Tuple[int, float, float]:
+    # Arrow delivers null doubles as NaN; pandas mean()/sum() skip them but
+    # .size counts them — an unfiltered n would inflate the running count
+    # with zero-weight samples and silently understate variance forever
+    # (state is cumulative).  Count only the real samples.
+    s = s.dropna()
     n = int(s.size)
     if n == 0:
         return 0, 0.0, 0.0
@@ -85,19 +90,25 @@ def _update_stats(
     chunks = [pdf for pdf in pdfs if not pdf.empty]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(["ts"], kind="mergesort")
-        bn, b_mean, b_m2 = _series_welford(pdf["value"])
-        n, v_mean, v_m2 = _welford_merge(n, v_mean, v_m2, bn, b_mean, b_m2)
+        # a null ts has no position on the time axis: NaN sorts last and
+        # int(ts.iloc[-1]) then poisons the micro-batch (and every restart
+        # replays it — the query wedges permanently).  Drop such rows;
+        # their values still can't contribute a gap.
+        pdf = pdf[pdf["ts"].notna()]
+        if not pdf.empty:
+            pdf = pdf.sort_values(["ts"], kind="mergesort")
+            bn, b_mean, b_m2 = _series_welford(pdf["value"])
+            n, v_mean, v_m2 = _welford_merge(n, v_mean, v_m2, bn, b_mean, b_m2)
 
-        ts = pdf["ts"]
-        gaps = ts.diff()
-        if last_ts is not None:
-            gaps.iloc[0] = ts.iloc[0] - last_ts
-        else:
-            gaps = gaps.iloc[1:]
-        gn, gp_mean, gp_m2 = _series_welford(gaps.astype("float64"))
-        g_n, g_mean, g_m2 = _welford_merge(g_n, g_mean, g_m2, gn, gp_mean, gp_m2)
-        last_ts = int(ts.iloc[-1])
+            ts = pdf["ts"]
+            gaps = ts.diff()
+            if last_ts is not None:
+                gaps.iloc[0] = ts.iloc[0] - last_ts
+            else:
+                gaps = gaps.iloc[1:]
+            gn, gp_mean, gp_m2 = _series_welford(gaps.astype("float64"))
+            g_n, g_mean, g_m2 = _welford_merge(g_n, g_mean, g_m2, gn, gp_mean, gp_m2)
+            last_ts = int(ts.iloc[-1])
 
     state.update((n, v_mean, v_m2, g_n, g_mean, g_m2, last_ts))
     yield pd.DataFrame(

@@ -134,3 +134,100 @@ def test_embedding_near_dups_hamming2_is_superset(spark):
 
     p1, p2 = pairs(1), pairs(2)
     assert p1 <= p2
+
+
+def test_text_stats_total_on_empty_and_irregular_whitespace(spark):
+    from summarydb_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, "a  b"), (5, "a\tb"),
+         (6, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.with_token_stats(df).collect()}
+    assert rows[2]["avg_token_len"] is None  # not a DIVIDE_BY_ZERO crash
+    assert rows[2]["type_token_ratio"] is None
+    # one tokenization: TTR can never exceed 1 (split(' ') on 'a  b' gave 1.5)
+    assert rows[4]["n_tokens"] == 2 and rows[4]["n_distinct_tokens"] == 2
+    assert rows[4]["type_token_ratio"] == 1.0
+    assert rows[5]["n_distinct_tokens"] == 2
+    assert rows[5]["avg_token_len"] == 1.0  # tab is not token content
+
+    q = {r["doc_id"]: r for r in text.with_quality(df).collect()}
+    assert q[2]["stopword_ratio"] is None and q[2]["alpha_ratio"] is None
+    assert q[1]["quality_bucket"] in ("high", "medium", "low")
+
+
+def test_lang_id_and_fingerprints_null_text(spark):
+    from summarydb_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["predicted_lang"] for r in text.with_lang_id(df).collect()}
+    assert langs[1] == "en"
+    assert langs[2] is None  # was: mislabeled as the chain's last language
+
+    rolled = {
+        r["doc_id"]: r["rolling_min_hash"]
+        for r in text.with_rolling_fingerprint(df).collect()
+    }
+    assert rolled[2] is None  # was: hash('') — every null doc collided
+    assert rolled[3] is not None and rolled[1] is not None
+
+
+def test_sum_ci_propagates_nan_on_negative_variance():
+    """Partial overlap of a negative-sum window makes the proration var
+    term negative; Go's math.Sqrt yields NaN there — match it instead of
+    raising ValueError from the public query path."""
+    import math
+
+    from summarydb_spark.operators.estimator import SummaryWindowRow, query_op
+
+    res = query_op(
+        "sum", [SummaryWindowRow(0, 9, count=10.0, sum=-50.0)], [], 5, 20
+    )
+    assert math.isnan(res.lower_ci) or res.lower_ci <= res.upper_ci
+
+
+def test_welford_skips_null_values_and_null_ts():
+    """A null ts poisoned the micro-batch (int(NaN) ValueError, replayed on
+    every restart); a null value inflated the running n while contributing
+    nothing to mean/m2.  Drive the state fn directly (batch mode cannot run
+    applyInPandasWithState)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from summarydb_spark.streaming.stateful import _update_stats
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.got = t
+
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "stream_id": [0, 0, 0, 0],
+            "ts": [10.0, 20.0, np.nan, 30.0],
+            "value": [1.0, np.nan, 9.0, 3.0],
+        }
+    )
+    out = list(_update_stats((0,), iter([pdf]), st))[0]
+    # null value: counts for gaps (real event time) but not value stats;
+    # null ts: no position on the time axis, dropped entirely
+    assert out["n"].iloc[0] == 2
+    assert math.isclose(out["value_mean"].iloc[0], 2.0)
+    assert out["gap_n"].iloc[0] == 2
+    assert math.isclose(out["gap_mean"].iloc[0], 10.0)
+    assert st.got[-1] == 30
+
+    # an all-null-ts batch leaves carried state untouched and still emits
+    st2 = FakeState()
+    pdf2 = pd.DataFrame({"stream_id": [0], "ts": [np.nan], "value": [5.0]})
+    out2 = list(_update_stats((0,), iter([pdf2]), st2))[0]
+    assert out2["n"].iloc[0] == 0 and st2.got[0] == 0
