@@ -111,6 +111,7 @@ def _all_queries() -> dict:
     from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
     from summarydb_spark.plans.portable_sql import CORE_QUERIES
     from summarydb_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
+    from summarydb_spark.plans.retrieval_ext import RETRIEVAL_EXT_QUERIES
     from summarydb_spark.plans.stats_ext import STATS_EXT_QUERIES
 
     return {
@@ -124,6 +125,7 @@ def _all_queries() -> dict:
         **ANALYTICS_EXT_QUERIES,
         **PIPELINE_EXT_QUERIES,
         **DQ_QUERIES,
+        **RETRIEVAL_EXT_QUERIES,
     }
 
 

@@ -1,0 +1,347 @@
+"""Retrieval, layout, and governance coverage: BM25 ranked search,
+exact-match decontamination, hashing-trick quality classification,
+k-anonymity profiling, lag autocorrelation, and Z-order layout locality.
+
+Same one-template-two-dialects scheme as portable_sql.  Determinism
+contract per query:
+
+- bm25_search_topk: every BM25 input (tf, df, dl, N, sum(dl)) is an exact
+  integer; idf/tf-norm are double functions of identical rationals, the
+  3 query-term contributions add in a FIXED order (pivoted columns, not a
+  SUM over an unordered term relation), and the published score is
+  floor-scaled to micros with (score, doc_id) total order for the top-k
+  cut (the unigram_nll discipline — floor of identical doubles agrees
+  across engines, round() half-cases don't).
+- decontam_exact_match / k_anonymity_profile: pure integer counting.
+- quality_classifier_hashed: token weights are md5-derived integer
+  micro-units; the doc score is a single integer-ratio floor.
+- acf_value_lags: daily series and all power sums are exact decimals
+  (dsum contract); the Pearson quotient rounds to 6.
+- zorder_locality: bit interleaving and span accounting are integer math;
+  the per-chunk averages are integer ratios rounded to 4.
+
+Scale notes (100 TB discipline):
+- bm25: the term filter prunes the exploded postings BEFORE any shuffle
+  (predicate on the unnest output); tf/dl aggregations are linear hash
+  aggs; df and corpus stats are scalar; the final is a top-k
+  (TakeOrdered in Spark) — no global sort materialized.
+- decontam_exact_match: one md5 per doc, hash semi-join on the (tiny)
+  benchmark side — broadcastable at any corpus size since benchmarks are
+  bounded.
+- quality_classifier_hashed: explode -> hash agg by doc; weight lookup is
+  pure column math (hashing trick: NO vocabulary table to join or ship,
+  the property that makes this the standard 100 TB quality filter).
+- k_anonymity: two stacked hash aggs, output = O(#thresholds).
+- acf: daily pre-aggregation bounds the series to O(days); the lag joins
+  run on that tiny relation.
+- zorder: the z-key is pure column math; chunk stats are one window +
+  one hash agg per ordering.  (At 100 TB the same key feeds a
+  repartitionByRange write — the query measures WHY: locality per file.)
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_dedup import _norm, md560
+from summarydb_spark.plans.portable_sql import dsum, epoch_us
+
+BM25_TERMS = ("spark", "window", "dup")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _split_tokens(dialect: str, expr: str = "text") -> str:
+    return (
+        f"split({expr}, ' ')" if dialect == "spark"
+        else f"string_split({expr}, ' ')"
+    )
+
+
+def _explode_tokens(dialect: str, expr: str = "text") -> str:
+    return (
+        f"explode(split({expr}, ' '))" if dialect == "spark"
+        else f"unnest(string_split({expr}, ' '))"
+    )
+
+
+def q_bm25_search_topk(dialect: str) -> str:
+    """BM25 (k1=1.2, b=0.75) ranked retrieval for a fixed 3-term query over
+    the documents table, top-20 by floor-scaled score.
+
+    The per-term contributions pivot to fixed columns so the doc score is
+    a fixed-order double expression (SUM over an unordered per-term
+    relation could reassociate).  Scoring only touches docs containing at
+    least one query term; dl/avgdl come from one corpus token pass.
+    """
+    un = _explode_tokens(dialect)
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # idf as a scalar subquery per term, folded into the score expression
+    term_cols = []
+    for i, t in enumerate(BM25_TERMS):
+        term_cols.append(
+            f"max(CASE WHEN w = '{t}' THEN tf ELSE 0 END) AS tf{i}"
+        )
+    tf_cols = ",\n         ".join(term_cols)
+
+    def contrib(i: int, t: str) -> str:
+        # idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)); 0 when tf=0
+        return (
+            f"(CASE WHEN tf{i} = 0 THEN 0.0 ELSE "
+            f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+            f"* (tf{i} * {BM25_K1 + 1.0}) "
+            f"/ (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+            f" END)"
+        )
+
+    df_cols = ",\n         ".join(
+        f"max(CASE WHEN w = '{t}' THEN df ELSE 0 END) AS df{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    score = " + ".join(contrib(i, t) for i, t in enumerate(BM25_TERMS))
+    return f"""
+WITH ex AS (
+  SELECT doc_id, {un} AS w FROM documents
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM ex GROUP BY doc_id
+),
+corpus AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM ex WHERE w IN ({terms_sql})
+  GROUP BY doc_id, w
+),
+dfreq AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+),
+dfp AS (
+  SELECT {df_cols} FROM dfreq
+),
+pivoted AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM tf GROUP BY doc_id
+),
+scored AS (
+  SELECT p.doc_id,
+         d.dl,
+         CAST(floor(({score}) * 1000000) AS BIGINT) AS score_micro
+  FROM pivoted p
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus
+  CROSS JOIN dfp
+)
+SELECT doc_id, dl AS doc_len, score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {BM25_TOPK}"""
+
+
+def q_decontam_exact_match(dialect: str) -> str:
+    """Exact-match decontamination: the benchmark set is the doc_id % 13
+    == 0 slice (normalized md5 fingerprints); report, per training-side
+    source, how many docs exactly match a benchmark fingerprint.  The
+    normalized-hash semi-join is the first gate of every decontamination
+    stack (before the n-gram containment stage, decontam_ngram_containment)
+    — at 100 TB the benchmark side is tiny and broadcast."""
+    n = _norm(dialect)
+    return f"""
+WITH h AS (
+  SELECT doc_id, source, md5({n}) AS fp FROM documents
+),
+bench AS (
+  SELECT DISTINCT fp FROM h WHERE doc_id % 13 = 0
+),
+train AS (
+  SELECT * FROM h WHERE doc_id % 13 <> 0
+)
+SELECT t.source,
+       count(*) AS n_train,
+       CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000 / count(*) AS BIGINT)
+         AS contamination_ppm
+FROM train t LEFT JOIN bench b ON b.fp = t.fp
+GROUP BY t.source"""
+
+
+def q_quality_classifier_hashed(dialect: str) -> str:
+    """Hashing-trick linear quality classifier (the fastText-style filter
+    of pre-training pipelines): each token's weight is an md5-derived
+    integer micro-unit in [-1e6, 1e6] — NO vocabulary table exists, so the
+    scorer is pure column math that ships nothing and joins nothing.  The
+    doc score is the floor of the integer mean; docs land in 20k-micro
+    buckets, profiled per language."""
+    un = _explode_tokens(dialect)
+    w = md560("w", dialect)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, lang, {un} AS w FROM documents
+),
+wt AS (
+  SELECT doc_id, lang, ({w} % 2000001) - 1000000 AS wmicro FROM ex
+),
+doc AS (
+  SELECT doc_id, lang, count(*) AS n_tokens,
+         CAST(floor(CAST(sum(wmicro) AS DOUBLE) / count(*)) AS BIGINT)
+           AS score_micro
+  FROM wt GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(floor(score_micro / 20000.0) AS BIGINT) AS score_bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+       CAST(max(score_micro) AS BIGINT) AS max_score_micro
+FROM doc
+GROUP BY lang, CAST(floor(score_micro / 20000.0) AS BIGINT)"""
+
+
+K_ANON_THRESHOLDS = (2, 5, 10, 25)
+
+
+def q_k_anonymity_profile(dialect: str) -> str:
+    """k-anonymity audit over the (nation, market-segment) quasi-identifier:
+    for each threshold k, how many equivalence classes and rows fall below
+    it (rows in classes smaller than k are re-identifiable at that k).
+    Pure integer counting: one hash agg builds the class sizes, a constant
+    threshold spine cross-joins the O(#classes) output."""
+    vals = ", ".join(f"({k})" for k in K_ANON_THRESHOLDS)
+    return f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS k
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+tot AS (
+  SELECT count(*) AS n_groups, sum(k) AS n_rows FROM g
+)
+SELECT t.k_min,
+       CAST(sum(CASE WHEN g.k < t.k_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below,
+       CAST(sum(CASE WHEN g.k < t.k_min THEN g.k ELSE 0 END) AS BIGINT)
+         AS rows_below,
+       CAST(max(tot.n_groups) AS BIGINT) AS n_groups,
+       CAST(CAST(sum(CASE WHEN g.k < t.k_min THEN g.k ELSE 0 END) * 1000000
+                 AS BIGINT) / max(tot.n_rows) AS BIGINT)
+         AS rows_below_ppm
+FROM g CROSS JOIN (VALUES {vals}) AS t(k_min) CROSS JOIN tot
+GROUP BY t.k_min"""
+
+
+ACF_LAGS = (1, 2, 3, 4, 5, 6, 7)
+
+
+def q_acf_value_lags(dialect: str) -> str:
+    """Sample autocorrelation of the daily value series at lags 1..7 —
+    the seasonality probe behind every forecasting/monitoring stack.
+    The daily series is an exact rounded decimal (dsum contract); each
+    lag's Pearson corr comes from decimal power sums over the lag-joined
+    pairs (corr_quantity_price discipline), so the quotient inputs are
+    bit-identical across engines and partitionings."""
+    t = epoch_us("ts", dialect)
+    vals = ", ".join(f"({l})" for l in ACF_LAGS)
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(({t}) / 86400000000.0) AS BIGINT) AS d,
+         {dsum("value")} AS s
+  FROM events GROUP BY CAST(floor(({t}) / 86400000000.0) AS BIGINT)
+),
+pairs AS (
+  SELECT l.lag, a.s AS x, b.s AS y
+  FROM (SELECT * FROM (VALUES {vals}) AS v(lag)) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d - l.lag
+),
+m AS (
+  SELECT lag, count(*) AS n,
+         {dsum("x")} AS sx, {dsum("y")} AS sy,
+         {dsum("x * x", 2)} AS sxx, {dsum("y * y", 2)} AS syy,
+         {dsum("x * y", 2)} AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       CAST(round((n * sxy - sx * sy)
+             / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0),
+             6) AS DOUBLE) AS acf
+FROM m
+ORDER BY lag"""
+
+
+def _zkey(dialect: str, ub: str, db: str) -> str:
+    """8-bit Morton interleave of two 4-bit bucket ids (ub bits land on odd
+    positions, db on even)."""
+    parts = []
+    for i in range(4):
+        if dialect == "spark":
+            parts.append(f"shiftleft(shiftright({ub}, {i}) & 1, {2 * i + 1})")
+            parts.append(f"shiftleft(shiftright({db}, {i}) & 1, {2 * i})")
+        else:
+            parts.append(f"((({ub} >> {i}) & 1) << {2 * i + 1})")
+            parts.append(f"((({db} >> {i}) & 1) << {2 * i})")
+    return " + ".join(parts)
+
+
+def q_zorder_locality(dialect: str) -> str:
+    """Z-order (Morton) layout locality audit: interleave 4-bit buckets of
+    (user, day) into an 8-bit z-key, split the table into 256-row "files"
+    under (a) arrival order and (b) z-order, and compare per-file locality
+    — distinct user-buckets touched and day-bucket span.  Lower spans =
+    better file skipping for either predicate dimension; this is the
+    measurement that justifies a repartitionByRange(zkey) rewrite of a
+    100 TB table (multi-dimensional clustering à la Delta OPTIMIZE
+    ZORDER).  Integer math throughout; per-file averages are integer
+    ratios rounded to 4."""
+    t = epoch_us("ts", dialect)
+    ub, db = "ub", "db"
+    return f"""
+WITH b AS (
+  SELECT event_id,
+         CAST(user_id % 16 AS BIGINT) AS ub,
+         CAST(floor(({t}) / 86400000000.0) AS BIGINT) % 16 AS db
+  FROM events
+),
+z AS (
+  SELECT event_id, ub, db, CAST({_zkey(dialect, ub, db)} AS BIGINT) AS zkey
+  FROM b
+),
+chunked AS (
+  SELECT 'arrival' AS ordering,
+         CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 256.0)
+              AS BIGINT) AS chunk, ub, db
+  FROM z
+  UNION ALL
+  SELECT 'zorder' AS ordering,
+         CAST(floor((row_number() OVER (ORDER BY zkey, event_id) - 1) / 256.0)
+              AS BIGINT) AS chunk, ub, db
+  FROM z
+),
+per_chunk AS (
+  SELECT ordering, chunk,
+         count(DISTINCT ub) AS users_touched,
+         max(db) - min(db) AS day_span
+  FROM chunked GROUP BY ordering, chunk
+)
+SELECT ordering,
+       count(*) AS n_chunks,
+       CAST(round(sum(users_touched) * 1.0 / count(*), 4) AS DOUBLE)
+         AS avg_user_buckets,
+       CAST(round(sum(day_span) * 1.0 / count(*), 4) AS DOUBLE)
+         AS avg_day_span,
+       CAST(max(users_touched) AS BIGINT) AS max_user_buckets
+FROM per_chunk
+GROUP BY ordering"""
+
+
+RETRIEVAL_EXT_QUERIES = {
+    "bm25_search_topk": q_bm25_search_topk,
+    "decontam_exact_match": q_decontam_exact_match,
+    "quality_classifier_hashed": q_quality_classifier_hashed,
+    "k_anonymity_profile": q_k_anonymity_profile,
+    "acf_value_lags": q_acf_value_lags,
+    "zorder_locality": q_zorder_locality,
+}
