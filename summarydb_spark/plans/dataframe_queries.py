@@ -1481,6 +1481,126 @@ DF_QUERIES = {
 }
 
 
+PAGERANK_ITERS = 4
+
+
+def q_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 4 iterations) over the verified near-dup
+    graph — ranks the canonical-document candidates by duplication
+    centrality (the web-graph classic applied the way curation stacks use
+    it: a high-rank node is the hub of a duplication cluster).
+
+    All rank arithmetic is integer nano-units with an explicit floor after
+    every division, so each iteration is exact-identical across engines,
+    partitionings, and retries (the markov/cusum discipline); the per-node
+    update is one equi-join + one LONG-sum hash aggregation per iteration
+    — the O(E) shape that survives a billion-edge graph, unlike the
+    oracle's unrolled self-joins.  Edges come from the t=0.1 persisted
+    pair store (every graph consumer shares one materialization); the
+    DuckDB oracle recomputes pairs from raw text, so a stale store cannot
+    pass the gate.
+    """
+    pairs = _ngram_pairs_t01(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nstats = deg.agg(F.count(F.lit(1)).alias("n"))
+    # every node starts at floor(1e9/N); teleport mass floor(0.15e9/N)
+    ranks = (
+        deg.crossJoin(F.broadcast(nstats))
+        .select(
+            F.col("src").alias("doc_id"),
+            "deg",
+            F.floor(F.lit(1_000_000_000.0) / F.col("n")).alias("r"),
+            "n",
+        )
+        .persist()
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = edges.join(
+            ranks.select(F.col("doc_id").alias("src"), "deg", "r"), "src"
+        ).select(
+            F.col("dst").alias("doc_id"),
+            F.floor(
+                (85 * F.col("r")) / (100.0 * F.col("deg"))
+            ).cast("long").alias("c"),
+        )
+        agg = contrib.groupBy("doc_id").agg(F.sum("c").alias("inflow"))
+        new_ranks = (
+            ranks.select("doc_id", "deg", "n")
+            .join(agg, "doc_id")
+            .select(
+                "doc_id",
+                "deg",
+                (
+                    F.floor(F.lit(150_000_000.0) / F.col("n")).cast("long")
+                    + F.col("inflow")
+                ).alias("r"),
+                "n",
+            )
+            .persist()
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select(
+        "doc_id",
+        F.col("deg").cast("long").alias("degree"),
+        F.col("r").cast("long").alias("rank_nano"),
+    )
+    edges.unpersist()
+    return out
+
+
+def _oracle_pagerank_dup_graph() -> str:
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+
+    pair_sql = q_dedup_ngram_jaccard("duckdb", threshold=0.1)
+    iters = []
+    prev = "r0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        iters.append(
+            f"""r{k} AS (
+  SELECT d.doc_id, d.deg, d.n,
+         CAST(floor(150000000.0 / d.n) AS BIGINT)
+           + sum(CAST(floor(85 * r.r / (100.0 * r.deg)) AS BIGINT)) AS r
+  FROM edges e
+  JOIN {prev} r ON r.doc_id = e.s
+  JOIN r0 d ON d.doc_id = e.d
+  GROUP BY d.doc_id, d.deg, d.n
+)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS ({pair_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+deg AS (SELECT s AS doc_id, count(*) AS deg FROM edges GROUP BY s),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+  SELECT doc_id, deg, nn.n,
+         CAST(floor(1000000000.0 / nn.n) AS BIGINT) AS r
+  FROM deg CROSS JOIN nn
+),
+{chain}
+SELECT doc_id, CAST(deg AS BIGINT) AS degree, CAST(r AS BIGINT) AS rank_nano
+FROM {prev}"""
+
+
+DF_QUERIES["pagerank_dup_graph"] = (
+    q_pagerank_dup_graph,
+    _oracle_pagerank_dup_graph(),
+)
+
+
 def _degree_stats_oracle() -> str:
     from summarydb_spark.plans.pipeline_ext import q_dup_graph_degree_stats
 

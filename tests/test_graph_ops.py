@@ -203,3 +203,44 @@ def test_keep_best_matches_bruteforce(spark, tmp_path_factory, texts):
     for c, (_, keeper) in expected.items():
         assert rows[c].kept_doc == keeper
         assert rows[c].n_docs == sum(1 for n in comp if comp[n] == c)
+
+
+def _pagerank_bruteforce(pairs, iters=4):
+    """Integer nano-unit PageRank with the exact floor schedule the query
+    uses: r0 = floor(1e9/N); r' = floor(0.15e9/N) + sum floor(85*r/(100*deg))."""
+    import math
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    if n == 0:
+        return {}
+    r = {v: math.floor(1_000_000_000.0 / n) for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v, neigh in adj.items():
+            inflow = sum(
+                math.floor(85 * r[u] / (100.0 * len(adj[u]))) for u in neigh
+            )
+            nxt[v] = math.floor(150_000_000.0 / n) + inflow
+        r = nxt
+    return r
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=corpus_strategy)
+def test_pagerank_matches_bruteforce(spark, tmp_path_factory, texts):
+    from summarydb_spark.plans.dataframe_queries import q_pagerank_dup_graph
+
+    d = _write_corpus(spark, tmp_path_factory.mktemp("corpus"), texts)
+    pairs = _expected_pairs(texts)
+    expected = _pagerank_bruteforce(pairs)
+    rows = {r.doc_id: r for r in q_pagerank_dup_graph(spark, d).collect()}
+    assert set(rows) == set(expected)
+    for v, rank in expected.items():
+        assert rows[v].rank_nano == rank, v
+    # total mass is conserved up to the flooring losses (<= 1 nano per
+    # division): sum of ranks can never exceed 1e9
+    assert sum(r.rank_nano for r in rows.values()) <= 1_000_000_000
