@@ -73,17 +73,35 @@ def q_bm25_search_topk(dialect: str) -> str:
     relation could reassociate).  Scoring only touches docs containing at
     least one query term; dl/avgdl come from one corpus token pass.
     """
-    un = _explode_tokens(dialect)
-    terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    # idf as a scalar subquery per term, folded into the score expression
-    term_cols = []
-    for i, t in enumerate(BM25_TERMS):
-        term_cols.append(
-            f"max(CASE WHEN w = '{t}' THEN tf ELSE 0 END) AS tf{i}"
+    # dl and every per-term tf are higher-order-function column math over
+    # the token array — NO explode, NO shuffle on the corpus side; the only
+    # exchange is the tiny corpus-stats aggregate that cross-joins back
+    # (broadcast of one row).
+    toks = _split_tokens(dialect)
+    if dialect == "spark":
+        tf_cols = ",\n         ".join(
+            f"CAST(size(filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+            for i, t in enumerate(BM25_TERMS)
         )
-    tf_cols = ",\n         ".join(term_cols)
+        dl_col = "CAST(size(toks) AS BIGINT) AS dl"
+    else:
+        tf_cols = ",\n         ".join(
+            f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+            for i, t in enumerate(BM25_TERMS)
+        )
+        dl_col = "CAST(len(toks) AS BIGINT) AS dl"
+    stat_cols = ",\n         ".join(
+        [
+            "count(*) AS n_docs",
+            "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl",
+        ]
+        + [
+            f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(BM25_TERMS))
+        ]
+    )
 
-    def contrib(i: int, t: str) -> str:
+    def contrib(i: int) -> str:
         # idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)); 0 when tf=0
         return (
             f"(CASE WHEN tf{i} = 0 THEN 0.0 ELSE "
@@ -93,47 +111,25 @@ def q_bm25_search_topk(dialect: str) -> str:
             f" END)"
         )
 
-    df_cols = ",\n         ".join(
-        f"max(CASE WHEN w = '{t}' THEN df ELSE 0 END) AS df{i}"
-        for i, t in enumerate(BM25_TERMS)
-    )
-    score = " + ".join(contrib(i, t) for i, t in enumerate(BM25_TERMS))
+    score = " + ".join(contrib(i) for i in range(len(BM25_TERMS)))
+    any_tf = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
     return f"""
-WITH ex AS (
-  SELECT doc_id, {un} AS w FROM documents
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM documents
 ),
-dl AS (
-  SELECT doc_id, count(*) AS dl FROM ex GROUP BY doc_id
+per_doc AS (
+  SELECT doc_id, {dl_col},
+         {tf_cols}
+  FROM tok
 ),
 corpus AS (
-  SELECT count(*) AS n_docs,
-         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-  FROM dl
-),
-tf AS (
-  SELECT doc_id, w, count(*) AS tf
-  FROM ex WHERE w IN ({terms_sql})
-  GROUP BY doc_id, w
-),
-dfreq AS (
-  SELECT w, count(*) AS df FROM tf GROUP BY w
-),
-dfp AS (
-  SELECT {df_cols} FROM dfreq
-),
-pivoted AS (
-  SELECT doc_id,
-         {tf_cols}
-  FROM tf GROUP BY doc_id
+  SELECT {stat_cols} FROM per_doc
 ),
 scored AS (
-  SELECT p.doc_id,
-         d.dl,
+  SELECT doc_id, dl,
          CAST(floor(({score}) * 1000000) AS BIGINT) AS score_micro
-  FROM pivoted p
-  JOIN dl d ON d.doc_id = p.doc_id
-  CROSS JOIN corpus
-  CROSS JOIN dfp
+  FROM per_doc CROSS JOIN corpus
+  WHERE {any_tf} > 0
 )
 SELECT doc_id, dl AS doc_len, score_micro
 FROM scored
