@@ -228,7 +228,100 @@ cand AS (
 SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3"""
 
 
+def q_minhash_calibration(dialect: str) -> str:
+    """MinHash estimator calibration: over the banded LSH candidate pairs,
+    compare the 16-hash signature agreement (the Jaccard ESTIMATE each
+    agreeing min-hash votes for) against the exact shingle-set Jaccard,
+    grouped by agreement count — the eval that tells you whether your
+    sketch budget (16 hashes) is honest before you trust it on 100 TB.
+
+    E[agree/16] = J, so avg_j_exact should track minhash_agree/16 within
+    binomial noise; mean-absolute-error is reported per bucket.  Exact
+    math: j_exact is an integer-set ratio rounded to 6, the estimate is
+    dyadic (k/16), and the per-bucket means go through exact-decimal sums
+    — fully portable, same shapes as q_dedup_minhash_portable (ONE
+    signature aggregate; candidates only from band collisions, never
+    all-pairs)."""
+    from summarydb_spark.plans.portable_sql import dsum
+
+    hv = f"{md560('s', dialect)} % {M31}"
+    mins = ",\n         ".join(
+        f"min(({a} * hv + {b}) % {M31}) AS s{i}"
+        for i, (a, b) in enumerate(HASH_PARAMS)
+    )
+    if dialect == "spark":
+        hset = "collect_set(hv)"
+        inter = "size(array_intersect(sa.hset, sb.hset))"
+        uni = "size(array_union(sa.hset, sb.hset))"
+    else:
+        hset = "list_distinct(list(hv))"
+        inter = "len(list_intersect(sa.hset, sb.hset))"
+        uni = "len(list_distinct(list_concat(sa.hset, sb.hset)))"
+
+    def band_hash(b: int) -> str:
+        expr = f"s{b * R}"
+        for j in range(1, R):
+            expr = f"({expr} * 31 + s{b * R + j})"
+        return expr
+
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_hash', {band_hash(b)})"
+        if dialect == "spark"
+        else f"{{'band_idx': {b}, 'band_hash': {band_hash(b)}}}"
+        for b in range(BANDS)
+    )
+    if dialect == "spark":
+        band_select = (
+            "SELECT doc_id, bx.band_idx AS band_idx, bx.band_hash AS band_hash\n"
+            f"  FROM sig LATERAL VIEW explode(array({band_structs})) AS bx"
+        )
+    else:
+        band_select = (
+            f"SELECT doc_id, bx['band_idx'] AS band_idx, bx['band_hash'] AS band_hash\n"
+            f"  FROM (SELECT doc_id, unnest([{band_structs}]) AS bx FROM sig)"
+        )
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_explode_shingles(dialect)},
+h AS (SELECT doc_id, {hv} AS hv FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins},
+         {hset} AS hset
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_select}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT CAST({agree} AS BIGINT) AS minhash_agree,
+         round(CAST({inter} AS DOUBLE) / {uni}, 6) AS j_exact
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT minhash_agree,
+       count(*) AS n_pairs,
+       CAST(round({dsum("j_exact", 6)} / count(*), 6) AS DOUBLE)
+         AS avg_j_exact,
+       CAST(floor({dsum(f"abs(minhash_agree / {float(NUM_HASHES)} - j_exact)", 6)}
+                  / count(*) * 1000000) AS BIGINT) AS mae_micro
+FROM scored
+GROUP BY minhash_agree"""
+
+
 PORTABLE_DEDUP_QUERIES = {
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_simhash_portable": q_dedup_simhash_portable,
+    "minhash_calibration": q_minhash_calibration,
 }

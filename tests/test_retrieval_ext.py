@@ -128,3 +128,25 @@ def test_hashed_classifier_partition_independent(spark):
     # weights are bounded: every doc mean must lie in [-1e6, 1e6]
     for r in a:
         assert -1_000_000 <= r["min_score_micro"] <= r["max_score_micro"] <= 1_000_000
+
+
+def test_minhash_calibration_identical_docs_agree_fully(spark):
+    from summarydb_spark.plans.portable_dedup import q_minhash_calibration
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, text, "en", "s", len(text)),
+        (1, text, "en", "s", len(text)),  # exact dup of 0
+        (2, "one two three four five six seven eight nine ten", "en", "s", 49),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = {r["minhash_agree"]: r for r in
+           spark.sql(q_minhash_calibration("spark")).collect()}
+    # the identical pair collides in every band, agrees on all 16 hashes,
+    # and has exact Jaccard 1.0 with zero estimator error
+    assert 16 in out
+    assert out[16]["n_pairs"] == 1
+    assert out[16]["avg_j_exact"] == 1.0
+    assert out[16]["mae_micro"] == 0
