@@ -727,6 +727,52 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_events", "t_start", "t_end")
 
 
+def q_streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of session_window_builtin: the SAME 1h
+    gap sessions, computed by a real ``readStream`` over the events
+    parquet with an availableNow trigger and a memory sink — so the
+    correctness gate exercises the streaming engine itself, not just the
+    batch plan the streaming path shares.  One micro-batch processes the
+    whole source (availableNow), complete output mode (no watermark
+    needed; the state store holds one row per open session, O(active
+    sessions) exactly as in a live deployment).  Session merging is
+    order-independent, so the result is deterministic and the batch
+    lag+running-sum oracle (ORACLE_SESSION_WINDOW) verifies it
+    value-for-value."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the testdata table is a single file; FileStreamSource needs a
+    # directory-rooted source, so address it through a glob (basePath
+    # resolves to the parent directory)
+    glob = os.path.join(sf_dir, "events.[p]arquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(glob)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("tstamp"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("t"),
+        )
+        .groupBy("user_id", F.session_window("tstamp", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("t").alias("t_start"),
+            F.max("t").alias("t_end"),
+        )
+    )
+    name = "streaming_sessionize_gate_sink"
+    spark.catalog.dropTempView(name)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "n_events", "t_start", "t_end")
+
+
 ORACLE_SESSION_WINDOW = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
 d AS (
@@ -1461,6 +1507,10 @@ DF_QUERIES = {
     "ann_radius_search": (q_ann_radius_search, _ann_radius_oracle()),
     "dedup_incremental_probe": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "session_window_builtin": (q_session_window_builtin, ORACLE_SESSION_WINDOW),
+    "streaming_sessionize_gate": (
+        q_streaming_sessionize_gate,
+        ORACLE_SESSION_WINDOW,
+    ),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),
     "media_resize_16x16": (q_media_resize, ORACLE_MEDIA_RESIZE),
