@@ -1531,6 +1531,36 @@ DF_QUERIES = {
 }
 
 
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the document token stream: every
+    token with frequency >= N/50, found by the two-pass candidate plan in
+    functions.mg (per-partition 64-counter summaries -> candidate union ->
+    exact re-count of candidates only).  The deterministic counterpart of
+    sketch_cms_heavy_hitters — the output is exact (the oracle recomputes
+    it with a plain GROUP BY / HAVING), and mg_bound_ok verifies the
+    summed-summary guarantee est <= exact <= est + N/64 held at runtime."""
+    from summarydb_spark.functions.mg import heavy_hitters_mg
+    from summarydb_spark.sources.tables import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("value")
+    )
+    return heavy_hitters_mg(toks, k=64, threshold_denom=50).select(
+        F.col("value").alias("token"), "exact_cnt", "mg_bound_ok"
+    )
+
+
+ORACLE_HEAVY_HITTERS_MG = """
+WITH ex AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tot AS (SELECT count(*) AS n FROM ex)
+SELECT token, count(*) AS exact_cnt, TRUE AS mg_bound_ok
+FROM ex CROSS JOIN tot
+GROUP BY token, tot.n
+HAVING count(*) * 50 >= tot.n"""
+
+
 PAGERANK_ITERS = 4
 
 
@@ -1648,6 +1678,11 @@ FROM {prev}"""
 DF_QUERIES["pagerank_dup_graph"] = (
     q_pagerank_dup_graph,
     _oracle_pagerank_dup_graph(),
+)
+
+DF_QUERIES["heavy_hitters_misra_gries"] = (
+    q_heavy_hitters_mg,
+    ORACLE_HEAVY_HITTERS_MG,
 )
 
 
