@@ -1497,6 +1497,7 @@ DF_QUERIES = {
         _sql_surface_oracle("count"),
     ),
     "sql_surface_dmax": (_q_sql_surface("max"), _sql_surface_oracle("max")),
+    "sql_surface_dmin": (_q_sql_surface("min"), _sql_surface_oracle("min")),
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "embedding_near_dups": (q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS),

@@ -425,7 +425,37 @@ FROM x
 GROUP BY src_id % 10"""
 
 
+def q_window_zoo_acctbal(dialect: str) -> str:
+    """Coverage for the remaining SQL window functions in one query:
+    cume_dist, nth_value, first_value, frame-spanning last_value, and
+    IGNORE NULLS (a nullable positive-balance column) — per-nation windows
+    over customers with a (acctbal, custkey) total order, so every
+    function's answer is deterministic.  cume_dist is an exact k/n integer
+    ratio, floor-scaled to micros."""
+    if dialect == "spark":
+        lv_ignore = "last_value(pos_bal) IGNORE NULLS OVER wfull"
+    else:
+        lv_ignore = "last_value(pos_bal IGNORE NULLS) OVER wfull"
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CASE WHEN c_acctbal > 0 THEN c_custkey ELSE NULL END AS pos_bal
+  FROM customer
+)
+SELECT c_nationkey, c_custkey,
+       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_dist_micro,
+       nth_value(c_custkey, 3) OVER w AS third_cust_so_far,
+       first_value(c_custkey) OVER w AS poorest_cust,
+       last_value(c_custkey) OVER wfull AS richest_cust,
+       {lv_ignore} AS richest_positive_cust
+FROM c
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+       wfull AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+
+
 RELATIONAL_EXT_QUERIES = {
+    "window_zoo_acctbal": q_window_zoo_acctbal,
     "exists_late_ship_orders": q_exists_late_ship,
     "correlated_max_order": q_correlated_max_order,
     "moving_avg_7d_daily": q_moving_avg_7d,
