@@ -239,9 +239,77 @@ FROM per_vec
 GROUP BY label"""
 
 
+def q_bitmap_distinct_daily(dialect: str) -> str:
+    """EXACT distinct users per day via two-level bitmap aggregation
+    (Spark 4's bitmap_construct_agg family): level 1 ORs each day's user
+    ids into one 4096-bit bitmap per 32k-id bucket, level 2 sums popcounts
+    — the count-distinct rewrite that replaces an expensive
+    (day, user_id) distinct shuffle with fixed-size bitmap state per
+    (day, bucket).  Bitmaps are exact, so the DuckDB oracle is a plain
+    COUNT(DISTINCT) — the same answer through a completely different
+    physical strategy."""
+    t = epoch_us("ts", dialect)
+    day = f"CAST(floor(({t}) / 86400000000.0) AS BIGINT)"
+    if dialect == "spark":
+        return f"""
+WITH e AS (SELECT {day} AS day, user_id FROM events),
+b AS (
+  SELECT day, bitmap_bucket_number(user_id) AS bkt,
+         bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+  FROM e GROUP BY day, bitmap_bucket_number(user_id)
+)
+SELECT day, CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+FROM b GROUP BY day"""
+    return f"""
+SELECT {day} AS day, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY {day}"""
+
+
+def q_approx_percentile_check(dialect: str) -> str:
+    """percentile_approx rank-accuracy audit: Spark computes its approx
+    p50 (accuracy 1000) per event type, then verifies IN-PLAN that the
+    returned value's exact rank lies within the documented bound
+    (|rank/n - 0.5| <= 1/1000 at the value's rank interval).  The oracle
+    carries the exact median and row counts; the approx value itself never
+    leaves the plan (it is engine-specific), only the verified boolean
+    does — the sketch-family pattern where a hash match IS a checked
+    error bound."""
+    if dialect == "spark":
+        return """
+WITH ap AS (
+  SELECT event_type, percentile_approx(value, 0.5, 1000) AS p50a
+  FROM events GROUP BY event_type
+),
+ranked AS (
+  SELECT e.event_type,
+         count(*) AS n,
+         sum(CASE WHEN e.value < a.p50a THEN 1 ELSE 0 END) AS n_below,
+         sum(CASE WHEN e.value <= a.p50a THEN 1 ELSE 0 END) AS n_at_or_below,
+         round(percentile(e.value, 0.5), 6) AS p50_exact
+  FROM events e JOIN ap a ON a.event_type = e.event_type
+  GROUP BY e.event_type
+)
+SELECT event_type, n,
+       CAST(p50_exact AS DOUBLE) AS p50_exact,
+       -- integer-rank contract: the value's covered rank interval
+       -- [n_below+1, n_at_or_below] must reach the floor((p +/- err)*n)
+       -- window (Spark returns an actual data point, so interval-vs-
+       -- window containment is the documented guarantee)
+       (n_at_or_below >= CAST(floor((0.5 - 0.001) * n) AS BIGINT)
+        AND n_below + 1 <= CAST(ceil((0.5 + 0.001) * n) AS BIGINT)) AS rank_ok
+FROM ranked"""
+    return """
+SELECT event_type, count(*) AS n,
+       CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50_exact,
+       TRUE AS rank_ok
+FROM events GROUP BY event_type"""
+
+
 MONITORING_EXT_QUERIES = {
     "psi_feature_drift": q_psi_feature_drift,
     "chi2_lang_source": q_chi2_lang_source,
     "token_entropy": q_token_entropy,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "bitmap_distinct_daily": q_bitmap_distinct_daily,
+    "approx_percentile_check": q_approx_percentile_check,
 }
