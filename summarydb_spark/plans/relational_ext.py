@@ -454,8 +454,42 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
 
 
+def q_event_type_islands(dialect: str) -> str:
+    """Gaps-and-islands over value CHANGES (vs sessionize's time gaps):
+    per user, consecutive runs of the same event type collapse to one
+    island via the row_number-difference trick (two windows, zero joins);
+    output profiles run lengths per event type — longest run, runs seen,
+    average length as an exact integer ratio rounded to 4.  One shuffle
+    on user_id; island ids are per-user integers so the grouping is
+    deterministic under the (t, event_id) total order."""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, {t} AS t, event_id FROM events
+),
+r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY t, event_id) AS grp
+  FROM e
+),
+islands AS (
+  SELECT user_id, event_type, grp, count(*) AS run_len
+  FROM r GROUP BY user_id, event_type, grp
+)
+SELECT event_type,
+       count(*) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(sum(run_len) AS BIGINT) AS n_events,
+       CAST(round(sum(run_len) * 1.0 / count(*), 4) AS DOUBLE) AS avg_run_len
+FROM islands
+GROUP BY event_type"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "window_zoo_acctbal": q_window_zoo_acctbal,
+    "event_type_islands": q_event_type_islands,
     "exists_late_ship_orders": q_exists_late_ship,
     "correlated_max_order": q_correlated_max_order,
     "moving_avg_7d_daily": q_moving_avg_7d,
