@@ -1562,6 +1562,176 @@ GROUP BY token, tot.n
 HAVING count(*) * 50 >= tot.n"""
 
 
+KCENTER_K = 6
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed persisted view of :func:`_kcenter_select` — the
+    greedy selection is a corpus-level artifact (like the kmeans
+    centroids and ANN indexes), built once per source snapshot; the
+    DuckDB oracle re-runs the greedy from raw embeddings, so a stale
+    store cannot pass the gate."""
+    from summarydb_spark.sources.tables import ensure_store
+
+    path = ensure_store(
+        spark,
+        sf_dir,
+        f"kcenter_coreset_k{KCENTER_K}",
+        lambda s: (_kcenter_select(s, sf_dir), None),
+    )
+    return spark.read.parquet(path)
+
+
+def _kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus (the
+    Gonzalez 2-approximation every diversity-aware data-selection stack
+    uses): seed with the lowest vec_id, then repeatedly take the vector
+    FARTHEST (max min-cosine-distance, vec_id tiebreak) from the chosen
+    set.  Fully lazy and distributed: each round is one broadcast join of
+    the 1-row argmax frame into a least() distance update — no collect,
+    no driver-side vectors; the per-round state persists so round r scans
+    cached rows, not the whole lineage.  All distance math is the shared
+    left-fold cosine (array_embedding_stats discipline), so every min/max
+    decision is bit-identical to the unrolled DuckDB oracle.  Returns the
+    selection order (step, cid, md_micro = the farthest distance that
+    step, i.e. the coreset's covering-radius trajectory)."""
+    from summarydb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    emb = emb.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    ).persist()
+
+    def dist(v, nrm, cv, cnrm):
+        dot = F.aggregate(
+            F.zip_with(v, cv, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(
+            (nrm == F.lit(0.0)) | (cnrm == F.lit(0.0)), F.lit(1.0)
+        ).otherwise(F.lit(1.0) - dot / (nrm * cnrm))
+
+    # the corpus state is KB-scale (|corpus| rows x one double); one task
+    # per round beats 32 near-empty ones, and the eager localCheckpoint
+    # truncates each round's lineage so round r scans materialized rows —
+    # the argmax frame and the distance update then share one tiny scan
+    c0 = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    state = (
+        emb.crossJoin(F.broadcast(c0))
+        .select(
+            "vec_id", "v", "nrm",
+            dist(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm")).alias("md"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    picks = [
+        c0.select(
+            F.lit(0).cast("long").alias("step"),
+            "cid",
+            F.lit(0).cast("long").alias("md_micro"),
+        )
+    ]
+    for step in range(1, KCENTER_K):
+        # cand is a TakeOrdered over the materialized 1-partition state:
+        # evaluating it lazily in both consumers is cheaper than the extra
+        # eager job a checkpoint would add
+        cand = state.orderBy(F.desc("md"), "vec_id").limit(1)
+        picks.append(
+            cand.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("vec_id").alias("cid"),
+                F.floor(F.col("md") * 1_000_000).cast("long").alias("md_micro"),
+            )
+        )
+        c = cand.select(
+            F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
+        state = (
+            state.crossJoin(F.broadcast(c))
+            .select(
+                "vec_id", "v", "nrm",
+                F.least(
+                    F.col("md"),
+                    dist(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm")),
+                ).alias("md"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_kcenter_coreset() -> str:
+    fold = "(a, b) -> a + b"
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, "
+        f"list_transform(v, x -> x * x)), {fold}))"
+    )
+
+    def dist(e: str, c: str) -> str:
+        dot = (
+            "list_reduce(list_prepend(0.0, "
+            f"list_transform(range(len({e}.v)), "
+            f"i -> {e}.v[i + 1] * {c}.cv[i + 1])), {fold})"
+        )
+        return (
+            f"CASE WHEN {e}.nrm = 0 OR {c}.cnrm = 0 THEN 1.0 "
+            f"ELSE 1.0 - {dot} / ({e}.nrm * {c}.cnrm) END"
+        )
+
+    parts = [
+        f"""WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+e AS (SELECT vec_id, v, {nrm} AS nrm FROM emb),
+c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+       ORDER BY vec_id LIMIT 1),
+s0 AS (
+  SELECT e.vec_id, e.v, e.nrm, {dist("e", "c")} AS md
+  FROM e, c0 c
+)"""
+    ]
+    for k in range(1, KCENTER_K):
+        parts.append(
+            f"""c{k} AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm, md
+       FROM s{k - 1} ORDER BY md DESC, vec_id LIMIT 1)"""
+        )
+        if k < KCENTER_K - 1:
+            parts.append(
+                f"""s{k} AS (
+  SELECT s.vec_id, s.v, s.nrm, least(s.md, {dist("s", "c")}) AS md
+  FROM s{k - 1} s, c{k} c
+)"""
+            )
+    selects = ["SELECT CAST(0 AS BIGINT) AS step, cid, CAST(0 AS BIGINT) AS md_micro FROM c0"]
+    for k in range(1, KCENTER_K):
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT), cid, "
+            f"CAST(floor(md * 1000000) AS BIGINT) FROM c{k}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+DF_QUERIES_KCENTER = ("kcenter_coreset", q_kcenter_coreset)
+
+
 PAGERANK_ITERS = 4
 
 
@@ -1684,6 +1854,11 @@ DF_QUERIES["pagerank_dup_graph"] = (
 DF_QUERIES["heavy_hitters_misra_gries"] = (
     q_heavy_hitters_mg,
     ORACLE_HEAVY_HITTERS_MG,
+)
+
+DF_QUERIES["kcenter_coreset"] = (
+    q_kcenter_coreset,
+    _oracle_kcenter_coreset(),
 )
 
 

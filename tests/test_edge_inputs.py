@@ -17,6 +17,20 @@ from __future__ import annotations
 import datetime
 
 from pyspark.sql import Row
+import pytest
+
+
+
+@pytest.fixture(autouse=True)
+def _invalidate_table_memo(spark):
+    """These tests overwrite the shared testdata temp views with tiny
+    synthetic ones; drop register_tables' memo afterwards so the next
+    real-table consumer re-registers instead of reading the stubs."""
+    yield
+    from summarydb_spark.sources.tables import _REGISTERED_ATTR
+
+    if hasattr(spark, _REGISTERED_ATTR):
+        delattr(spark, _REGISTERED_ATTR)
 
 
 def _events_view(spark, rows):

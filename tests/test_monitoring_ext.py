@@ -7,12 +7,27 @@ from __future__ import annotations
 import datetime
 import math
 
+import pytest
+
 from summarydb_spark.plans.monitoring_ext import (
     q_chi2_lang_source,
     q_embedding_quantize_int8,
     q_psi_feature_drift,
     q_token_entropy,
 )
+
+
+
+@pytest.fixture(autouse=True)
+def _invalidate_table_memo(spark):
+    """These tests overwrite the shared testdata temp views with tiny
+    synthetic ones; drop register_tables' memo afterwards so the next
+    real-table consumer re-registers instead of reading the stubs."""
+    yield
+    from summarydb_spark.sources.tables import _REGISTERED_ATTR
+
+    if hasattr(spark, _REGISTERED_ATTR):
+        delattr(spark, _REGISTERED_ATTR)
 
 
 def _ts(day, sec=0):

@@ -20,6 +20,19 @@ from summarydb_spark.plans.retrieval_ext import (
 )
 
 
+
+@pytest.fixture(autouse=True)
+def _invalidate_table_memo(spark):
+    """These tests overwrite the shared testdata temp views with tiny
+    synthetic ones; drop register_tables' memo afterwards so the next
+    real-table consumer re-registers instead of reading the stubs."""
+    yield
+    from summarydb_spark.sources.tables import _REGISTERED_ATTR
+
+    if hasattr(spark, _REGISTERED_ATTR):
+        delattr(spark, _REGISTERED_ATTR)
+
+
 def _mk_documents(spark, rows):
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"

@@ -87,7 +87,14 @@ def _template_names():
 @pytest.fixture(scope="module")
 def degenerate(spark):
     _register_degenerate(spark)
-    return spark
+    yield spark
+    # drop register_tables' memo: the degenerate views shadow the real
+    # table names, and a memo hit in a later test file would silently
+    # serve these stubs
+    from summarydb_spark.sources.tables import _REGISTERED_ATTR
+
+    if hasattr(spark, _REGISTERED_ATTR):
+        delattr(spark, _REGISTERED_ATTR)
 
 
 def test_every_sql_template_is_total(degenerate):
