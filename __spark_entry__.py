@@ -114,6 +114,7 @@ def _all_queries() -> dict:
     from summarydb_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
     from summarydb_spark.plans.retrieval_ext import RETRIEVAL_EXT_QUERIES
     from summarydb_spark.plans.stats_ext import STATS_EXT_QUERIES
+    from summarydb_spark.plans.warehouse_ext import WAREHOUSE_EXT_QUERIES
 
     return {
         **CORE_QUERIES,
@@ -128,6 +129,7 @@ def _all_queries() -> dict:
         **DQ_QUERIES,
         **RETRIEVAL_EXT_QUERIES,
         **MONITORING_EXT_QUERIES,
+        **WAREHOUSE_EXT_QUERIES,
     }
 
 

@@ -1,0 +1,144 @@
+"""Warehouse-extension operators: SCD2 build, last-touch attribution,
+transition audit, changelog compact+merge, rolling median, exact EWMA.
+
+Semantics tests run at sf0.001; plan pins follow tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from collections import defaultdict
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def run(spark, name):
+    return entry.queries()[name](spark, SF_DIR)
+
+
+def plan_of(spark, name: str) -> str:
+    df = run(spark, name)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_scd2_intervals_are_contiguous_versions(spark):
+    rows = run(spark, "scd2_user_state_history").collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_sampled = ev.where("user_id % 7 = 0").count()
+    assert sum(r.n_events for r in rows) == n_sampled
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r.is_current for r in vs) == 1
+        assert vs[-1].is_current == 1 and vs[-1].valid_to_us == -1
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us  # contiguous
+            assert a.state != b.state  # runs collapsed
+
+
+def test_attribution_channels_and_purchase_totals(spark):
+    rows = run(spark, "attribution_last_touch").collect()
+    assert {r.channel for r in rows} <= {"view", "click", "direct"}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_purch = ev.where("event_type = 'purchase'").count()
+    assert sum(r.n_purchases for r in rows) == n_purch
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_attribution_single_pass_no_fact_join(spark):
+    plan = plan_of(spark, "attribution_last_touch")
+    # carry-forward window, not a purchases x touches self-join
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_state_machine_reports_only_disallowed(spark):
+    allowed = {
+        ("signup", "view"), ("view", "view"), ("view", "click"),
+        ("click", "view"), ("click", "click"), ("click", "purchase"),
+        ("purchase", "view"), ("view", "error"), ("error", "view"),
+    }
+    rows = run(spark, "state_machine_violations").collect()
+    assert rows
+    for r in rows:
+        assert (r.prev_type, r.curr_type) not in allowed
+        assert r.prev_type is not None
+        assert 1 <= r.n_users and r.n_users <= r.n_violations
+
+
+def test_state_machine_rules_broadcast(spark):
+    plan = plan_of(spark, "state_machine_violations")
+    assert "BroadcastHashJoin" in plan  # literal rule relation, never shuffled
+    assert "CartesianProduct" not in plan
+
+
+def test_changelog_merge_one_row_per_user_delta_wins(spark):
+    rows = run(spark, "changelog_compact_merge").collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert len(rows) == ev.select("user_id").distinct().count()
+    t0 = 1705363200000000
+    from pyspark.sql import functions as F
+
+    per_user = {
+        r.user_id: (r.n, r.max_t)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))")).alias(
+                "max_t"
+            ),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, max_t = per_user[r.user_id]
+        assert r.n_versions == n  # compaction accounts for every version
+        assert r.state_t_us == max_t  # last writer wins
+        assert r.src == ("delta" if max_t >= t0 else "base")
+
+
+def test_rolling_median_bounded_by_window(spark):
+    rows = run(spark, "rolling_median_daily_count").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for vs in by_type.values():
+        vs.sort(key=lambda r: r.d)
+        for i, r in enumerate(vs):
+            window = [x.n for x in vs[max(0, i - 6) : i + 1]]
+            assert min(window) <= r.med7 <= max(window)
+        assert vs[0].med7 == float(vs[0].n)  # first row: median of itself
+
+
+def test_ewma_first_day_equals_revenue_and_bounds(spark):
+    rows = sorted(
+        run(spark, "ewma_halflife_daily").collect(), key=lambda r: r.d
+    )
+    assert rows[0].ewma_cents == rows[0].rev_cents
+    by_d = {r.d: r.rev_cents for r in rows}
+    for r in rows:
+        window = [
+            by_d[d] for d in range(r.d - 19, r.d + 1) if d in by_d
+        ]
+        assert len(window) == r.n_days_in_window
+        assert min(window) - 1 <= r.ewma_cents <= max(window)
+
+
+def test_ewma_joins_stay_off_the_fact(spark):
+    plan = plan_of(spark, "ewma_halflife_daily")
+    # Spark inlines the twice-referenced daily CTE, so orders is scanned
+    # twice — but each scan is column-pruned and aggregated to #days rows
+    # BEFORE the range self-join (the join never sees the fact)
+    assert plan.count("orders.parquet") <= 2
+    assert "ReadSchema: struct<o_totalprice" in plan
+    assert "CartesianProduct" not in plan
