@@ -300,6 +300,186 @@ SELECT d, rev_cents,
 FROM win"""
 
 
+def q_salted_join_skew(dialect: str) -> str:
+    """Skew-mitigated dimension join: the Spark side salts the (heavily
+    skewed, 5-value) event_type key — facts get salt = event_id % 16, the
+    dimension is exploded 16x — so no single reducer owns a whole hot key.
+    The DuckDB oracle runs the plain unsalted join: salting must be
+    answer-invariant, and the hash-match proves it.
+
+    Here the dimension is literal-sized (it would broadcast anyway); the
+    query pins the *pattern* used when the dimension is too large to
+    broadcast and AQE's skew-join splitting isn't available (e.g. a
+    bucketed pre-partitioned join at 100 TB)."""
+    dim = " UNION ALL ".join(
+        f"SELECT '{t}' AS event_type, {w} AS weight"
+        for t, w in [
+            ("click", 2),
+            ("error", 0),
+            ("purchase", 10),
+            ("signup", 5),
+            ("view", 1),
+        ]
+    )
+    if dialect == "spark":
+        salts = " UNION ALL ".join(f"SELECT {s} AS salt" for s in range(16))
+        return f"""
+WITH dim AS ({dim}),
+salts AS ({salts}),
+dim_x AS (SELECT d.event_type, d.weight, s.salt FROM dim d CROSS JOIN salts s),
+e AS (
+  SELECT event_type, value, CAST(pmod(event_id, 16) AS INT) AS salt
+  FROM events
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {dsum('e.value * d.weight')} AS weighted_revenue
+FROM e
+JOIN dim_x d ON d.event_type = e.event_type AND d.salt = e.salt
+GROUP BY e.event_type"""
+    return f"""
+WITH dim AS ({dim})
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {dsum('e.value * d.weight')} AS weighted_revenue
+FROM events e
+JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type"""
+
+
+def _poisson_thresholds() -> list[int]:
+    """Cumulative Poisson(1) CDF thresholds scaled to 2^60, as exact
+    integer literals (computed once here, identical text in both
+    dialects — no engine libm involved)."""
+    import math
+
+    cum, out = 0.0, []
+    for k in range(6):
+        cum += math.exp(-1.0) / math.factorial(k)
+        out.append(int(cum * (1 << 60)))
+    return out
+
+
+def q_bootstrap_mean_ci(dialect: str) -> str:
+    """Poisson bootstrap CI for the mean purchase value: 64 resamples,
+    each row weighted by an independent Poisson(1) draw derived from an
+    md5 uniform (deterministic across engines, retries, and partitionings
+    — the same PRNG-free discipline as weighted_sample_ares).  The per-
+    resample mean is exact integer micro-units (decimal accumulation,
+    then a sub-2^53 floor division); the CI is exact order statistics
+    (ranks 2 and 63 of 64), not interpolated percentiles.
+
+    Scale: resampling is a 64-way fanout of a single scan (pure column
+    math, no shuffle until the per-resample aggregate, which is bounded
+    by #resamples); the Poisson trick is how production bootstraps run on
+    data too large to resample by index."""
+    th = _poisson_thresholds()
+    cast_s = "STRING" if dialect == "spark" else "VARCHAR"
+    fan32 = (
+        "LATERAL VIEW explode(sequence(0, 31)) AS r"
+        if dialect == "spark"
+        else ", unnest(range(32)) AS u32(r)"
+    )
+    if dialect == "spark":
+
+        def hex60(pos: int) -> str:
+            return f"CAST(conv(substring(h, {pos}, 15), 16, 10) AS BIGINT)"
+
+    else:
+
+        def hex60(pos: int) -> str:
+            return f"CAST(concat('0x', substr(h, {pos}, 15)) AS BIGINT)"
+
+    w = (
+        f"CASE WHEN u < {th[0]} THEN 0 WHEN u < {th[1]} THEN 1 "
+        f"WHEN u < {th[2]} THEN 2 WHEN u < {th[3]} THEN 3 "
+        f"WHEN u < {th[4]} THEN 4 WHEN u < {th[5]} THEN 5 ELSE 6 END"
+    )
+    return f"""
+WITH sides AS (SELECT 0 AS i UNION ALL SELECT 1),
+hs AS (
+  SELECT r, e.value,
+         md5(concat('boot:', CAST(r AS {cast_s}), ':',
+                    CAST(e.event_id AS {cast_s}))) AS h
+  FROM events e {fan32}
+  WHERE e.value IS NOT NULL AND e.event_type = 'purchase'
+),
+draws AS (
+  -- one md5 yields two independent 60-bit uniforms (hex chars 1-15 and
+  -- 17-31), so 32 hash rows serve 64 resamples — half the hash work
+  SELECT 2 * hs.r + s.i AS r, value,
+         CASE WHEN s.i = 0 THEN {hex60(1)} ELSE {hex60(17)} END AS u
+  FROM hs CROSS JOIN sides s
+),
+weighted AS (
+  SELECT r, value, {w} AS w FROM draws
+),
+means AS (
+  SELECT r,
+         CAST(floor(
+           CAST(CAST(round(sum(CAST(value AS DECIMAL(38,10)) * w)
+                           * 1000000, 0) AS BIGINT) AS DOUBLE)
+           / sum(w)) AS BIGINT) AS mean_micro
+  FROM weighted
+  GROUP BY r
+  HAVING sum(w) > 0
+),
+ranked AS (
+  SELECT mean_micro,
+         row_number() OVER (ORDER BY mean_micro, r) AS rk,
+         count(*) OVER () AS n
+  FROM means
+)
+SELECT CAST(max(n) AS BIGINT) AS n_resamples,
+       CAST(floor(avg(mean_micro)) AS BIGINT) AS mean_of_means_micro,
+       CAST(max(CASE WHEN rk = 2 THEN mean_micro END) AS BIGINT)
+         AS ci_lo_micro,
+       CAST(max(CASE WHEN rk = 63 THEN mean_micro END) AS BIGINT)
+         AS ci_hi_micro
+FROM ranked"""
+
+
+def q_customer_rfm(dialect: str) -> str:
+    """RFM segmentation: per-customer Recency (days before the corpus max
+    order date), Frequency (order count), Monetary (exact decimal
+    revenue), each scored into quintiles by ntile(5) over a total order
+    (metric, custkey — deterministic across engines), then rolled up by
+    the 3-digit RFM segment.  Two exchanges total: the per-customer
+    aggregate, then the tiny segment rollup (ntile over #customers rows).
+    """
+    t = epoch_us("CAST(o_orderdate AS TIMESTAMP)", dialect)
+    return f"""
+WITH pc AS (
+  SELECT o_custkey,
+         max({t}) AS last_t,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(38,10))) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+c AS (
+  SELECT o_custkey,
+         CAST(floor((max(last_t) OVER ()) / {DAY_US}.0) AS BIGINT)
+           - CAST(floor(last_t / {DAY_US}.0) AS BIGINT) AS recency_days,
+         frequency, monetary
+  FROM pc
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM c
+)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(max(recency_days) AS BIGINT) AS max_recency_days,
+       CAST(sum(frequency) AS BIGINT) AS total_orders,
+       CAST(round(sum(monetary), 2) AS DOUBLE) AS total_revenue
+FROM scored
+GROUP BY r_score * 100 + f_score * 10 + m_score"""
+
+
 WAREHOUSE_EXT_QUERIES = {
     "scd2_user_state_history": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
@@ -307,4 +487,7 @@ WAREHOUSE_EXT_QUERIES = {
     "changelog_compact_merge": q_changelog_compact_merge,
     "rolling_median_daily_count": q_rolling_median_daily,
     "ewma_halflife_daily": q_ewma_halflife_daily,
+    "salted_join_skew": q_salted_join_skew,
+    "bootstrap_mean_ci_poisson": q_bootstrap_mean_ci,
+    "customer_rfm_segments": q_customer_rfm,
 }

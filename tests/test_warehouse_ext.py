@@ -134,6 +134,60 @@ def test_ewma_first_day_equals_revenue_and_bounds(spark):
         assert min(window) - 1 <= r.ewma_cents <= max(window)
 
 
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in run(spark, "salted_join_skew").collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    weights = {"click": 2, "error": 0, "purchase": 10, "signup": 5, "view": 1}
+    plain = {
+        r.event_type: (r.n, float(r.s))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(rows) == set(plain)
+    for t, r in rows.items():
+        n, s = plain[t]
+        assert r.n_events == n  # salting never drops or duplicates a row
+        assert abs(r.weighted_revenue - s * weights[t]) < 1e-6 * max(1.0, s)
+
+
+def test_salted_dim_never_shuffles_the_fact(spark):
+    plan = plan_of(spark, "salted_join_skew")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    from pyspark.sql import functions as F
+
+    (row,) = run(spark, "bootstrap_mean_ci_poisson").collect()
+    assert row.n_resamples == 64
+    assert row.ci_lo_micro <= row.mean_of_means_micro <= row.ci_hi_micro
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    true_mean = (
+        ev.where("event_type = 'purchase' AND value IS NOT NULL")
+        .agg(F.avg("value"))
+        .collect()[0][0]
+    )
+    # 95% CI from 64 resamples of ~400 purchases: generous 10% sanity band
+    assert abs(row.mean_of_means_micro / 1e6 - true_mean) < 0.10 * true_mean
+    assert row.ci_lo_micro <= true_mean * 1e6 <= row.ci_hi_micro
+
+
+def test_rfm_segments_partition_customers(spark):
+    rows = run(spark, "customer_rfm_segments").collect()
+    ev = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.n_customers for r in rows) == (
+        ev.select("o_custkey").distinct().count()
+    )
+    for r in rows:
+        seg = r.rfm_segment
+        assert all(1 <= d <= 5 for d in (seg // 100, seg // 10 % 10, seg % 10))
+        assert r.total_orders >= r.n_customers
+
+
 def test_ewma_joins_stay_off_the_fact(spark):
     plan = plan_of(spark, "ewma_halflife_daily")
     # Spark inlines the twice-referenced daily CTE, so orders is scanned
