@@ -114,6 +114,7 @@ def _all_queries() -> dict:
     from summarydb_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
     from summarydb_spark.plans.retrieval_ext import RETRIEVAL_EXT_QUERIES
     from summarydb_spark.plans.stats_ext import STATS_EXT_QUERIES
+    from summarydb_spark.plans.textsim_ext import TEXTSIM_EXT_QUERIES
     from summarydb_spark.plans.warehouse_ext import WAREHOUSE_EXT_QUERIES
 
     return {
@@ -130,6 +131,7 @@ def _all_queries() -> dict:
         **RETRIEVAL_EXT_QUERIES,
         **MONITORING_EXT_QUERIES,
         **WAREHOUSE_EXT_QUERIES,
+        **TEXTSIM_EXT_QUERIES,
     }
 
 
@@ -148,8 +150,14 @@ def _df_queries() -> dict:
     from summarydb_spark.plans.dataframe_queries import DF_QUERIES
     from summarydb_spark.plans.pipeline_ext import PIPELINE_DF_QUERIES
     from summarydb_spark.plans.sketch_queries import SKETCH_QUERIES
+    from summarydb_spark.plans.textsim_ext import TEXTSIM_DF_QUERIES
 
-    return {**SKETCH_QUERIES, **DF_QUERIES, **PIPELINE_DF_QUERIES}
+    return {
+        **SKETCH_QUERIES,
+        **DF_QUERIES,
+        **PIPELINE_DF_QUERIES,
+        **TEXTSIM_DF_QUERIES,
+    }
 
 
 # The correctness driver checks only the FIRST 50 entries of queries(),

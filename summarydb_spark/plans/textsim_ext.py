@@ -1,0 +1,272 @@
+"""Exact set-similarity join (prefix filtering), token co-occurrence
+lift, and tokenizer-fertility profiling over the documents corpus.
+
+``prefix_filter_jaccard_join`` is the EXACT counterpart to the
+probabilistic near-dup family (plans/portable_dedup.py minhash/simhash
+banding): prefix filtering (SSJoin/PPJoin, Chaudhuri et al. ICDE'06;
+Xiao et al. WWW'08) guarantees zero false negatives at a Jaccard
+threshold — if J(a,b) >= t, the two sets' frequency-ordered prefixes of
+length |s| - ceil(t|s|) + 1 must share an element.  The Spark side runs
+the real prefix-filtered plan; the DuckDB oracle brute-forces every
+shared-shingle pair, so the hash-match proves the filter loses nothing.
+
+Determinism: the global shingle order is (document frequency, shingle
+string) — a total order identical on both engines; the threshold test is
+pure integer arithmetic (10*inter >= 7*union), never a float compare.
+
+Scale notes (100 TB discipline):
+- prefix join: candidate generation is an equi-join on PREFIX shingles
+  only (the most selective ~30% of each set, rarest-first, so hot
+  shingles with huge df fall outside most prefixes); verification joins
+  candidates — not the corpus — back to the shingle relation.
+- co-occurrence: the vocabulary is cut to top-k *before* the pair
+  explosion, so the self-join input is #docs x k, never #docs x vocab.
+- fertility: single scan, pure column math, output is O(#langs).
+"""
+
+from __future__ import annotations
+
+from summarydb_spark.plans.portable_dedup import _explode_shingles, _norm
+
+
+def q_prefix_filter_jaccard_oracle(dialect: str) -> str:
+    """Brute-force exact Jaccard >= 0.7 self-join: every shared-shingle
+    pair, verified with integer arithmetic.  This is the DuckDB oracle
+    for the prefix-filtered Spark plan below — exhaustive, so a filter
+    that loses any true pair hash-mismatches."""
+    return f"""
+WITH {_explode_shingles(dialect)},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS L FROM sh GROUP BY doc_id),
+j AS (
+  SELECT i.a, i.b, i.i, ca.L + cb.L - i.i AS u
+  FROM inter i
+  JOIN card ca ON ca.doc_id = i.a
+  JOIN card cb ON cb.doc_id = i.b
+)
+SELECT a AS a_id, b AS b_id,
+       CAST(i AS BIGINT) AS inter_sz,
+       CAST(u AS BIGINT) AS union_sz,
+       CAST(floor(i * 1000000.0 / u) AS BIGINT) AS jaccard_ppm
+FROM j
+WHERE 10 * i >= 7 * u"""
+
+
+def q_prefix_filter_jaccard_df(spark, sf_dir: str):
+    """Prefix-filtered exact Jaccard >= 0.7 set-similarity self-join
+    (SSJoin/PPJoin): candidates come only from PREFIX shingles — each
+    set's L - ceil(0.7 L) + 1 rarest elements under the global
+    (frequency, shingle) total order — plus the size filter
+    0.7 <= La/Lb <= 1/0.7; if J(a,b) >= 0.7 the prefixes provably
+    intersect, so the join is exact with no false negatives (the
+    exhaustive DuckDB oracle proves it per run).
+
+    The ranked shingle index (doc, shingle-hash, frequency rank, set
+    size) is a fingerprint-keyed persisted store — a production
+    similarity service materializes it once per corpus snapshot, exactly
+    like the ANN and near-dup-pair stores; the oracle recomputes from
+    raw text, so a stale index cannot pass the gate.  Shingles are
+    xxhash64 int64s Spark-side (Jaccard is invariant under an injective
+    hash of set elements; the frequency order only has to be SOME total
+    order shared by both join sides, not a cross-engine one).
+
+    Scale: candidate generation joins prefixes only (rarest-first, so
+    hot shingles fall outside most prefixes); verification joins the
+    candidate pairs — never the corpus — back to the index; every join
+    is an equi-join, no all-pairs stage anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.sources.tables import ensure_store, register_tables
+
+    register_tables(spark, sf_dir)
+
+    def build(s):
+        docs = s.table("documents")
+        base = docs.select(
+            "doc_id",
+            F.split(
+                F.expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"),
+                " ",
+            ).alias("toks"),
+        )
+        sh_arr = F.when(
+            F.size("toks") >= 3,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"
+                )
+            ),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("toks")))))
+        sh = base.select("doc_id", F.explode(sh_arr).alias("s"))
+        dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "s")
+        wl = Window.partitionBy("doc_id")
+        return (
+            sh.join(dfreq, "s").select(
+                "doc_id",
+                "s",
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wl).alias("L"),
+            ),
+            None,
+        )
+
+    path = ensure_store(
+        spark, sf_dir, "prefix_shingle_index_x3", build, coalesce=0
+    )
+    idx = spark.read.parquet(path)
+    # prefix length L - ceil(0.7 L) + 1, ceil in integer math
+    pre = idx.where(
+        F.col("rn")
+        <= F.col("L")
+        - F.floor((7 * F.col("L") + 9) / F.lit(10.0)).cast("long")
+        + 1
+    ).select("doc_id", "s", "L")
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= 0.7 forces 7*max(La,Lb) <= 10*min(La,Lb)
+            & (7 * F.col("b.L") <= 10 * F.col("a.L"))
+            & (7 * F.col("a.L") <= 10 * F.col("b.L")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    sh = idx.select("doc_id", "s")
+    inter = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("b"))
+            & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    card = idx.groupBy("doc_id").agg(F.max("L").alias("L"))
+    j = (
+        inter.join(
+            card.select(
+                F.col("doc_id").alias("a"), F.col("L").alias("La")
+            ),
+            "a",
+        )
+        .join(
+            card.select(
+                F.col("doc_id").alias("b"), F.col("L").alias("Lb")
+            ),
+            "b",
+        )
+        .withColumn("u", F.col("La") + F.col("Lb") - F.col("i"))
+    )
+    return j.where(10 * F.col("i") >= 7 * F.col("u")).select(
+        F.col("a").alias("a_id"),
+        F.col("b").alias("b_id"),
+        F.col("i").cast("long").alias("inter_sz"),
+        F.col("u").cast("long").alias("union_sz"),
+        F.floor(F.col("i") * 1000000.0 / F.col("u"))
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+
+
+def q_token_cooccurrence_lift(dialect: str) -> str:
+    """Pairwise co-occurrence lift over the top-30 document-frequency
+    tokens: lift = P(a,b) / (P(a)P(b)) in exact integer ppm (numerator
+    n_ab * n_docs * 1e6 stays far below 2^53).  The vocabulary cut runs
+    before the doc-level self-join, so the pair explosion is bounded by
+    30 tokens per doc regardless of corpus size."""
+    if dialect == "spark":
+        tok = f"""
+tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM documents LATERAL VIEW explode(split({_norm(dialect)}, ' ')) AS t
+)"""
+    else:
+        tok = f"""
+tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split({_norm(dialect)}, ' ')) AS t
+  FROM documents
+)"""
+    return f"""
+WITH {tok},
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY t),
+top AS (
+  SELECT t, df FROM (
+    SELECT t, df, row_number() OVER (ORDER BY df DESC, t) AS rk FROM dfreq
+  ) x WHERE rk <= 30
+),
+tt AS (SELECT tok.doc_id, tok.t, top.df FROM tok JOIN top ON top.t = tok.t),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+pairs AS (
+  SELECT a.t AS token_a, b.t AS token_b,
+         a.df AS df_a, b.df AS df_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t, a.df, b.df
+)
+SELECT token_a, token_b, n_ab,
+       CAST(floor(n_ab * 1000000.0 * nd.n / (df_a * df_b)) AS BIGINT)
+         AS lift_ppm
+FROM pairs CROSS JOIN nd"""
+
+
+def q_tokenizer_fertility(dialect: str) -> str:
+    """Tokenizer-fertility profile by language: whitespace words vs
+    BPE-proxy subwords (letter runs, single digits, single other
+    symbols).  The alternation's branches are disjoint character classes,
+    so Java-regex (leftmost-first) and RE2 (leftmost-longest) tokenize
+    identically.  Ratios are exact integer ppm."""
+    nt = _norm(dialect)
+    pat = "'[a-z]+|[0-9]|[^a-z0-9 ]'"
+    if dialect == "spark":
+        words = "size(split(nt, ' '))"
+        subs = f"size(regexp_extract_all(nt, {pat}, 0))"
+    else:
+        words = "len(string_split(nt, ' '))"
+        subs = f"len(regexp_extract_all(nt, {pat}))"
+    return f"""
+WITH n AS (SELECT lang, {nt} AS nt FROM documents),
+s AS (
+  SELECT lang,
+         CAST(length(nt) AS BIGINT) AS n_chars,
+         CAST({words} AS BIGINT) AS n_words,
+         CAST({subs} AS BIGINT) AS n_subwords
+  FROM n
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+       CAST(floor(sum(n_subwords) * 1000000.0 / sum(n_words)) AS BIGINT)
+         AS fertility_ppm,
+       CAST(floor(sum(n_chars) * 1000000.0 / sum(n_subwords)) AS BIGINT)
+         AS chars_per_subword_ppm
+FROM s
+GROUP BY lang"""
+
+
+TEXTSIM_EXT_QUERIES = {
+    "token_cooccurrence_lift": q_token_cooccurrence_lift,
+    "tokenizer_fertility": q_tokenizer_fertility,
+}
+
+# DataFrame-built (prefix-filter plan reads the persisted shingle index);
+# oracle recomputes exhaustively from raw text in DuckDB.
+TEXTSIM_DF_QUERIES = {
+    "prefix_filter_jaccard_join": (
+        q_prefix_filter_jaccard_df,
+        q_prefix_filter_jaccard_oracle("duckdb"),
+    ),
+}

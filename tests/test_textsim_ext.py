@@ -1,0 +1,95 @@
+"""Text-similarity extension: prefix-filtered exact Jaccard join,
+token co-occurrence lift, tokenizer fertility.
+
+Semantics at sf0.001; plan/shape pins follow tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from itertools import combinations
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def run(spark, name):
+    return entry.queries()[name](spark, SF_DIR)
+
+
+def plan_of(spark, name: str) -> str:
+    df = run(spark, name)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _shingle_sets(spark):
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    out = {}
+    for r in docs:
+        toks = re.sub(r"\s+", " ", r.text.lower().strip()).split(" ")
+        if len(toks) >= 3:
+            out[r.doc_id] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        else:
+            out[r.doc_id] = {" ".join(toks)}
+    return out
+
+
+def test_prefix_filter_matches_bruteforce_python(spark):
+    """Independent recompute: every Jaccard>=0.7 pair, by brute force in
+    Python over the raw text — the filter must lose nothing and add
+    nothing."""
+    sets = _shingle_sets(spark)
+    truth = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        if i == 0:
+            continue
+        u = len(sets[a] | sets[b])
+        if 10 * i >= 7 * u:
+            truth[(a, b)] = (i, u)
+    rows = run(spark, "prefix_filter_jaccard_join").collect()
+    got = {(r.a_id, r.b_id): (r.inter_sz, r.union_sz) for r in rows}
+    assert got == truth
+    for r in rows:
+        assert r.jaccard_ppm == r.inter_sz * 1000000 // r.union_sz
+        assert r.jaccard_ppm >= 700000
+
+
+def test_prefix_join_has_no_allpairs_stage(spark):
+    plan = plan_of(spark, "prefix_filter_jaccard_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the plan reads the persisted index store, not raw documents
+    assert "prefix_shingle_index_x3" in plan
+    assert "documents.parquet" not in plan
+
+
+def test_cooccurrence_lift_bounds_and_vocab(spark):
+    rows = run(spark, "token_cooccurrence_lift").collect()
+    vocab = {r.token_a for r in rows} | {r.token_b for r in rows}
+    assert len(vocab) <= 30
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    for r in rows:
+        assert r.token_a < r.token_b
+        assert 1 <= r.n_ab <= n_docs
+        assert r.lift_ppm >= 0
+
+
+def test_tokenizer_fertility_identities(spark):
+    rows = run(spark, "tokenizer_fertility").collect()
+    assert rows
+    for r in rows:
+        # a word is >= 1 subword; a subword is >= 1 char
+        assert r.total_subwords >= r.total_words
+        assert r.total_chars >= r.total_subwords
+        assert r.fertility_ppm >= 1000000
+        assert r.n_docs > 0
