@@ -150,6 +150,7 @@ def _df_queries() -> dict:
     from summarydb_spark.plans.dataframe_queries import DF_QUERIES
     from summarydb_spark.plans.pipeline_ext import PIPELINE_DF_QUERIES
     from summarydb_spark.plans.sketch_queries import SKETCH_QUERIES
+    from summarydb_spark.plans.linalg_ext import LINALG_DF_QUERIES
     from summarydb_spark.plans.textsim_ext import TEXTSIM_DF_QUERIES
 
     return {
@@ -157,6 +158,7 @@ def _df_queries() -> dict:
         **DF_QUERIES,
         **PIPELINE_DF_QUERIES,
         **TEXTSIM_DF_QUERIES,
+        **LINALG_DF_QUERIES,
     }
 
 

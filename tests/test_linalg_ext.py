@@ -1,0 +1,65 @@
+"""Power-iteration PCA: independent exact recompute + plan pins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _half_away(x):
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def test_pca_matches_exact_numpy_recompute(spark):
+    rows = entry.queries()["embedding_pca_power"](spark, SF_DIR).collect()
+    emb = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    vm = _half_away(emb * 1000.0).astype(np.int64)
+    n = vm.shape[0]
+    mean = np.array(
+        [int(s) // n for s in vm.sum(axis=0, dtype=np.int64)], dtype=np.int64
+    )
+    xc = vm - mean
+    w = np.full(vm.shape[1], 1000, dtype=np.int64)
+    for _ in range(3):
+        s = xc @ w
+        z = xc.T @ s
+        order = np.lexsort((np.arange(len(z)), -np.abs(z)))
+        zref = int(z[order[0]])
+        if zref == 0:
+            w = np.zeros_like(w)
+        else:
+            w = _half_away(z.astype(np.float64) / zref * 1000.0).astype(
+                np.int64
+            )
+    got = {r.idx: (r.mean_milli, r.w_milli) for r in rows}
+    assert len(got) == vm.shape[1]
+    for j in range(vm.shape[1]):
+        assert got[j] == (int(mean[j]), int(w[j]))
+    # normalization contract: exactly one component pinned to +1000
+    assert sum(1 for _, wj in got.values() if wj == 1000) >= 1
+    assert all(abs(wj) <= 1000 for _, wj in got.values())
+
+
+def test_pca_weights_broadcast_fact_persisted(spark):
+    df = entry.queries()["embedding_pca_power"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan  # d-row weight vector broadcasts
+    assert "InMemoryTableScan" in plan  # centered relation persisted once
+    assert "CartesianProduct" not in plan
