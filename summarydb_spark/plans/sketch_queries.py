@@ -190,10 +190,125 @@ SELECT event_type, TRUE AS q50_within_10pct, TRUE AS q90_within_10pct
 FROM events GROUP BY event_type"""
 
 
+def q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: distinct-user union and intersection between
+    every event-type pair, from merged per-window HLL sketches — union
+    via the mergeable union (exact HLL semantics), intersection via
+    inclusion-exclusion (|A|+|B|-|A∪B|, the standard HLL recipe; its
+    error compounds, hence the looser bound).  Exact values come from a
+    distinct-pair self-join; the booleans assert the sketch estimates
+    hold their error budgets, so the hash-match verifies the bounds.
+
+    Scale: per-type sketches are O(2^lgk) bytes regardless of user
+    count; the pair stage runs on #types^2 sketch rows, never on users."""
+    ev = _events(spark, sf_dir)
+    wnd = sketch.hll_window_sketches(
+        ev.withColumn("w", (F.col("value") / 10).cast("int")),
+        ["event_type", "w"],
+        "user_id",
+    )
+    per = wnd.groupBy("event_type").agg(
+        F.expr("hll_union_agg(hll)").alias("h")
+    )
+    a, b = per.alias("a"), per.alias("b")
+    est = (
+        a.join(
+            F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.expr("hll_sketch_estimate(a.h)").alias("est_a"),
+            F.expr("hll_sketch_estimate(b.h)").alias("est_b"),
+            F.expr("hll_sketch_estimate(hll_union(a.h, b.h))").alias(
+                "est_u"
+            ),
+        )
+        .withColumn("est_i", F.col("est_a") + F.col("est_b") - F.col("est_u"))
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    nd = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("nd_inter"))
+    )
+    out = (
+        est.join(
+            F.broadcast(nd.select(F.col("event_type").alias("type_a"),
+                                  F.col("nd").alias("nd_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(nd.select(F.col("event_type").alias("type_b"),
+                                  F.col("nd").alias("nd_b"))),
+            "type_b",
+        )
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .withColumn("nd_inter", F.coalesce("nd_inter", F.lit(0)).cast("long"))
+        .withColumn("nd_union", F.col("nd_a") + F.col("nd_b") - F.col("nd_inter"))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("nd_a").cast("long").alias("nd_a"),
+        F.col("nd_b").cast("long").alias("nd_b"),
+        "nd_inter",
+        F.col("nd_union").cast("long").alias("nd_union"),
+        (
+            F.abs(F.col("est_u") - F.col("nd_union")) / F.col("nd_union")
+            < 0.02
+        ).alias("union_within_2pct"),
+        (
+            F.abs(F.col("est_i") - F.col("nd_inter"))
+            / F.col("nd_union")  # union-relative: exact inter may be 0
+            < 0.10
+        ).alias("inter_within_10pct"),
+    )
+
+
+ORACLE_HLL_SET_OPS = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+nd AS (SELECT event_type, count(*) AS nd FROM du GROUP BY event_type),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         count(*) AS nd_inter
+  FROM du x JOIN du y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.nd AS nd_a, b.nd AS nd_b
+  FROM nd a JOIN nd b ON a.event_type < b.event_type
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.nd_a AS BIGINT) AS nd_a,
+       CAST(p.nd_b AS BIGINT) AS nd_b,
+       CAST(coalesce(i.nd_inter, 0) AS BIGINT) AS nd_inter,
+       CAST(p.nd_a + p.nd_b - coalesce(i.nd_inter, 0) AS BIGINT)
+         AS nd_union,
+       TRUE AS union_within_2pct,
+       TRUE AS inter_within_10pct
+FROM pairs p
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b"""
+
+
 # name -> (spark_builder, oracle_sql | None)
 SKETCH_QUERIES = {
     "bloom_membership": (q_bloom_membership, ORACLE_BLOOM),
     "sketch_cms_heavy_hitters": (q_cms_heavy_hitters, ORACLE_CMS),
     "sketch_hll_distinct_bound": (q_hll_distinct_bound, ORACLE_HLL),
     "sketch_kll_quantile_bound": (q_kll_quantile_bound, ORACLE_KLL),
+    "hll_set_ops_bound": (q_hll_set_ops_bound, ORACLE_HLL_SET_OPS),
 }

@@ -176,3 +176,19 @@ def test_cms_estimate_join_broadcasts(spark, events):
     with contextlib.redirect_stdout(buf):
         est.explain(mode="formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_hll_set_ops_identities_and_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["hll_set_ops_bound"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    types = {r.type_a for r in rows} | {r.type_b for r in rows}
+    assert len(rows) == len(types) * (len(types) - 1) // 2  # every pair once
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.nd_union == r.nd_a + r.nd_b - r.nd_inter
+        assert 0 <= r.nd_inter <= min(r.nd_a, r.nd_b)
+        assert max(r.nd_a, r.nd_b) <= r.nd_union
+        assert r.union_within_2pct and r.inter_within_10pct
