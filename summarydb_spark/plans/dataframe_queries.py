@@ -773,6 +773,61 @@ def q_streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "n_events", "t_start", "t_end")
 
 
+def q_streaming_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation under REAL Structured
+    Streaming semantics: daily event counts per type with a 1-hour
+    watermark in APPEND output mode — only windows the final watermark
+    (max event time - 1h) has closed are emitted; the last open day is
+    withheld, exactly as a live deployment would withhold it.  The
+    availableNow trigger processes the (single-file) source in one
+    micro-batch and then runs the no-data batch that advances the
+    watermark and flushes the closed windows, so the memory sink holds
+    the deterministic final append set.  The oracle replays the
+    watermark predicate in batch SQL: windows with
+    end <= max(ts) - 1h.  State is O(open windows), not O(events)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    glob = os.path.join(sf_dir, "events.[p]arquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(glob)
+        .select(
+            F.col("ts").cast("timestamp_ltz").alias("tstamp"), "event_type"
+        )
+        .withWatermark("tstamp", "1 hour")
+        .groupBy(F.window("tstamp", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "streaming_watermark_gate_sink"
+    spark.catalog.dropTempView(name)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.expr("unix_micros(w.start)").alias("w_start_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+ORACLE_STREAMING_WATERMARK = """
+WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+mx AS (SELECT max(t) AS mt FROM e),
+d AS (
+  SELECT CAST(floor(t / 86400000000.0) AS BIGINT) AS day, event_type FROM e
+)
+SELECT d.day * 86400000000 AS w_start_us, d.event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM d, mx
+WHERE (d.day + 1) * 86400000000 <= mx.mt - 3600000000
+GROUP BY d.day, d.event_type"""
+
+
 ORACLE_SESSION_WINDOW = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
 d AS (
@@ -1511,6 +1566,10 @@ DF_QUERIES = {
     "streaming_sessionize_gate": (
         q_streaming_sessionize_gate,
         ORACLE_SESSION_WINDOW,
+    ),
+    "streaming_watermark_gate": (
+        q_streaming_watermark_gate,
+        ORACLE_STREAMING_WATERMARK,
     ),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),

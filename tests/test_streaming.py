@@ -549,3 +549,33 @@ def test_streaming_query_many_sketch_parity(spark, tmp_path):
             assert abs(g["value"] - want.value) <= max(2.0, 0.05 * abs(want.value))
         else:
             assert g["value"] == pytest.approx(want.value), qid
+
+
+def test_streaming_watermark_gate_withholds_open_day(spark):
+    """The append-mode watermark gate emits exactly the closed windows:
+    union(emitted, withheld last day) == the plain batch daily counts."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["streaming_watermark_gate"](spark, sf).collect()
+    got = {(r.w_start_us, r.event_type): r.n for r in rows}
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("t"),
+        "event_type",
+    )
+    day_us = 86_400_000_000
+    full = {
+        (r.d * day_us, r.event_type): r.n
+        for r in ev.groupBy(
+            F.floor(F.col("t") / day_us).alias("d"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wm = ev.agg(F.max("t")).collect()[0][0] - 3_600_000_000
+    closed = {k: v for k, v in full.items() if k[0] + day_us <= wm}
+    withheld = {k for k in full if k not in closed}
+    assert got == closed
+    assert withheld, "fixture should leave the last day open"
+    assert all(k not in got for k in withheld)
