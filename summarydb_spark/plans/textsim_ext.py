@@ -257,8 +257,50 @@ FROM s
 GROUP BY lang"""
 
 
+def q_vocab_coverage(dialect: str) -> str:
+    """Vocabulary OOV audit: token-occurrence coverage per language of a
+    global top-1000 frequency vocabulary (ties broken by token string —
+    a total order).  The per-lang token relation aggregates BEFORE
+    joining the 1000-row vocabulary (broadcast at scale), so the join
+    input is (lang x distinct-token) counts, never raw occurrences."""
+    if dialect == "spark":
+        tok = (
+            f"SELECT lang, t FROM documents "
+            f"LATERAL VIEW explode(split({_norm(dialect)}, ' ')) AS t"
+        )
+    else:
+        tok = (
+            f"SELECT lang, unnest(string_split({_norm(dialect)}, ' ')) AS t "
+            f"FROM documents"
+        )
+    return f"""
+WITH tok AS ({tok}),
+cnt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY lang, t),
+gtot AS (SELECT t, sum(n) AS gn FROM cnt GROUP BY t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY gn DESC, t) AS rk FROM gtot
+  ) x WHERE rk <= 1000
+),
+cov AS (
+  SELECT c.lang,
+         sum(c.n) AS total_occ,
+         sum(CASE WHEN v.t IS NOT NULL THEN c.n ELSE 0 END) AS in_vocab
+  FROM cnt c LEFT JOIN vocab v ON v.t = c.t
+  GROUP BY c.lang
+)
+SELECT lang,
+       CAST(total_occ AS BIGINT) AS total_occ,
+       CAST(in_vocab AS BIGINT) AS in_vocab_occ,
+       CAST(floor((total_occ - in_vocab) * 1000000.0 / total_occ)
+            AS BIGINT) AS oov_ppm
+FROM cov"""
+
+
 TEXTSIM_EXT_QUERIES = {
     "token_cooccurrence_lift": q_token_cooccurrence_lift,
+    "vocab_coverage_oov": q_vocab_coverage,
     "tokenizer_fertility": q_tokenizer_fertility,
 }
 

@@ -480,6 +480,51 @@ FROM scored
 GROUP BY r_score * 100 + f_score * 10 + m_score"""
 
 
+def q_session_path_trigrams(dialect: str) -> str:
+    """Top-20 within-session event-type trigram paths: sessionize (1h
+    gap, the engine's session definition), then window leads give each
+    3-step path without a self-join.  Complements the global bigram
+    transition matrix (stats_ext markov_event_transitions) with
+    session-scoped sequential patterns.  One exchange on user_id; the
+    top-k runs on the tiny path-count relation."""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH e AS (
+  SELECT user_id, {t} AS t, event_id, event_type FROM events
+),
+d AS (
+  SELECT user_id, t, event_id, event_type,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT user_id, t, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+),
+tri AS (
+  SELECT user_id,
+         concat(event_type, '>',
+                lead(event_type, 1) OVER w2, '>',
+                lead(event_type, 2) OVER w2) AS path,
+         lead(sid, 2) OVER w2 AS sid2, sid
+  FROM s
+  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY t, event_id)
+),
+p AS (SELECT user_id, path FROM tri WHERE sid2 = sid AND path IS NOT NULL)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p
+GROUP BY path
+ORDER BY n_paths DESC, path
+LIMIT 20"""
+
+
 WAREHOUSE_EXT_QUERIES = {
     "scd2_user_state_history": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
@@ -487,6 +532,7 @@ WAREHOUSE_EXT_QUERIES = {
     "changelog_compact_merge": q_changelog_compact_merge,
     "rolling_median_daily_count": q_rolling_median_daily,
     "ewma_halflife_daily": q_ewma_halflife_daily,
+    "session_path_trigrams": q_session_path_trigrams,
     "salted_join_skew": q_salted_join_skew,
     "bootstrap_mean_ci_poisson": q_bootstrap_mean_ci,
     "customer_rfm_segments": q_customer_rfm,

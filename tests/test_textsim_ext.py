@@ -93,3 +93,12 @@ def test_tokenizer_fertility_identities(spark):
         assert r.total_chars >= r.total_subwords
         assert r.fertility_ppm >= 1000000
         assert r.n_docs > 0
+
+
+def test_vocab_coverage_identities(spark):
+    rows = run(spark, "vocab_coverage_oov").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.in_vocab_occ <= r.total_occ
+        expect = (r.total_occ - r.in_vocab_occ) * 1000000 // r.total_occ
+        assert r.oov_ppm == expect

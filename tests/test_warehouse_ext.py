@@ -196,3 +196,15 @@ def test_ewma_joins_stay_off_the_fact(spark):
     assert plan.count("orders.parquet") <= 2
     assert "ReadSchema: struct<o_totalprice" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_paths_are_valid_trigrams(spark):
+    types = {"view", "click", "purchase", "signup", "error"}
+    rows = run(spark, "session_path_trigrams").collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_paths for r in rows]
+    assert counts == sorted(counts, reverse=True)  # top-k ordering
+    for r in rows:
+        segs = r.path.split(">")
+        assert len(segs) == 3 and set(segs) <= types
+        assert 1 <= r.n_users <= r.n_paths
