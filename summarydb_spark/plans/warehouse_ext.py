@@ -457,12 +457,16 @@ WITH pc AS (
   FROM orders
   GROUP BY o_custkey
 ),
+mx AS (SELECT max(last_t) AS mt FROM pc),
 c AS (
+  -- global max via a 1-row aggregate cross join (broadcast), NOT an
+  -- unpartitioned window — max() OVER () would force all customers
+  -- into a single window partition at scale
   SELECT o_custkey,
-         CAST(floor((max(last_t) OVER ()) / {DAY_US}.0) AS BIGINT)
+         CAST(floor(mx.mt / {DAY_US}.0) AS BIGINT)
            - CAST(floor(last_t / {DAY_US}.0) AS BIGINT) AS recency_days,
          frequency, monetary
-  FROM pc
+  FROM pc, mx
 ),
 scored AS (
   SELECT o_custkey, recency_days, frequency, monetary,
