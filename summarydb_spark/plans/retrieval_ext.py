@@ -333,8 +333,118 @@ FROM per_chunk
 GROUP BY ordering"""
 
 
+def q_hybrid_rrf_fusion(dialect: str) -> str:
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    SIGIR'09): fuse the BM25 lexical ranking (same terms/parameters as
+    bm25_search_topk) with a dense ranking — quantized-cosine similarity
+    to the probe embedding (vec 0; doc_id == vec_id in the testdata) —
+    as rrf = sum over systems floor(1e6 / (60 + rank)), top-15.
+
+    Determinism: cosine operates on integer milli-unit components (exact
+    BIGINT dot products and norms; IEEE sqrt is correctly rounded, so
+    the double similarity is bit-identical across engines); BM25 reuses
+    the proven fixed-order score expression; every ranking ties off by
+    doc_id; fusion arithmetic is integer.
+
+    Scale: each system ranks only its candidates (BM25: docs containing
+    a query term; dense: one probe-vs-corpus pass — at scale the ANN
+    index replaces it); the fusion joins two rank relations of top-list
+    size, never the corpus."""
+    toks = _split_tokens(dialect)
+    if dialect == "spark":
+        tf_cols = ",".join(
+            f"CAST(size(filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+            for i, t in enumerate(BM25_TERMS)
+        )
+        dl_col = "CAST(size(toks) AS BIGINT) AS dl"
+        vm_rel = (
+            "SELECT vec_id, idx,"
+            " CAST(round(CAST(v AS DOUBLE) * 1000.0, 0) AS BIGINT) AS vm"
+            " FROM embeddings LATERAL VIEW posexplode(embedding) t AS idx, v"
+        )
+    else:
+        tf_cols = ",".join(
+            f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+            for i, t in enumerate(BM25_TERMS)
+        )
+        dl_col = "CAST(len(toks) AS BIGINT) AS dl"
+        vm_rel = (
+            "SELECT vec_id, t.i AS idx,"
+            " CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000.0, 0)"
+            " AS BIGINT) AS vm"
+            " FROM embeddings, unnest(range(0, len(embedding))) AS t(i)"
+        )
+    stat_cols = ",".join(
+        ["count(*) AS n_docs", "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl"]
+        + [
+            f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(BM25_TERMS))
+        ]
+    )
+
+    def contrib(i: int) -> str:
+        return (
+            f"(CASE WHEN tf{i} = 0 THEN 0.0 ELSE "
+            f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+            f"* (tf{i} * {BM25_K1 + 1.0}) "
+            f"/ (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+            f" END)"
+        )
+
+    score = " + ".join(contrib(i) for i in range(len(BM25_TERMS)))
+    any_tf = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+per_doc AS (SELECT doc_id, {dl_col}, {tf_cols} FROM tok),
+corpus AS (SELECT {stat_cols} FROM per_doc),
+r_text AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY floor(({score}) * 1000000) DESC, doc_id) AS r
+  FROM per_doc CROSS JOIN corpus
+  WHERE {any_tf} > 0
+),
+e AS ({vm_rel}),
+probe AS (SELECT idx, vm FROM e WHERE vec_id = 0),
+pn AS (SELECT sum(vm * vm) AS nb FROM probe),
+dots AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(sum(e.vm * p.vm) AS BIGINT) AS dot,
+         CAST(sum(e.vm * e.vm) AS BIGINT) AS na
+  FROM e JOIN probe p ON p.idx = e.idx
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+),
+r_dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY
+           CAST(dot AS DOUBLE)
+             / sqrt(CAST(na AS DOUBLE) * CAST(pn.nb AS DOUBLE)) DESC,
+           doc_id) AS r
+  FROM dots, pn
+  WHERE na > 0 AND pn.nb > 0
+),
+fused AS (
+  SELECT coalesce(t.doc_id, d.doc_id) AS doc_id,
+         CAST(coalesce(t.r, 0) AS BIGINT) AS rank_text,
+         CAST(coalesce(d.r, 0) AS BIGINT) AS rank_dense,
+         CAST(CASE WHEN t.r IS NULL THEN 0
+                   ELSE floor(1000000.0 / (60 + t.r)) END
+            + CASE WHEN d.r IS NULL THEN 0
+                   ELSE floor(1000000.0 / (60 + d.r)) END AS BIGINT)
+           AS rrf_micro
+  FROM r_text t
+  FULL OUTER JOIN r_dense d ON d.doc_id = t.doc_id
+)
+SELECT doc_id, rank_text, rank_dense, rrf_micro
+FROM fused
+ORDER BY rrf_micro DESC, doc_id
+LIMIT 15"""
+
+
 RETRIEVAL_EXT_QUERIES = {
     "bm25_search_topk": q_bm25_search_topk,
+    "hybrid_rrf_fusion": q_hybrid_rrf_fusion,
     "decontam_exact_match": q_decontam_exact_match,
     "quality_classifier_hashed": q_quality_classifier_hashed,
     "k_anonymity_profile": q_k_anonymity_profile,

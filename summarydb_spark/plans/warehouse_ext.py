@@ -529,6 +529,43 @@ ORDER BY n_paths DESC, path
 LIMIT 20"""
 
 
+def q_seasonal_naive_backtest(dialect: str) -> str:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    event count with the count 7 days earlier (the weekly-seasonality
+    baseline every real forecaster must beat), then score MAE and WAPE
+    in exact integer units.  The lag joins on the day INDEX (d-7), so
+    calendar gaps never misalign the season; all error arithmetic is
+    integer (WAPE = floor(sum|err| * 1e6 / sum(actual))).
+
+    Scale: daily pre-aggregation bounds everything downstream to
+    #days x #types rows; the backtest join is a self-join on that tiny
+    relation."""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(({t}) / {DAY_US}.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type, CAST(floor(({t}) / {DAY_US}.0) AS BIGINT)
+),
+j AS (
+  SELECT a.event_type, a.d, a.n, b.n AS fc,
+         abs(a.n - b.n) AS abs_err
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d - 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+       CAST(floor(sum(abs_err) * 1000000.0 / sum(n)) AS BIGINT)
+         AS wape_ppm,
+       CAST(floor(sum(abs_err) * 1000.0 / count(*)) AS BIGINT)
+         AS mae_milli
+FROM j
+GROUP BY event_type"""
+
+
 WAREHOUSE_EXT_QUERIES = {
     "scd2_user_state_history": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
@@ -537,6 +574,7 @@ WAREHOUSE_EXT_QUERIES = {
     "rolling_median_daily_count": q_rolling_median_daily,
     "ewma_halflife_daily": q_ewma_halflife_daily,
     "session_path_trigrams": q_session_path_trigrams,
+    "seasonal_naive_backtest": q_seasonal_naive_backtest,
     "salted_join_skew": q_salted_join_skew,
     "bootstrap_mean_ci_poisson": q_bootstrap_mean_ci,
     "customer_rfm_segments": q_customer_rfm,

@@ -163,3 +163,23 @@ def test_minhash_calibration_identical_docs_agree_fully(spark):
     assert out[16]["n_pairs"] == 1
     assert out[16]["avg_j_exact"] == 1.0
     assert out[16]["mae_micro"] == 0
+
+
+def test_hybrid_rrf_fuses_both_systems(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["hybrid_rrf_fusion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(rows) <= 15
+    scores = [r.rrf_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert any(r.rank_dense > 0 for r in rows)  # dense system contributes
+    for r in rows:
+        expect = 0
+        if r.rank_text > 0:
+            expect += 1000000 // (60 + r.rank_text)
+        if r.rank_dense > 0:
+            expect += 1000000 // (60 + r.rank_dense)
+        assert r.rrf_micro == expect
+        assert r.doc_id != 0  # the probe itself never self-retrieves

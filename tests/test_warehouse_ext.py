@@ -208,3 +208,12 @@ def test_session_paths_are_valid_trigrams(spark):
         segs = r.path.split(">")
         assert len(segs) == 3 and set(segs) <= types
         assert 1 <= r.n_users <= r.n_paths
+
+
+def test_seasonal_backtest_identities(spark):
+    rows = run(spark, "seasonal_naive_backtest").collect()
+    assert rows
+    for r in rows:
+        assert r.n_obs > 0
+        assert r.wape_ppm >= 0 and r.mae_milli >= 0
+        assert r.mae_milli == r.total_abs_err * 1000 // r.n_obs
