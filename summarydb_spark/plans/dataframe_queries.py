@@ -815,6 +815,54 @@ def q_streaming_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup state: the same events source is read
+    by TWO stream readers and unioned — every event arrives twice — then
+    ``dropDuplicates("event_id")`` reduces it back before a per-type
+    aggregate.  The memory-sink result must equal the plain batch counts
+    (the oracle), proving the dedup state admits each key exactly once
+    across duplicate deliveries — the at-least-once -> exactly-once
+    repair every real ingest pipeline needs.  State is O(distinct keys)
+    (bounded here; production bounds it with
+    dropDuplicatesWithinWatermark)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+
+    def src(glob: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(glob)
+            .select("event_id", "event_type")
+        )
+
+    # two distinct globs of the same file = duplicate delivery
+    stream = (
+        src(os.path.join(sf_dir, "events.[p]arquet"))
+        .unionByName(src(os.path.join(sf_dir, "events.[pq]arquet")))
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "streaming_dedup_gate_sink"
+    spark.catalog.dropTempView(name)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type"""
+
+
 ORACLE_STREAMING_WATERMARK = """
 WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
 mx AS (SELECT max(t) AS mt FROM e),
@@ -1570,6 +1618,10 @@ DF_QUERIES = {
     "streaming_watermark_gate": (
         q_streaming_watermark_gate,
         ORACLE_STREAMING_WATERMARK,
+    ),
+    "streaming_dedup_gate": (
+        q_streaming_dedup_gate,
+        ORACLE_STREAMING_DEDUP,
     ),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),

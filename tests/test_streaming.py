@@ -579,3 +579,20 @@ def test_streaming_watermark_gate_withholds_open_day(spark):
     assert got == closed
     assert withheld, "fixture should leave the last day open"
     assert all(k not in got for k in withheld)
+
+
+def test_streaming_dedup_gate_collapses_duplicate_delivery(spark):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["streaming_dedup_gate"](spark, sf).collect()
+    got = {r.event_type: r.n for r in rows}
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want  # doubled delivery, single counting
