@@ -357,23 +357,17 @@ def q_hybrid_rrf_fusion(dialect: str) -> str:
             for i, t in enumerate(BM25_TERMS)
         )
         dl_col = "CAST(size(toks) AS BIGINT) AS dl"
-        vm_rel = (
-            "SELECT vec_id, idx,"
-            " CAST(round(CAST(v AS DOUBLE) * 1000.0, 0) AS BIGINT) AS vm"
-            " FROM embeddings LATERAL VIEW posexplode(embedding) t AS idx, v"
-        )
     else:
         tf_cols = ",".join(
             f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
             for i, t in enumerate(BM25_TERMS)
         )
         dl_col = "CAST(len(toks) AS BIGINT) AS dl"
-        vm_rel = (
-            "SELECT vec_id, t.i AS idx,"
-            " CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000.0, 0)"
-            " AS BIGINT) AS vm"
-            " FROM embeddings, unnest(range(0, len(embedding))) AS t(i)"
-        )
+    # the integer milli-unit embedding explode is the SAME quantization
+    # the PCA uses — shared helper so the exactness contract has one home
+    from summarydb_spark.plans.linalg_ext import _vm
+
+    vm_rel = _vm(dialect)
     stat_cols = ",".join(
         ["count(*) AS n_docs", "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl"]
         + [
@@ -402,7 +396,9 @@ r_text AS (
          row_number() OVER (
            ORDER BY floor(({score}) * 1000000) DESC, doc_id) AS r
   FROM per_doc CROSS JOIN corpus
-  WHERE {any_tf} > 0
+  -- doc 0 IS the probe (doc_id == vec_id): exclude it from BOTH
+  -- rankings, not just the dense one — self-retrieval is not a result
+  WHERE {any_tf} > 0 AND doc_id <> 0
 ),
 e AS ({vm_rel}),
 probe AS (SELECT idx, vm FROM e WHERE vec_id = 0),

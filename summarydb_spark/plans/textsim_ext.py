@@ -181,10 +181,13 @@ def q_prefix_filter_jaccard_df(spark, sf_dir: str):
 
 def q_token_cooccurrence_lift(dialect: str) -> str:
     """Pairwise co-occurrence lift over the top-30 document-frequency
-    tokens: lift = P(a,b) / (P(a)P(b)) in exact integer ppm (numerator
-    n_ab * n_docs * 1e6 stays far below 2^53).  The vocabulary cut runs
-    before the doc-level self-join, so the pair explosion is bounded by
-    30 tokens per doc regardless of corpus size."""
+    tokens: lift = P(a,b) / (P(a)P(b)) in exact integer ppm — the
+    numerator n_ab * n_docs * 1e6 and the division both stay in BIGINT
+    (exact to ~3e6-doc corpora; the double path would silently lose ulps
+    past 2^53 around 1e5 docs).  The vocabulary cut runs before the
+    doc-level self-join, so the pair explosion is bounded by 30 tokens
+    per doc regardless of corpus size."""
+    idiv = "div" if dialect == "spark" else "//"
     if dialect == "spark":
         tok = f"""
 tok AS (
@@ -216,7 +219,7 @@ pairs AS (
   GROUP BY a.t, b.t, a.df, b.df
 )
 SELECT token_a, token_b, n_ab,
-       CAST(floor(n_ab * 1000000.0 * nd.n / (df_a * df_b)) AS BIGINT)
+       CAST((n_ab * nd.n * 1000000) {idiv} (df_a * df_b) AS BIGINT)
          AS lift_ppm
 FROM pairs CROSS JOIN nd"""
 
