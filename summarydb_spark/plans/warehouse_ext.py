@@ -566,6 +566,85 @@ FROM j
 GROUP BY event_type"""
 
 
+def q_rolling_ols_slope(dialect: str) -> str:
+    """Trailing 14-observation OLS trend slope of daily per-type counts,
+    in exact integer arithmetic: with x = day index and y = integer
+    counts, every windowed power sum (Sx, Sy, Sxy, Sxx) is an exact
+    BIGINT, so slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is an exact
+    integer ratio reported in milli-units via integer division.
+    Complements the global OLS (stats_ext linreg) with the windowed
+    trend detector a monitoring pipeline actually runs.
+
+    Magnitudes: d ~ 2e4 (epoch days), so n*Sxx ~ 14^2 * 4e8 ~ 8e10 and
+    the milli-scaled numerator stays far inside BIGINT."""
+    idiv = "div" if dialect == "spark" else "//"
+    t = epoch_us("ts", dialect)
+    w = (
+        "OVER (PARTITION BY event_type ORDER BY d "
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(({t}) / {DAY_US}.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events
+  GROUP BY event_type, CAST(floor(({t}) / {DAY_US}.0) AS BIGINT)
+),
+win AS (
+  SELECT event_type, d, y,
+         count(*) {w} AS n,
+         sum(d) {w} AS sx,
+         sum(y) {w} AS sy,
+         sum(d * y) {w} AS sxy,
+         sum(d * d) {w} AS sxx
+  FROM daily
+)
+SELECT event_type, d, y,
+       CAST(n AS BIGINT) AS n_window,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                 ELSE ((n * sxy - sx * sy) * 1000)
+                      {idiv} (n * sxx - sx * sx) END AS BIGINT)
+         AS slope_milli
+FROM win"""
+
+
+def q_snapshot_diff_counts(dialect: str) -> str:
+    """Snapshot diff (the CDC audit twin of changelog_compact_merge):
+    compare the per-user compacted state BEFORE T0 against the state
+    over ALL events, classifying each user as added (first seen after
+    T0), state_changed, value_changed, or unchanged, rolled up by final
+    state type.  Two rank-1 compactions + one join of user-sized
+    relations — the diff never touches the fact twice."""
+    t = epoch_us("ts", dialect)
+    t0 = "1705363200000000"  # 2024-01-16 00:00:00 UTC
+    compact = """
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY t DESC, event_id DESC) AS rk
+    FROM {src}
+  ) x WHERE rk = 1"""
+    return f"""
+WITH e AS (
+  SELECT user_id, {t} AS t, event_id, event_type, value FROM events
+),
+old_src AS (SELECT * FROM e WHERE t < {t0}),
+old AS ({compact.format(src='old_src')}),
+new AS ({compact.format(src='e')}),
+diff AS (
+  SELECT n.user_id, n.event_type AS state,
+         CASE WHEN o.user_id IS NULL THEN 'added'
+              WHEN o.event_type <> n.event_type THEN 'state_changed'
+              WHEN o.value <> n.value THEN 'value_changed'
+              ELSE 'unchanged' END AS change
+  FROM new n LEFT JOIN old o ON o.user_id = n.user_id
+)
+SELECT state, change, CAST(count(*) AS BIGINT) AS n_users
+FROM diff
+GROUP BY state, change"""
+
+
 WAREHOUSE_EXT_QUERIES = {
     "scd2_user_state_history": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
@@ -575,6 +654,8 @@ WAREHOUSE_EXT_QUERIES = {
     "ewma_halflife_daily": q_ewma_halflife_daily,
     "session_path_trigrams": q_session_path_trigrams,
     "seasonal_naive_backtest": q_seasonal_naive_backtest,
+    "rolling_ols_slope_14d": q_rolling_ols_slope,
+    "snapshot_diff_counts": q_snapshot_diff_counts,
     "salted_join_skew": q_salted_join_skew,
     "bootstrap_mean_ci_poisson": q_bootstrap_mean_ci,
     "customer_rfm_segments": q_customer_rfm,

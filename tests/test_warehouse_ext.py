@@ -217,3 +217,38 @@ def test_seasonal_backtest_identities(spark):
         assert r.n_obs > 0
         assert r.wape_ppm >= 0 and r.mae_milli >= 0
         assert r.mae_milli == r.total_abs_err * 1000 // r.n_obs
+
+
+def test_rolling_ols_slope_matches_numpy(spark):
+    import numpy as np
+
+    rows = run(spark, "rolling_ols_slope_14d").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for vs in by_type.values():
+        vs.sort(key=lambda r: r.d)
+        for i, r in enumerate(vs):
+            w = vs[max(0, i - 13) : i + 1]
+            assert r.n_window == len(w)
+            x = np.array([v.d for v in w], dtype=np.int64)
+            y = np.array([v.y for v in w], dtype=np.int64)
+            n = len(w)
+            num = int(n * (x * y).sum() - x.sum() * y.sum()) * 1000
+            den = int(n * (x * x).sum() - x.sum() ** 2)
+            if den == 0:
+                assert r.slope_milli is None
+            else:
+                # both engines truncate integer division toward zero
+                assert r.slope_milli == int(num / den)
+
+
+def test_snapshot_diff_partitions_all_users(spark):
+    rows = run(spark, "snapshot_diff_counts").collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert sum(r.n_users for r in rows) == (
+        ev.select("user_id").distinct().count()
+    )
+    kinds = {r.change for r in rows}
+    assert kinds <= {"added", "state_changed", "value_changed", "unchanged"}
+    assert "state_changed" in kinds or "added" in kinds
