@@ -301,6 +301,79 @@ SELECT lang,
 FROM cov"""
 
 
+def q_blocklist_tag_oracle(dialect: str) -> str:
+    """K-predicate oracle for the Aho-Corasick tagger: for each of the
+    top-20 document-frequency 3-gram shingles, count documents whose
+    normalized text CONTAINS it as a substring.  O(K * corpus) — exactly
+    the cost profile the automaton removes."""
+    n = _norm(dialect)
+    contains = (
+        "contains(d.nt, p.pat)"
+        if dialect == "spark"
+        else "contains(d.nt, p.pat)"
+    )
+    return f"""
+WITH {_explode_shingles(dialect)},
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ds GROUP BY s),
+pats AS (
+  SELECT s AS pat, df FROM (
+    SELECT s, df, row_number() OVER (ORDER BY df DESC, s) AS rk FROM dfreq
+  ) x WHERE rk <= 20
+),
+docs AS (SELECT doc_id, {n} AS nt FROM documents)
+SELECT p.pat AS pattern,
+       CAST(sum(CASE WHEN {contains} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs
+FROM pats p CROSS JOIN docs d
+GROUP BY p.pat"""
+
+
+def q_blocklist_tag_aho_df(spark, sf_dir: str):
+    """Multi-pattern blocklist tagging with ONE corpus pass: the top-20
+    df 3-gram shingles become an Aho-Corasick automaton (built on the
+    driver — blocklists are bounded — and shipped in the mapInPandas
+    closure), and every document is scanned once regardless of pattern
+    count.  Substring-presence semantics == SQL contains(), so the
+    K-predicate DuckDB oracle verifies the automaton bit-for-bit.
+
+    Scale: the oracle's shape is O(K * corpus) string scans; the
+    automaton is O(corpus) — at a 10k-phrase blocklist over 100 TB that
+    is the difference between feasible and not.  The scan is
+    Arrow-batched (one Python call per batch, never per row)."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.functions.match import multi_pattern_tag
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    pats_df = spark.sql(
+        f"""
+WITH {_explode_shingles("spark")},
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ds GROUP BY s)
+SELECT s AS pat FROM (
+  SELECT s, df, row_number() OVER (ORDER BY df DESC, s) AS rk FROM dfreq
+) x WHERE rk <= 20"""
+    )
+    patterns = [r.pat for r in pats_df.collect()]  # bounded: 20 strings
+    docs = spark.sql(
+        f"SELECT doc_id, {_norm('spark')} AS nt FROM documents"
+    )
+    tags = multi_pattern_tag(docs, "doc_id", "nt", patterns)
+    pat_rel = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(patterns)], "pattern_id long, pattern string"
+    )
+    agg = tags.groupBy("pattern_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # pattern spine on the LEFT so unmatched patterns report 0 (both
+    # relations are K rows; the broadcast side must be the non-outer one)
+    return pat_rel.join(F.broadcast(agg), "pattern_id", "left").select(
+        "pattern", F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs")
+    )
+
+
 TEXTSIM_EXT_QUERIES = {
     "token_cooccurrence_lift": q_token_cooccurrence_lift,
     "vocab_coverage_oov": q_vocab_coverage,
@@ -313,5 +386,9 @@ TEXTSIM_DF_QUERIES = {
     "prefix_filter_jaccard_join": (
         q_prefix_filter_jaccard_df,
         q_prefix_filter_jaccard_oracle("duckdb"),
+    ),
+    "blocklist_tag_aho": (
+        q_blocklist_tag_aho_df,
+        q_blocklist_tag_oracle("duckdb"),
     ),
 }

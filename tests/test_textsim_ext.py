@@ -102,3 +102,31 @@ def test_vocab_coverage_identities(spark):
         assert 0 <= r.in_vocab_occ <= r.total_occ
         expect = (r.total_occ - r.in_vocab_occ) * 1000000 // r.total_occ
         assert r.oov_ppm == expect
+
+
+def test_aho_corasick_matches_python_in_operator():
+    """Automaton presence == substring presence, on adversarial strings
+    (overlaps, shared prefixes, nested patterns)."""
+    from summarydb_spark.functions.match import _scan, build_automaton
+
+    patterns = ["ab", "abc", "bc", "c", "aa", "aab", "xyz"]
+    tables = build_automaton(patterns)
+    texts = ["aabc", "abab", "ccc", "", "xy", "zxyzz", "aaab", "ba", "cab"]
+    for t in texts:
+        got = _scan(*tables, t)
+        want = {i for i, p in enumerate(patterns) if p in t}
+        assert got == want, t
+
+
+def test_blocklist_tagger_counts_match_contains(spark):
+    from pyspark.sql import functions as F
+
+    rows = run(spark, "blocklist_tag_aho").collect()
+    assert len(rows) == 20
+    docs = spark.sql(
+        "SELECT regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS nt "
+        "FROM parquet.`/root/testdata/sf0.001/documents.parquet`"
+    )
+    for r in rows[:5]:  # spot-check the densest patterns
+        want = docs.where(F.col("nt").contains(r.pattern)).count()
+        assert r.n_docs == want
