@@ -173,6 +173,7 @@ class Stream:
         core/landmark_window.go), so a crash mid-bracket loses the open
         bracket — never any committed one.
         """
+        self._db._assert_writable()
         if self._landmark is not None:
             self._landmark["points"].extend((int(t), float(v)) for t, v in pairs)
             if len(self._landmark["points"]) >= self._db.PENDING_SPILL_ROWS:
@@ -232,6 +233,7 @@ class Stream:
         keeps them in core/landmark_window.go), so they must never
         materialize on the driver.
         """
+        self._db._assert_writable()
         if self._landmark is not None:
             df.select(
                 F.col(ts_col).cast("long").alias("ts"),
@@ -773,11 +775,27 @@ class SummaryDB:
     PENDING_SPILL_ROWS = 100_000
 
     def __init__(
-        self, spark: SparkSession, path: str, durable_appends: bool = False
+        self,
+        spark: SparkSession,
+        path: str,
+        durable_appends: bool = False,
+        keep_versions: int = 0,
+        _at_commit: Optional[int] = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.durable_appends = durable_appends
+        # time travel: keep_versions > 0 archives each superseded registry
+        # snapshot under history/ (bounded), and the store versions /
+        # event segments those snapshots reference survive the orphan
+        # sweep — so SummaryDB.open(..., at_commit=N) can serve the DB
+        # exactly as committed then (Delta/Iceberg-style snapshot reads;
+        # the reference has no equivalent, its Badger store keeps only
+        # the live version).  _at_commit handles are READ-ONLY.
+        self.keep_versions = keep_versions
+        self._history_dir = os.path.join(path, "history")
+        self._read_only = _at_commit is not None
+        self._commit_seq = 0
         os.makedirs(path, exist_ok=True)
         self._streams: dict[int, Stream] = {}
         self._pending: list = []
@@ -791,9 +809,27 @@ class SummaryDB:
         # or version directories are invisible to readers and swept here.
         self._segments: dict = {"events": [], "landmarks": []}
         self._stores: dict = {"summary": None, "sketches": None}
-        if os.path.exists(self._registry_path):
-            with open(self._registry_path) as f:
+        registry_file = self._registry_path
+        if _at_commit is not None:
+            registry_file = os.path.join(
+                self._history_dir, f"streams-{_at_commit:012d}.json"
+            )
+            if not os.path.exists(registry_file):
+                # the CURRENT registry is also addressable by its seq
+                if os.path.exists(self._registry_path):
+                    with open(self._registry_path) as f:
+                        head = json.load(f)
+                    if head.get("commit_seq", 0) == _at_commit:
+                        registry_file = self._registry_path
+                if registry_file != self._registry_path:
+                    raise ValueError(
+                        f"no committed snapshot {_at_commit} under {path}; "
+                        f"available: {self.list_commits(path)}"
+                    )
+        if os.path.exists(registry_file):
+            with open(registry_file) as f:
                 data = json.load(f)
+            self._commit_seq = data.get("commit_seq", 0)
             for sid, m in data["streams"].items():
                 meta = _StreamMeta(**m)
                 self._streams[int(sid)] = Stream(self, meta)
@@ -812,10 +848,14 @@ class SummaryDB:
                 )
             self._segments = data.get("segments", self._segments)
             self._stores = data.get("stores", self._stores)
-        self._sweep_orphans()
         self._wal_path = os.path.join(path, "append.wal")
         self._wal_file = None
-        self._replay_wal()
+        if not self._read_only:
+            # a snapshot handle must not mutate the live DB: no orphan
+            # sweep (it would delete the HEAD's newer versions), no WAL
+            # replay (committed state only — that is what a snapshot IS)
+            self._sweep_orphans()
+            self._replay_wal()
 
     def _sweep_orphans(self) -> None:
         """Delete directories a crashed writer left behind: segment dirs
@@ -824,17 +864,65 @@ class SummaryDB:
         handle).  Single-writer by contract, like the reference DB."""
         import shutil
 
+        hist = self._history_registries()
         for root, kind in ((self._events_path, "events"), (self._landmarks_path, "landmarks")):
             if os.path.isdir(root):
                 live = {f"seg={s}" for s in self._segments[kind]}
+                for h in hist:  # snapshot-referenced segments stay readable
+                    live |= {f"seg={s}" for s in h.get("segments", {}).get(kind, [])}
                 for d in os.listdir(root):
                     if d.startswith("seg=") and d not in live:
                         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        for prefix, key in (("summary-", "summary"), ("sketches-", "sketches")):
+        protected = self._protected_store_versions()
+        for prefix in ("summary-", "sketches-"):
             for d in os.listdir(self.path):
-                if d.startswith(prefix) and d != self._stores.get(key):
+                if d.startswith(prefix) and d not in protected:
                     shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         shutil.rmtree(self._landmark_stage_root, ignore_errors=True)
+
+    def _history_registries(self) -> list:
+        """Archived registry snapshots (time travel), oldest first."""
+        import glob as _glob
+
+        out = []
+        for p in sorted(
+            _glob.glob(os.path.join(self._history_dir, "streams-*.json"))
+        ):
+            try:
+                with open(p) as f:
+                    out.append(json.load(f))
+            except (OSError, ValueError):
+                continue  # torn archive: ignore, never block opening
+        return out
+
+    def _protected_store_versions(self) -> set:
+        """Store version dirs the live pointer OR any retained snapshot
+        references — everything else is sweepable garbage."""
+        protected = {v for v in self._stores.values() if v}
+        for h in self._history_registries():
+            protected |= {v for v in h.get("stores", {}).values() if v}
+        return protected
+
+    @staticmethod
+    def list_commits(path: str) -> list:
+        """Commit seqs addressable by ``open(..., at_commit=N)``: the
+        retained snapshots plus the current head."""
+        import glob as _glob
+
+        out = []
+        for p in sorted(_glob.glob(os.path.join(path, "history", "streams-*.json"))):
+            try:
+                out.append(int(os.path.basename(p)[len("streams-"):-len(".json")]))
+            except ValueError:
+                continue
+        head = os.path.join(path, "streams.json")
+        if os.path.exists(head):
+            try:
+                with open(head) as f:
+                    out.append(json.load(f).get("commit_seq", 0))
+            except (OSError, ValueError):
+                pass
+        return out
 
     @property
     def _summary_path(self) -> str:
@@ -879,8 +967,40 @@ class SummaryDB:
         else:
             self._save_registry()
 
+    def _assert_writable(self) -> None:
+        if self._read_only:
+            raise ValueError(
+                "this handle is a read-only snapshot (at_commit=...); "
+                "open the DB head to write"
+            )
+
     def _save_registry(self) -> None:
+        self._assert_writable()
+        if self.keep_versions > 0 and os.path.exists(self._registry_path):
+            # archive the registry being superseded under ITS commit seq;
+            # tmp+replace so a crash never leaves a torn archive, and the
+            # prune keeps the newest keep_versions snapshots
+            os.makedirs(self._history_dir, exist_ok=True)
+            with open(self._registry_path) as f:
+                prev = json.load(f)
+            pseq = prev.get("commit_seq", 0)
+            htmp = os.path.join(self._history_dir, f".tmp-{pseq}")
+            with open(htmp, "w") as f:
+                json.dump(prev, f)
+            os.replace(
+                htmp,
+                os.path.join(self._history_dir, f"streams-{pseq:012d}.json"),
+            )
+            import glob as _glob
+
+            snaps = sorted(
+                _glob.glob(os.path.join(self._history_dir, "streams-*.json"))
+            )
+            for old in snaps[: -self.keep_versions]:
+                os.remove(old)
+        self._commit_seq += 1
         data = {
+            "commit_seq": self._commit_seq,
             "streams": {
                 str(s.meta.stream_id): {
                     "stream_id": s.meta.stream_id,
@@ -963,12 +1083,27 @@ class SummaryDB:
 
     @staticmethod
     def open(
-        spark: SparkSession, path: str, durable_appends: bool = False
+        spark: SparkSession,
+        path: str,
+        durable_appends: bool = False,
+        keep_versions: int = 0,
+        at_commit: Optional[int] = None,
     ) -> "SummaryDB":
         """Reopen an existing DB (core/db.go:49-59); recovery is trivial
         because all state lives in replayable tables (plus a WAL replay
-        when the previous handle ran with ``durable_appends``)."""
-        return SummaryDB(spark, path, durable_appends=durable_appends)
+        when the previous handle ran with ``durable_appends``).
+
+        ``at_commit=N`` opens the DB as committed at snapshot N — a
+        read-only time-travel handle over the archived registry (only
+        available for commits made under ``keep_versions > 0``; list
+        them with :meth:`list_commits`)."""
+        return SummaryDB(
+            spark,
+            path,
+            durable_appends=durable_appends,
+            keep_versions=keep_versions,
+            _at_commit=at_commit,
+        )
 
     def new_stream(
         self,
@@ -980,6 +1115,7 @@ class SummaryDB:
     ) -> Stream:
         from summarydb_spark.windowing import ExpWindowing
 
+        self._assert_writable()
         windowing = windowing or ExpWindowing(2.0)
         sid = stream_id if stream_id is not None else (max(self._streams, default=-1) + 1)
         if sid in self._streams:
@@ -1087,6 +1223,7 @@ class SummaryDB:
         the version dir for a Delta/Iceberg table to get partition-level
         manifests — the commit point stays a single pointer swap).
         """
+        self._assert_writable()
         targets = [
             s
             for s in self._streams.values()
@@ -1139,8 +1276,9 @@ class SummaryDB:
         self._save_registry()  # the commit point: pointers + dirty flags
         import shutil
 
+        protected = self._protected_store_versions()
         for old in old_stores:
-            if old and old not in self._stores.values():
+            if old and old not in protected:  # retained snapshots keep theirs
                 shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
 
     def _write_store_version(
