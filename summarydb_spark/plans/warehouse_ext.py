@@ -645,6 +645,32 @@ FROM diff
 GROUP BY state, change"""
 
 
+def q_variant_props_profile(dialect: str) -> str:
+    """Semi-structured profiling through Spark 4's native VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` paths — the
+    shredded-at-parse representation that replaces repeated
+    ``get_json_object`` string walks at scale (one parse per row, typed
+    access after).  DuckDB oracle uses its JSON extraction; both
+    aggregate the extracted integer into a decile profile joined with
+    the numeric value stats."""
+    if dialect == "spark":
+        k = "CAST(variant_get(parse_json(props), '$.k', 'bigint') AS BIGINT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    return f"""
+WITH x AS (
+  SELECT {k} AS k, value, user_id FROM events
+)
+SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {dsum('value')} AS value_sum
+FROM x
+GROUP BY CAST(floor(k / 10.0) AS BIGINT)"""
+
+
 WAREHOUSE_EXT_QUERIES = {
     "scd2_user_state_history": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
@@ -656,6 +682,7 @@ WAREHOUSE_EXT_QUERIES = {
     "seasonal_naive_backtest": q_seasonal_naive_backtest,
     "rolling_ols_slope_14d": q_rolling_ols_slope,
     "snapshot_diff_counts": q_snapshot_diff_counts,
+    "variant_props_profile": q_variant_props_profile,
     "salted_join_skew": q_salted_join_skew,
     "bootstrap_mean_ci_poisson": q_bootstrap_mean_ci,
     "customer_rfm_segments": q_customer_rfm,
