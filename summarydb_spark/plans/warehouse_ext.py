@@ -671,6 +671,61 @@ FROM x
 GROUP BY CAST(floor(k / 10.0) AS BIGINT)"""
 
 
+def q_peak_concurrency_daily(dialect: str) -> str:
+    """Peak concurrent sessions per day via the interval sweep: each 1h-gap
+    session contributes +1 at its start and -1 just after its end; the
+    running sum over the global (time, delta) order is the live-session
+    count, and its per-day max is the capacity-planning number.  The sweep
+    runs over 2 rows per session (not per event), and ties order
+    (+1 before -1 at equal timestamps? NO — ends sort FIRST via delta
+    ascending, so back-to-back sessions at the same microsecond don't
+    inflate the peak).
+
+    Scale note: the running sum is a global-order window — at 100 TB the
+    sweep would range-partition by time with per-partition offsets (the
+    standard parallel prefix-sum); session endpoints are ~1e-4 of events,
+    so the windowed relation is tiny relative to the fact."""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH e AS (
+  SELECT user_id, {t} AS t, event_id FROM events
+),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+),
+sess AS (
+  SELECT user_id, sid, min(t) AS t_start, max(t) AS t_end
+  FROM s GROUP BY user_id, sid
+),
+pts AS (
+  SELECT t_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT t_end + 1, -1 FROM sess
+),
+sweep AS (
+  SELECT t,
+         sum(delta) OVER (ORDER BY t, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM pts
+)
+SELECT CAST(floor(t / {DAY_US}.0) AS BIGINT) AS d,
+       CAST(max(live) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) AS BIGINT) AS n_endpoints
+FROM sweep
+GROUP BY CAST(floor(t / {DAY_US}.0) AS BIGINT)"""
+
+
 WAREHOUSE_EXT_QUERIES = {
     "scd2_user_state_history": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
@@ -683,6 +738,7 @@ WAREHOUSE_EXT_QUERIES = {
     "rolling_ols_slope_14d": q_rolling_ols_slope,
     "snapshot_diff_counts": q_snapshot_diff_counts,
     "variant_props_profile": q_variant_props_profile,
+    "peak_concurrency_daily": q_peak_concurrency_daily,
     "salted_join_skew": q_salted_join_skew,
     "bootstrap_mean_ci_poisson": q_bootstrap_mean_ci,
     "customer_rfm_segments": q_customer_rfm,

@@ -130,3 +130,28 @@ def test_blocklist_tagger_counts_match_contains(spark):
     for r in rows[:5]:  # spot-check the densest patterns
         want = docs.where(F.col("nt").contains(r.pattern)).count()
         assert r.n_docs == want
+
+
+def test_aho_corasick_property_random_patterns():
+    """Hypothesis: automaton presence == Python substring presence for
+    arbitrary pattern sets over a small alphabet (dense overlap regime)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from summarydb_spark.functions.match import _scan, build_automaton
+
+    alpha = "abc"
+    pat = st.text(alphabet=alpha, min_size=1, max_size=4)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pats=st.lists(pat, min_size=1, max_size=8, unique=True),
+        text=st.text(alphabet=alpha, max_size=40),
+    )
+    def check(pats, text):
+        tables = build_automaton(pats)
+        got = _scan(*tables, text)
+        want = {i for i, p in enumerate(pats) if p in text}
+        assert got == want
+
+    check()

@@ -252,3 +252,17 @@ def test_snapshot_diff_partitions_all_users(spark):
     kinds = {r.change for r in rows}
     assert kinds <= {"added", "state_changed", "value_changed", "unchanged"}
     assert "state_changed" in kinds or "added" in kinds
+
+
+def test_peak_concurrency_bounded_by_sessions(spark):
+    rows = run(spark, "peak_concurrency_daily").collect()
+    assert rows
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert 0 <= r.peak_concurrent <= n_users  # never more than users
+        assert r.n_endpoints >= 1
