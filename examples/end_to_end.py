@@ -68,6 +68,23 @@ def main() -> None:
         print(f"after reopen, same query: {r.value:.1f}")
         db2.close()
 
+        # time travel: keep_versions archives registry snapshots, and
+        # at_commit opens a read-only view of the DB as committed then
+        tt = SummaryDB(spark, os.path.join(root, "tt"), keep_versions=3)
+        st = tt.new_stream(ops=["count"])
+        st.append_pairs([(i, 1.0) for i in range(1, 101)])
+        tt.flush()
+        v1 = tt._commit_seq
+        st.append_pairs([(i, 1.0) for i in range(101, 201)])
+        tt.flush()
+        snap = SummaryDB.open(spark, os.path.join(root, "tt"), at_commit=v1)
+        old = snap.get_stream(st.stream_id).query("count", 1, 200, params)
+        new = st.query("count", 1, 200, params)
+        print(f"time travel: count @v{v1} = {old.value:.0f}, "
+              f"head = {new.value:.0f} "
+              f"(commits: {SummaryDB.list_commits(os.path.join(root, 'tt'))})")
+        tt.close()
+
     # ---- 2. the relational / pipeline surface ------------------------
     import __spark_entry__ as entry
 
