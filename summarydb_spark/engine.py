@@ -1192,6 +1192,46 @@ class SummaryDB:
             F.col("stream_id").cast("long"), "seq", "ts", "value"
         )
 
+    def compact_events(self) -> int:
+        """Merge the committed event and landmark segments into one
+        segment each — the small-file compaction every flush-per-batch
+        ingest eventually needs (each flush writes one coalesced segment;
+        a year of hourly flushes is ~9k directories whose listing cost
+        taxes every query scan).  Readers are never blocked: the merged
+        segments are written to fresh directories and published by the
+        single atomic registry replace; a crash at any point leaves the
+        previous segment list fully intact, and segments referenced by
+        retained time-travel snapshots survive the sweep.  Returns the
+        number of segments compacted away."""
+        self._assert_writable()
+        self._flush_pending()
+        compacted = 0
+        if len(self._segments["events"]) > 1:
+            old = list(self._segments["events"])
+            # one directory per stream, rows ordered by seq within it —
+            # the layout a fresh single-flush DB would have written
+            self._write_events(
+                self.events()
+                .repartition("stream_id")
+                .sortWithinPartitions("stream_id", "seq")
+            )
+            self._segments["events"] = [
+                s for s in self._segments["events"] if s not in old
+            ]
+            compacted += len(old)
+        if len(self._segments["landmarks"]) > 1:
+            old = list(self._segments["landmarks"])
+            lm = self.landmarks_df()
+            self._write_landmarks(lm.coalesce(1))
+            self._segments["landmarks"] = [
+                s for s in self._segments["landmarks"] if s not in old
+            ]
+            compacted += len(old)
+        if compacted:
+            self._save_registry()
+            self._sweep_orphans()  # drop superseded dirs (snapshots keep theirs)
+        return compacted
+
     def landmarks_df(self) -> Optional[DataFrame]:
         """Committed landmark rows (LANDMARK_SCHEMA) or None when empty."""
         segs = self._segments["landmarks"]

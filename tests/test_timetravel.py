@@ -95,3 +95,51 @@ def test_head_reopen_preserves_snapshot_versions(spark, tmp_path):
     snap = SummaryDB.open(spark, db.path, at_commit=v1)
     assert snap.get_stream(s.stream_id).query("count", 1, 32).value == 32.0
     assert head.get_stream(s.stream_id).meta.n == 33
+
+
+def test_compact_events_preserves_data_and_snapshots(spark, tmp_path):
+    db = SummaryDB(spark, str(tmp_path / "db"), keep_versions=4)
+    s = db.new_stream(ops=("count", "sum"))
+    for k in range(3):  # three flushes -> three event segments
+        s.append_pairs([(100 * k + i, float(i)) for i in range(1, 11)])
+        db.flush()
+    s.start_landmark(1000)
+    s.append_pairs([(1001, 5.0), (1002, 6.0)])
+    s.end_landmark(1003)
+    db.flush()
+    s.start_landmark(2000)
+    s.append_pairs([(2001, 7.0)])
+    s.end_landmark(2002)
+    db.flush()
+    v_pre = db._commit_seq
+    assert len(db._segments["events"]) > 1
+    assert len(db._segments["landmarks"]) > 1
+    before = s.query("sum", 0, 3000)
+
+    n = db.compact_events()
+    assert n >= 4
+    assert len(db._segments["events"]) == 1
+    assert len(db._segments["landmarks"]) == 1
+    after = s.query("sum", 0, 3000)
+    assert after.value == before.value
+    assert db.events().count() == 30
+
+    # reopen: still one segment, identical answer, sweep kept snapshots
+    db2 = SummaryDB.open(spark, db.path, keep_versions=4)
+    assert len(db2._segments["events"]) == 1
+    assert db2.get_stream(s.stream_id).query("sum", 0, 3000).value == (
+        before.value
+    )
+    snap = SummaryDB.open(spark, db.path, at_commit=v_pre)
+    got = snap.get_stream(s.stream_id).query("sum", 0, 3000)
+    assert got.value == before.value  # pre-compaction segments survive
+
+
+def test_compact_events_noop_when_single_segment(spark, tmp_path):
+    db = SummaryDB(spark, str(tmp_path / "db"))
+    s = db.new_stream(ops=("count",))
+    s.append_pairs([(i, 1.0) for i in range(1, 11)])
+    db.flush()
+    seq = db._commit_seq
+    assert db.compact_events() == 0
+    assert db._commit_seq == seq  # no spurious commit
