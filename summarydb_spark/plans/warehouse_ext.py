@@ -726,9 +726,70 @@ FROM sweep
 GROUP BY CAST(floor(t / {DAY_US}.0) AS BIGINT)"""
 
 
+def q_attribution_linear(dialect: str) -> str:
+    """Linear (equal-split) multi-touch attribution: every view/click in
+    the 7-day lookback shares a purchase's credit equally, in EXACT
+    integer micro-units — each touch gets value_micro div k and the
+    division remainder goes to the most recent touch, so per-purchase
+    credit conserves to the cent by construction (the test asserts the
+    global conservation identity).  Purchases with no touches credit
+    'direct'.
+
+    Unlike last-touch (one window pass), linear attribution inherently
+    needs the purchases x touches interval join; it stays bounded
+    because the join is equi on user_id with a 7-day band — per-user
+    touch lists, never a cross join."""
+    idiv = "div" if dialect == "spark" else "//"
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH e AS (
+  SELECT user_id, {t} AS t, event_id, event_type, value FROM events
+),
+p AS (
+  SELECT user_id, t AS pt, event_id AS pid,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vmicro
+  FROM e WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+tch AS (
+  SELECT user_id, t AS tt, event_id AS tid, event_type AS channel
+  FROM e WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.pid, p.vmicro, tch.channel, tch.tt, tch.tid
+  FROM p JOIN tch
+    ON tch.user_id = p.user_id
+   AND tch.tt < p.pt AND tch.tt >= p.pt - 7 * {DAY_US}
+),
+split AS (
+  SELECT pid, vmicro, channel,
+         count(*) OVER (PARTITION BY pid) AS k,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY tt DESC, tid DESC) AS rn
+  FROM j
+),
+credits AS (
+  SELECT channel, pid,
+         (vmicro {idiv} k)
+           + CASE WHEN rn = 1 THEN vmicro - k * (vmicro {idiv} k)
+                  ELSE 0 END AS credit
+  FROM split
+  UNION ALL
+  SELECT 'direct', p.pid, p.vmicro
+  FROM p LEFT JOIN j ON j.pid = p.pid
+  WHERE j.pid IS NULL
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+       CAST(sum(credit) AS BIGINT) AS credited_micro
+FROM credits
+GROUP BY channel"""
+
+
 WAREHOUSE_EXT_QUERIES = {
     "scd2_user_state_history": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
+    "attribution_linear_multitouch": q_attribution_linear,
     "state_machine_violations": q_state_machine_violations,
     "changelog_compact_merge": q_changelog_compact_merge,
     "rolling_median_daily_count": q_rolling_median_daily,

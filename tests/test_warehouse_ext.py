@@ -266,3 +266,19 @@ def test_peak_concurrency_bounded_by_sessions(spark):
     for r in rows:
         assert 0 <= r.peak_concurrent <= n_users  # never more than users
         assert r.n_endpoints >= 1
+
+
+def test_linear_attribution_conserves_credit_exactly(spark):
+    from pyspark.sql import functions as F
+
+    rows = run(spark, "attribution_linear_multitouch").collect()
+    total_credit = sum(r.credited_micro for r in rows)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total_purchases = (
+        ev.where("event_type = 'purchase' AND value IS NOT NULL")
+        .select(F.round(F.col("value") * 1000000, 0).cast("long").alias("v"))
+        .agg(F.sum("v"))
+        .collect()[0][0]
+    )
+    assert total_credit == total_purchases  # exact conservation, to the micro
+    assert {r.channel for r in rows} <= {"view", "click", "direct"}
