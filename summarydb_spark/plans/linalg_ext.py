@@ -156,7 +156,116 @@ def q_embedding_pca_power_df(spark, sf_dir: str):
     )
 
 
+def q_theil_sen_oracle(dialect: str) -> str:
+    """Pairwise-median oracle for the Theil-Sen slope: all C(n,2) day
+    pairs per event type, slope médian via the engine's continuous
+    quantile.  Slopes are IEEE divisions of identical integers, so both
+    engines compute bit-identical doubles; the median of identical
+    multisets (exact element for odd counts, mean of two identical
+    doubles for even) matches numpy's median."""
+    med = (
+        "percentile(slope, 0.5)"
+        if dialect == "spark"
+        else "quantile_cont(slope, 0.5)"
+    )
+    if dialect == "spark":
+        t = "unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+    else:
+        t = "epoch_us(ts)"
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(({t}) / 86400000000.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events
+  GROUP BY event_type, CAST(floor(({t}) / 86400000000.0) AS BIGINT)
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d > a.d
+)
+SELECT p.event_type,
+       CAST(max(nd.n_days) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(round({med} * 1000, 0) AS BIGINT) AS sen_slope_milli
+FROM pairs p JOIN nd ON nd.event_type = p.event_type
+GROUP BY p.event_type"""
+
+
+def q_theil_sen_df(spark, sf_dir: str):
+    """Theil-Sen robust trend slope of daily event counts per type, as a
+    grouped ``applyInPandas`` operator: each (small) per-type daily
+    series ships to Python once, numpy computes the C(n,2) pairwise
+    slopes and their median.  This is the estimator to reach for when a
+    few anomalous days would wreck OLS (rolling_ols_slope_14d) — its
+    breakdown point is 29%.
+
+    Scale: the quadratic work is per GROUP (n = #days per type, so
+    C(n,2) is tiny and bounded by retention, never by corpus rows); the
+    shuffle is one hash exchange of the daily aggregate.  The SQL oracle
+    replays the pairwise median relationally."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .select(
+            "event_type",
+            F.floor(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))")
+                / 86_400_000_000.0
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+
+    def sen(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["event_type", "n_days", "n_pairs", "sen_slope_milli"]
+            )
+        d = pdf["d"].to_numpy(dtype=np.int64)
+        y = pdf["y"].to_numpy(dtype=np.int64)
+        i, j = np.triu_indices(len(d), k=1)
+        slopes = (y[j] - y[i]).astype(np.float64) / (d[j] - d[i]).astype(
+            np.float64
+        )
+        med = float(np.median(slopes))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(d)],
+                "n_pairs": [len(slopes)],
+                "sen_slope_milli": [
+                    int(np.sign(med * 1000) * np.floor(abs(med * 1000) + 0.5))
+                ],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        sen,
+        "event_type string, n_days long, n_pairs long, sen_slope_milli long",
+    )
+
+
 LINALG_DF_QUERIES = {
+    "theil_sen_daily_trend": (
+        q_theil_sen_df,
+        q_theil_sen_oracle("duckdb"),
+    ),
     "embedding_pca_power": (
         q_embedding_pca_power_df,
         q_embedding_pca_power_oracle("duckdb"),

@@ -63,3 +63,42 @@ def test_pca_weights_broadcast_fact_persisted(spark):
     assert "BroadcastHashJoin" in plan  # d-row weight vector broadcasts
     assert "InMemoryTableScan" in plan  # centered relation persisted once
     assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_matches_numpy_per_group(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = entry.queries()["theil_sen_daily_trend"](spark, SF_DIR).collect()
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            "event_type",
+            F.floor(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))")
+                / 86_400_000_000.0
+            ).cast("long").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(dict)
+    for r in daily:
+        series[r.event_type][r.d] = r["count"]
+    for r in rows:
+        ds = sorted(series[r.event_type])
+        ys = [series[r.event_type][d] for d in ds]
+        slopes = [
+            (ys[j] - ys[i]) / (ds[j] - ds[i])
+            for i in range(len(ds))
+            for j in range(i + 1, len(ds))
+        ]
+        assert r.n_days == len(ds)
+        assert r.n_pairs == len(slopes)
+        med = float(np.median(np.array(slopes)))
+        assert r.sen_slope_milli == int(
+            np.sign(med * 1000) * np.floor(abs(med * 1000) + 0.5)
+        )
