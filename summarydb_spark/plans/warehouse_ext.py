@@ -786,6 +786,58 @@ FROM credits
 GROUP BY channel"""
 
 
+def q_active_time_union_daily(dialect: str) -> str:
+    """Covered-time union per day: total microseconds during which at
+    least one session was live — the interval-UNION aggregate (distinct
+    from peak_concurrency_daily's max): overlapping sessions must not
+    double-count.  Same endpoint sweep; each inter-endpoint gap counts
+    when the running live count is positive, attributed to the day the
+    gap starts in (documented convention — gaps are minutes, days are
+    the rollup).  Integer microsecond arithmetic throughout."""
+    t = epoch_us("ts", dialect)
+    return f"""
+WITH e AS (
+  SELECT user_id, {t} AS t, event_id FROM events
+),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+),
+sess AS (
+  SELECT user_id, sid, min(t) AS t_start, max(t) + 1 AS t_end
+  FROM s GROUP BY user_id, sid
+),
+pts AS (
+  SELECT t_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT t_end, -1 FROM sess
+),
+sweep AS (
+  SELECT t,
+         sum(delta) OVER (ORDER BY t, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live,
+         lead(t) OVER (ORDER BY t, delta) AS t_next
+  FROM pts
+)
+SELECT CAST(floor(t / {DAY_US}.0) AS BIGINT) AS d,
+       CAST(sum(CASE WHEN live > 0 THEN t_next - t ELSE 0 END) AS BIGINT)
+         AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_endpoints
+FROM sweep
+WHERE t_next IS NOT NULL
+GROUP BY CAST(floor(t / {DAY_US}.0) AS BIGINT)"""
+
+
 WAREHOUSE_EXT_QUERIES = {
     "scd2_user_state_history": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
@@ -800,6 +852,7 @@ WAREHOUSE_EXT_QUERIES = {
     "snapshot_diff_counts": q_snapshot_diff_counts,
     "variant_props_profile": q_variant_props_profile,
     "peak_concurrency_daily": q_peak_concurrency_daily,
+    "active_time_union_daily": q_active_time_union_daily,
     "salted_join_skew": q_salted_join_skew,
     "bootstrap_mean_ci_poisson": q_bootstrap_mean_ci,
     "customer_rfm_segments": q_customer_rfm,

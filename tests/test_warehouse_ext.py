@@ -282,3 +282,17 @@ def test_linear_attribution_conserves_credit_exactly(spark):
     )
     assert total_credit == total_purchases  # exact conservation, to the micro
     assert {r.channel for r in rows} <= {"view", "click", "direct"}
+
+
+def test_active_time_union_never_double_counts(spark):
+    cov = {r.d: r.covered_us for r in run(spark, "active_time_union_daily").collect()}
+    peak = {r.d: r.peak_concurrent for r in run(spark, "peak_concurrency_daily").collect()}
+    day_us = 86_400_000_000
+    assert cov
+    for d, us in cov.items():
+        assert 0 < us  # some coverage on every day with endpoints
+        # union can never exceed wall-clock x 1 (it's a union, not a sum),
+        # modulo the start-day attribution of gaps that cross midnight
+        assert us <= 2 * day_us
+        if d in peak:
+            assert peak[d] >= 1
