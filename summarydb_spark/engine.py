@@ -922,7 +922,10 @@ class SummaryDB:
                     out.append(json.load(f).get("commit_seq", 0))
             except (OSError, ValueError):
                 pass
-        return out
+        # a crash between archiving the superseded registry and replacing
+        # the head can leave the same commit_seq both as head and in
+        # history — dedupe so callers never see a phantom extra commit
+        return sorted(set(out))
 
     @property
     def _summary_path(self) -> str:
@@ -1096,7 +1099,16 @@ class SummaryDB:
         ``at_commit=N`` opens the DB as committed at snapshot N — a
         read-only time-travel handle over the archived registry (only
         available for commits made under ``keep_versions > 0``; list
-        them with :meth:`list_commits`)."""
+        them with :meth:`list_commits`).
+
+        Vacuum hazard: a snapshot handle is only valid while its commit
+        stays within the live writer's ``keep_versions`` retention
+        window.  Once ``keep_versions`` NEWER commits land, the archived
+        registry is pruned and the next store sweep reclaims its
+        segment/store directories, so the snapshot's lazy DataFrames can
+        fail mid-query.  This is the standard Delta/Iceberg
+        VACUUM-vs-reader contract: size ``keep_versions`` to cover the
+        longest reader."""
         return SummaryDB(
             spark,
             path,
@@ -1341,5 +1353,11 @@ class SummaryDB:
         return version
 
     def close(self) -> None:
+        """Flush dirty streams and drop the append journal.  On a
+        read-only snapshot handle (``open(..., at_commit=N)``) this is a
+        no-op: there is nothing to flush, and touching the WAL would
+        delete the LIVE writer's ``append.wal`` out from under it."""
+        if self._read_only:
+            return
         self.flush()
         self._wal_truncate()

@@ -865,7 +865,11 @@ FROM events GROUP BY event_type"""
 
 ORACLE_STREAMING_WATERMARK = """
 WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
-mx AS (SELECT max(t) AS mt FROM e),
+-- Spark tracks event-time stats (and hence the watermark) at MILLISECOND
+-- granularity, so floor max(ts) to ms before subtracting the 1h delay;
+-- comparing at raw microsecond precision could withhold/emit a window
+-- differently when max(ts) has nonzero sub-ms micros.
+mx AS (SELECT CAST(floor(max(t) / 1000.0) AS BIGINT) * 1000 AS mt FROM e),
 d AS (
   SELECT CAST(floor(t / 86400000000.0) AS BIGINT) AS day, event_type FROM e
 )

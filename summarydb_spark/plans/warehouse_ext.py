@@ -259,10 +259,12 @@ def q_ewma_halflife_daily(dialect: str) -> str:
     """EWMA of daily order revenue with a 1-day half-life over a 20-day
     lookback, in exact integer arithmetic: weights are 2^(19-k) joined
     from a literal relation (never libm pow), revenue is integer cents,
-    so the weighted sum is an exact BIGINT (bounded ~1e14 << 2^63; the
-    final double floor-division operates below 2^53 — at much larger
-    daily volumes the division would move to DECIMAL).  Normalized by the
-    weights actually present, so missing days don't bias the level.
+    so the weighted sum is an exact BIGINT (dominant term is daily
+    rev_cents * 2^19 summed over 20 days — near 1e15 at sf0.1, so well
+    inside BIGINT but NOT safely inside the 2^53 double-exact window at
+    sf1+; the final floor-division therefore runs as pure INTEGER
+    division, never through a double).  Normalized by the weights
+    actually present, so missing days don't bias the level.
 
     Scale: the self-join runs on the daily aggregate (#days rows), not
     the fact; each row joins at most 20 partners."""
@@ -270,6 +272,9 @@ def q_ewma_halflife_daily(dialect: str) -> str:
         f"SELECT {k} AS k, CAST({1 << (19 - k)} AS BIGINT) AS w"
         for k in range(20)
     )
+    # ws, wt > 0, so floor(ws/wt) == integer division — exact in both
+    # engines at any scale (Spark `DIV`, DuckDB `//`), no 2^53 ceiling
+    idiv = "ws DIV wt" if dialect == "spark" else "ws // wt"
     return f"""
 WITH wts AS ({weights}),
 daily AS (
@@ -295,7 +300,7 @@ win AS (
   GROUP BY a.d, a.rev_cents
 )
 SELECT d, rev_cents,
-       CAST(floor(CAST(ws AS DOUBLE) / wt) AS BIGINT) AS ewma_cents,
+       CAST({idiv} AS BIGINT) AS ewma_cents,
        n_days_in_window
 FROM win"""
 

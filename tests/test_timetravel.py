@@ -53,6 +53,32 @@ def test_snapshot_handles_are_read_only(spark, tmp_path):
         snap.new_stream()
 
 
+def test_snapshot_close_is_noop_and_preserves_writer_wal(spark, tmp_path):
+    """close() on a read-only snapshot must not raise (a handle you
+    cannot close cleanly is a bug) and must NOT touch the live writer's
+    append.wal — a snapshot that truncated it would silently drop the
+    writer's acknowledged-but-unflushed rows."""
+    db = SummaryDB(
+        spark, str(tmp_path / "db"), durable_appends=True, keep_versions=2
+    )
+    s = db.new_stream(ops=("count",))
+    s.append_pairs([(i, 1.0) for i in range(1, 33)])
+    db.flush()
+    v1 = db._commit_seq
+    s.append_pairs([(100, 1.0)])
+    db.flush()
+    # live writer now has a journaled-but-unflushed append
+    s.append_pairs([(200, 1.0)])
+    assert os.path.exists(db._wal_path)
+
+    snap = SummaryDB.open(spark, db.path, at_commit=v1)
+    snap.close()  # must not raise, must not flush, must not touch WAL
+    assert os.path.exists(db._wal_path)
+    # crash-reopen still replays the journaled row
+    db2 = SummaryDB.open(spark, db.path, durable_appends=True)
+    assert db2.get_stream(s.stream_id).meta.n == 34
+
+
 def test_history_is_bounded_and_pruned(spark, tmp_path):
     db, s = _mkdb(spark, tmp_path, keep_versions=2)
     for k in range(5):
