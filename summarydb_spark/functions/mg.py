@@ -30,24 +30,36 @@ MG_SUMMARY_SCHEMA = "value string, est long, part_n long"
 
 
 def _mg_partition(k: int):
+    """Vectorized per-partition MG pass: each Arrow batch is collapsed to
+    (value, count) by pandas ``value_counts`` (one C pass, no per-row
+    Python), folded into the running counter dict, then reduced back to
+    <= k counters by the mergeable-summaries rule (Agarwal et al., PODS
+    2012): subtract the (k+1)-st largest count from every counter and
+    drop the non-positive.  Each reduction subtracting d charges
+    d*(k+1) decrement mass against stored mass <= rows seen, so any
+    item's total undercount is <= n_p/(k+1) <= n_p/k — the same
+    guarantee as the classic per-row decrement loop, at ~distinct-per-
+    batch interpreter cost instead of per-row.
+
+    Null values count toward n but never become counters: a null
+    candidate could not survive the downstream equi-join re-count
+    anyway, and SQL ``GROUP BY``-based oracles never emit it."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         n = 0
         for pdf in batches:
-            for v in pdf["value"]:
-                n += 1
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            n += len(pdf)
+            vc = pdf["value"].value_counts(dropna=True)
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: cnt - sub
+                    for key, cnt in counters.items()
+                    if cnt > sub
+                }
         if n == 0:
             return
         yield pd.DataFrame(

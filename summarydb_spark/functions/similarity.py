@@ -72,6 +72,37 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+#: Driver-memory budget for train-once sample collection (IVF/PQ).  A
+#: fixed ROW cap is dimension-blind: 1M rows at dim 768 float64 is ~6 GB
+#: on the driver.  Budgeting BYTES keeps the collect bounded at any dim.
+TRAIN_SAMPLE_BYTE_BUDGET = 512 << 20  # 512 MiB
+
+#: Never collect more rows than this even at tiny dims — beyond ~1M
+#: training vectors extra Lloyd input buys nothing for <=1024 centroids.
+TRAIN_SAMPLE_MAX_ROWS = 1_000_000
+
+
+def _train_row_cap(
+    dim: int, byte_budget: int = TRAIN_SAMPLE_BYTE_BUDGET
+) -> int:
+    """Rows collectable for quantizer training under ``byte_budget``:
+    rows = budget // (8 bytes * dim), clamped to [1, 1M].  At dim 2048
+    / 512 MiB that is 32768 rows — plenty for k-means on <=1024
+    centroids, and the driver collect stays flat as dims grow."""
+    return max(1, min(TRAIN_SAMPLE_MAX_ROWS, byte_budget // (8 * max(1, dim))))
+
+
+def _embedding_dim(df: DataFrame, emb_col: str) -> int:
+    """Dimension of the embedding column — one single-row probe job
+    (training runs once per index build; the probe is noise)."""
+    row = df.where(F.col(emb_col).isNotNull()).select(
+        F.size(emb_col).alias("d")
+    ).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {emb_col!r}")
+    return int(row["d"])
+
+
 def _nrm2(col: Column) -> Column:
     """Squared L2 norm of an array<double> column."""
     return F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v)
@@ -127,20 +158,25 @@ def train_ivf_centroids(
     sample_fraction: float = 1.0,
     max_iter: int = 8,
     seed: int = 42,
+    byte_budget: int = TRAIN_SAMPLE_BYTE_BUDGET,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer: a few numpy Lloyd iterations on a
     driver-collected, L2-normalized corpus sample (Arrow path).
 
     Index build and search are separate phases by design — at 100 TB you
-    train once on a ~1M-row sample, persist the centroids, and amortize
-    them over every subsequent search (the FAISS build/search split)."""
+    train once on a bounded sample, persist the centroids, and amortize
+    them over every subsequent search (the FAISS build/search split).
+    The sample is capped in BYTES, not rows (``byte_budget`` // 8*dim,
+    <=1M rows), so the driver collect stays ~512 MB at any embedding
+    dimension — a row-only cap would be ~6 GB at dim 768."""
 
     train = corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0).select(
         _l2norm(_as_double(F.col(emb_col))).alias("cv")
     )
     if sample_fraction < 1.0:
         train = train.sample(sample_fraction, seed=seed)
-    sample = np.array(train.limit(1_000_000).toPandas()["cv"].tolist())
+    cap = _train_row_cap(_embedding_dim(corpus, emb_col), byte_budget)
+    sample = np.array(train.limit(cap).toPandas()["cv"].tolist())
     if len(sample) < n_centroids:
         raise ValueError(
             f"IVF training needs >= n_centroids={n_centroids} non-zero "
@@ -488,10 +524,12 @@ def train_pq_codebooks(
     k: int = 32,
     max_iter: int = 10,
     seed: int = 42,
+    byte_budget: int = TRAIN_SAMPLE_BYTE_BUDGET,
 ) -> np.ndarray:
     """Train PQ codebooks: per-subspace k-means on a driver-collected,
     L2-normalized sample (the same bounded build/search split as
-    :func:`train_ivf_centroids` — train once on <=1M rows, persist, reuse).
+    :func:`train_ivf_centroids` — train once on a byte-budgeted sample
+    [``byte_budget`` // 8*dim rows, <=1M], persist, reuse).
 
     Returns an ``(m, k, d//m)`` array: ``m`` subspaces, ``k`` codes each.
     Memory per corpus vector after encoding is ``m`` small ints instead of
@@ -500,10 +538,11 @@ def train_pq_codebooks(
     ``d``-wide dot product.
     """
 
+    cap = _train_row_cap(_embedding_dim(corpus, emb_col), byte_budget)
     sample = np.array(
         corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0)
         .select(_l2norm(_as_double(F.col(emb_col))).alias("cv"))
-        .limit(1_000_000)
+        .limit(cap)
         .toPandas()["cv"]
         .tolist()
     )

@@ -347,14 +347,17 @@ def q_blocklist_tag_aho_df(spark, sf_dir: str):
     from summarydb_spark.sources.tables import register_tables
 
     register_tables(spark, sf_dir)
+    # Pattern derivation, shuffle-lean: sh is already distinct per doc
+    # (array_distinct inside the shingle transform), so the oracle's
+    # DISTINCT would be a no-op exchange here; and ORDER BY .. LIMIT 20
+    # compiles to TakeOrderedAndProject (per-partition top-20 + merge)
+    # instead of row_number()'s single-partition global sort of the
+    # whole vocabulary.  Same total order (df DESC, s), same 20 rows.
     pats_df = spark.sql(
         f"""
 WITH {_explode_shingles("spark")},
-ds AS (SELECT DISTINCT doc_id, s FROM sh),
-dfreq AS (SELECT s, count(*) AS df FROM ds GROUP BY s)
-SELECT s AS pat FROM (
-  SELECT s, df, row_number() OVER (ORDER BY df DESC, s) AS rk FROM dfreq
-) x WHERE rk <= 20"""
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT s AS pat FROM dfreq ORDER BY df DESC, s LIMIT 20"""
     )
     patterns = [r.pat for r in pats_df.collect()]  # bounded: 20 strings
     docs = spark.sql(

@@ -1,0 +1,63 @@
+"""Round-6 review fixes: byte-budgeted quantizer training samples,
+vectorized Misra-Gries reduction, and size-adaptive pattern matching."""
+
+from __future__ import annotations
+
+import pytest
+
+from summarydb_spark.functions import similarity
+
+
+def test_train_row_cap_is_byte_budgeted():
+    # dim 2048 float64 under the 512 MiB default: 32768 rows, NOT 1M —
+    # a row-only cap would collect 16 GB at this dim
+    assert similarity._train_row_cap(2048) == (512 << 20) // (8 * 2048)
+    assert similarity._train_row_cap(2048) == 32768
+    # tiny dims clamp at the 1M row ceiling (extra rows buy nothing)
+    assert similarity._train_row_cap(4) == 1_000_000
+    # explicit budgets scale linearly; floor at 1 row
+    assert similarity._train_row_cap(768, byte_budget=8 * 768 * 100) == 100
+    assert similarity._train_row_cap(10**9) == 1
+
+
+def test_embedding_dim_probe(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    assert similarity._embedding_dim(df, "embedding") == 3
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        similarity._embedding_dim(empty, "embedding")
+
+
+def test_byte_budget_flows_into_ivf_training(spark):
+    """A budget that caps the sample below n_centroids must surface as
+    the too-few-vectors error — proof the cap reaches the collect."""
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(1, 50)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-zero"):
+        similarity.train_ivf_centroids(
+            corpus, n_centroids=4, byte_budget=8 * 8 * 2  # cap = 2 rows
+        )
+    # a sane budget trains fine
+    cent = similarity.train_ivf_centroids(
+        corpus, n_centroids=4, byte_budget=512 << 20
+    )
+    assert cent.shape == (4, 8)
+
+
+def test_mg_vectorized_reduction_preserves_guarantee(spark):
+    """The mergeable-summaries reduction (subtract (k+1)-st largest)
+    must keep est <= exact <= est + N/k — checked by the operator's own
+    mg_bound_ok output on a skew-heavy stream across partitionings."""
+    from summarydb_spark.functions.mg import heavy_hitters_mg
+
+    items = ["hot"] * 500 + [f"cold{i}" for i in range(2000)] * 2
+    df = spark.createDataFrame([(v,) for v in items], "value string")
+    for parts in (1, 5, 32):
+        rows = heavy_hitters_mg(
+            df.repartition(parts), k=64, threshold_denom=50
+        ).collect()
+        got = {r["value"]: r["exact_cnt"] for r in rows}
+        assert got == {"hot": 500}, parts
+        assert all(r["mg_bound_ok"] for r in rows), parts

@@ -132,6 +132,46 @@ def test_blocklist_tagger_counts_match_contains(spark):
         assert r.n_docs == want
 
 
+def test_multi_pattern_tag_jvm_and_automaton_paths_agree(spark):
+    """The size-adaptive dispatch must be invisible: forcing the JVM
+    contains-chain and the Python automaton over the same input yields
+    identical (doc_id, pattern_id) sets, including overlap-heavy
+    patterns and NULL text."""
+    from summarydb_spark.functions.match import multi_pattern_tag
+
+    pats = ["ab", "abc", "bc", "c", "aa", "xyz"]
+    df = spark.createDataFrame(
+        [(0, "aabc"), (1, "zxyzz"), (2, None), (3, ""), (4, "cab"),
+         (5, "no hits here!")],
+        "doc_id long, txt string",
+    )
+    jvm = multi_pattern_tag(df, "doc_id", "txt", pats, jvm_max_patterns=100)
+    auto = multi_pattern_tag(df, "doc_id", "txt", pats, jvm_max_patterns=0)
+    got_j = {(r.doc_id, r.pattern_id) for r in jvm.collect()}
+    got_a = {(r.doc_id, r.pattern_id) for r in auto.collect()}
+    want = {
+        (i, pid)
+        for i, t in [(0, "aabc"), (1, "zxyzz"), (3, ""), (4, "cab"),
+                     (5, "no hits here!")]
+        for pid, p in enumerate(pats)
+        if p in t
+    }
+    assert got_j == want
+    assert got_a == want
+
+
+def test_bounded_blocklist_plan_is_pure_jvm(spark):
+    """K<=100 patterns must compile to codegen'd contains — zero Python
+    in the plan (no mapInPandas / ArrowEvalPython / BatchEvalPython)."""
+    from summarydb_spark.functions.match import multi_pattern_tag
+
+    df = spark.createDataFrame([(1, "xx")], "doc_id long, txt string")
+    plan = multi_pattern_tag(
+        df, "doc_id", "txt", ["a", "b", "c"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_aho_corasick_property_random_patterns():
     """Hypothesis: automaton presence == Python substring presence for
     arbitrary pattern sets over a small alphabet (dense overlap regime)."""
