@@ -73,6 +73,34 @@ LANDMARK_SCHEMA = T.StructType(
 
 DEFAULT_OPS = ("count", "sum", "max", "min")
 
+
+def generic_member_key(member) -> float:
+    """Encode an arbitrary member (float | str | bytes) into the
+    engine's float64 value domain, honoring the reference README's
+    bloom-over-"arbitrary data" promise (/root/reference/README.md:27-28
+    — declared there, never built).
+
+    Numbers pass through unchanged, so numeric streams behave exactly as
+    before.  Strings/bytes map to the top 52 bits of their md5 (13 hex
+    chars) — exactly representable in a double, stable across engines
+    (both Spark and DuckDB expose the identical md5, the same totem this
+    repo's portable fingerprints already rely on), and the ~2^-52
+    key-collision odds sit far below the bloom's own false-positive
+    rate, so membership/frequency semantics are unaffected.  Landmark
+    exactness carries over for free: a stored encoded value compares
+    equal to the identically-encoded probe."""
+    if isinstance(member, bool):
+        raise TypeError("bool is not a valid stream member")
+    if isinstance(member, (int, float)):
+        return float(member)
+    if isinstance(member, str):
+        member = member.encode("utf-8")
+    if isinstance(member, (bytes, bytearray)):
+        import hashlib
+
+        return float(int(hashlib.md5(bytes(member)).hexdigest()[:13], 16))
+    raise TypeError(f"unsupported member type: {type(member).__name__}")
+
 # Batched query paths push the queried stream set into the store scan as a
 # partition filter.  Above this many distinct streams the in-list would
 # bloat the plan for no benefit (a batch touching >10k streams is close to
@@ -172,10 +200,20 @@ class Stream:
         reference holds them in the in-memory landmark window,
         core/landmark_window.go), so a crash mid-bracket loses the open
         bracket — never any committed one.
+
+        Values may be floats (the reference's domain) or str/bytes —
+        generic data is encoded into the float64 domain via
+        :func:`generic_member_key` (stable 52-bit md5 key), making
+        bloom/frequency membership and landmark-exact hits work for
+        arbitrary payloads.  Numeric aggregates (sum/max/min) over
+        encoded keys are of course meaningless — declare such streams
+        with sketch ops only.
         """
         self._db._assert_writable()
         if self._landmark is not None:
-            self._landmark["points"].extend((int(t), float(v)) for t, v in pairs)
+            self._landmark["points"].extend(
+                (int(t), generic_member_key(v)) for t, v in pairs
+            )
             if len(self._landmark["points"]) >= self._db.PENDING_SPILL_ROWS:
                 self._spill_landmark_points()
             return
@@ -194,7 +232,7 @@ class Stream:
                 # windows for identical input.
                 if t <= last:
                     t = last + 1
-            rows.append((m.stream_id, m.next_seq, t, float(v)))
+            rows.append((m.stream_id, m.next_seq, t, generic_member_key(v)))
             m.next_seq += 1
         if not rows:
             return
@@ -381,27 +419,36 @@ class Stream:
         ).collect()
         return [(r["ts"], r["value"]) for r in rows]
 
-    def query_membership(self, member: float, t0: int, t1: int) -> AggResult:
+    def query_membership(self, member, t0: int, t1: int) -> AggResult:
         """Bloom membership of ``member`` among values in [t0, t1];
-        error = false-positive probability (0 on landmark-exact hits)."""
+        error = false-positive probability (0 on landmark-exact hits).
+
+        ``member`` may be a float (the reference's domain) or str/bytes
+        — generic members are encoded by :func:`generic_member_key`,
+        matching how :meth:`append_pairs` encoded them at ingest."""
         if self.meta.dirty:
             self.flush()
         return query_membership(
             self._sketch_df(),
             self.meta.stream_id,
-            member,
+            generic_member_key(member),
             t0,
             t1,
             landmark_points=self._landmark_points(t0, t1),
         )
 
-    def query_frequency(self, member: float, t0: int, t1: int) -> AggResult:
+    def query_frequency(self, member, t0: int, t1: int) -> AggResult:
         """Count-min frequency estimate of ``member`` among values in
-        [t0, t1]; error = the eps*N overcount bound (estimate >= truth)."""
+        [t0, t1]; error = the eps*N overcount bound (estimate >= truth).
+        ``member`` accepts float | str | bytes like query_membership."""
         if self.meta.dirty:
             self.flush()
         return query_frequency(
-            self._sketch_df(), self.meta.stream_id, member, t0, t1
+            self._sketch_df(),
+            self.meta.stream_id,
+            generic_member_key(member),
+            t0,
+            t1,
         )
 
     def query_distinct(self, t0: int, t1: int) -> AggResult:
@@ -510,11 +557,12 @@ class Stream:
         the sketch surface (membership | frequency | distinct | quantile).
 
         ``arg`` is the op's parameter (member value for membership /
-        frequency, quantile fraction for quantile): one scalar for all
-        ranges or a sequence aligned with ``ranges``.  Q queries run as ONE
-        broadcast-overlap-join job over the sketch store
-        (operators.sketch_windows.sketch_range_frame) instead of 2 driver
-        round-trips + a 1-row probe job each.
+        frequency — float | str | bytes, generic members encoded via
+        :func:`generic_member_key`; quantile fraction for quantile): one
+        scalar for all ranges or a sequence aligned with ``ranges``.  Q
+        queries run as ONE broadcast-overlap-join job over the sketch
+        store (operators.sketch_windows.sketch_range_frame) instead of 2
+        driver round-trips + a 1-row probe job each.
         """
         from summarydb_spark.operators.sketch_windows import sketch_range_frame
 
@@ -529,7 +577,13 @@ class Stream:
                 raise ValueError("arg sequence must align with ranges")
             ranges_df = spark.createDataFrame(
                 [
-                    (self.meta.stream_id, i, int(t0), int(t1), float(a))
+                    (
+                        self.meta.stream_id,
+                        i,
+                        int(t0),
+                        int(t1),
+                        generic_member_key(a),
+                    )
                     for i, ((t0, t1), a) in enumerate(zip(ranges, args))
                 ],
                 "stream_id long, qid long, t0 long, t1 long, member double",

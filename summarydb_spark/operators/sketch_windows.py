@@ -532,8 +532,15 @@ def batched_sketch_requests(
     out = None
     for (op, qv), rows in groups.items():
         if op in ("membership", "frequency"):
+            # str/bytes members encode into the float64 domain the same
+            # way append_pairs encoded them (engine.generic_member_key)
+            from summarydb_spark.engine import generic_member_key
+
             rdf = spark.createDataFrame(
-                [(s, q, t0, t1, float(a)) for s, q, t0, t1, a in rows],
+                [
+                    (s, q, t0, t1, generic_member_key(a))
+                    for s, q, t0, t1, a in rows
+                ],
                 "stream_id long, qid long, t0 long, t1 long, member double",
             )
         else:

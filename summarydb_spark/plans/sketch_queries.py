@@ -72,6 +72,65 @@ SELECT et.event_type, p.probe,
 FROM et CROSS JOIN p"""
 
 
+def q_bloom_membership_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership over GENERIC data (strings), the reference
+    README's never-built promise (/root/reference/README.md:27-28): one
+    bloom per language over its document TOKENS (string values hashed
+    directly — xxhash64 is type-generic, no numeric encoding involved),
+    probed with every global token plus guaranteed-miss literals.
+
+    Deterministic vs the EXISTS oracle because the filter is sized so the
+    expected false-positive count at gate scale is ~2e-9 (n<=~31 tokens
+    per lang against m=2^13) — a hash-match therefore verifies real bloom
+    semantics over non-numeric data.  Scale shape identical to
+    q_bloom_membership: one explode + two map-side-combining aggregates;
+    probes broadcast."""
+    from summarydb_spark.plans.portable_dedup import _norm
+    from summarydb_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    toks = spark.sql(
+        f"""SELECT lang, explode(split({_norm("spark")}, ' ')) AS tok
+            FROM documents"""
+    )
+    blooms = sketch.bloom_aggregate(
+        toks, ["lang"], "tok", m_bits=BLOOM_M, k=BLOOM_K
+    )
+    misses = spark.range(6).select(
+        F.concat(F.lit("~~miss"), F.col("id")).alias("probe")
+    )
+    probes = (
+        toks.select(F.col("tok").alias("probe")).distinct().unionByName(misses)
+    )
+    return blooms.crossJoin(F.broadcast(probes)).select(
+        "lang",
+        "probe",
+        sketch.bloom_contains(
+            F.col("bloom"), F.col("probe"), m_bits=BLOOM_M, k=BLOOM_K
+        ).alias("present"),
+    )
+
+
+def _oracle_bloom_generic() -> str:
+    from summarydb_spark.plans.portable_dedup import _norm
+
+    return f"""
+WITH t AS (
+  SELECT lang,
+         unnest(string_split({_norm("duckdb")}, ' ')) AS tok
+  FROM documents
+),
+langs AS (SELECT DISTINCT lang FROM t),
+probes AS (
+  SELECT DISTINCT tok AS probe FROM t
+  UNION ALL SELECT concat('~~miss', range) FROM range(6)
+)
+SELECT l.lang, p.probe,
+       EXISTS(SELECT 1 FROM t
+              WHERE t.lang = l.lang AND t.tok = p.probe) AS present
+FROM langs l CROSS JOIN probes p"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn("g", F.lit(1))
     counters = sketch.cms_aggregate(
@@ -307,6 +366,10 @@ LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b"""
 # name -> (spark_builder, oracle_sql | None)
 SKETCH_QUERIES = {
     "bloom_membership": (q_bloom_membership, ORACLE_BLOOM),
+    "bloom_membership_generic": (
+        q_bloom_membership_generic,
+        _oracle_bloom_generic(),
+    ),
     "sketch_cms_heavy_hitters": (q_cms_heavy_hitters, ORACLE_CMS),
     "sketch_hll_distinct_bound": (q_hll_distinct_bound, ORACLE_HLL),
     "sketch_kll_quantile_bound": (q_kll_quantile_bound, ORACLE_KLL),

@@ -277,3 +277,75 @@ def test_fused_multi_frame_matches_per_op_frames(db):
                 assert _math.isnan(got_e), (op, qid)
             else:
                 assert got_e == pytest.approx(want_e), (op, qid)
+
+
+def test_generic_member_key_stability():
+    """The str/bytes -> float64 encoding is stable, injective across the
+    test domain, exactly integer-representable (top 52 md5 bits), and
+    numeric members pass through untouched."""
+    import hashlib
+
+    from summarydb_spark.engine import generic_member_key as gk
+
+    assert gk(3.5) == 3.5 and gk(7) == 7.0
+    assert gk("abc") == gk(b"abc") == gk(bytearray(b"abc"))
+    assert gk("abc") != gk("abd")
+    expect = float(int(hashlib.md5(b"abc").hexdigest()[:13], 16))
+    assert gk("abc") == expect
+    assert gk("abc") == int(gk("abc"))  # exactly representable
+    with pytest.raises(TypeError):
+        gk(True)
+    with pytest.raises(TypeError):
+        gk(["x"])
+
+
+def test_generic_data_bloom_membership(spark, tmp_path):
+    """Bloom membership over ARBITRARY data (the reference README's
+    unbuilt promise): append string members, probe strings/bytes via
+    the single, batched, and DB-batched paths."""
+    db = SummaryDB(spark, str(tmp_path / "gdb"))
+    s = db.new_stream(ops=["count", "bloom", "freq"], windowing=ExpWindowing(2.0))
+    words = [f"user-{i}@example.com" for i in range(64)]
+    s.append_pairs([(i, w) for i, w in enumerate(words)])
+    s.flush()
+    # present strings hit (no false negatives, ever)
+    for w in (words[0], words[31], words[63]):
+        r = s.query_membership(w, 0, 63)
+        assert r.value == 1.0
+    # str and its utf-8 bytes are the same member
+    rb = s.query_membership(words[5].encode(), 0, 63)
+    assert rb.value == 1.0
+    # absent member: overwhelmingly a miss at this fill factor
+    miss = s.query_membership("nobody@else.invalid", 0, 63)
+    assert miss.value == 0.0 and miss.error == 0.0
+    # frequency of a present string >= 1 within the CMS bound
+    fr = s.query_frequency(words[7], 0, 63)
+    assert fr.value >= 1.0
+    # batched stream path accepts strings
+    out = {
+        r["qid"]: r
+        for r in s.query_many_sketch(
+            "membership", [(0, 63), (0, 63)], arg=[words[3], "zzz.missing"]
+        ).collect()
+    }
+    assert out[0]["value"] == 1.0 and out[1]["value"] == 0.0
+    # DB-level mixed batch accepts strings too
+    rows = db.query_many_sketch(
+        [(0, "membership", 0, 63, words[9]), (0, "frequency", 0, 63, words[9])]
+    ).collect()
+    assert all(r["value"] >= 1.0 for r in rows)
+
+
+def test_generic_member_landmark_exact(spark, tmp_path):
+    """A landmark bracket holding a string member answers membership
+    EXACTLY (error 0) — the encoded key comparison carries landmark
+    exactness over to generic data."""
+    db = SummaryDB(spark, str(tmp_path / "gldb"))
+    s = db.new_stream(ops=["count", "bloom"], windowing=ExpWindowing(2.0))
+    s.append_pairs([(i, f"w{i}") for i in range(32)])
+    s.start_landmark(100)
+    s.append_pairs([(101, "landmark-token")])
+    s.end_landmark(102)
+    s.flush()
+    hit = s.query_membership("landmark-token", 100, 102)
+    assert hit.value == 1.0 and hit.error == 0.0  # exact, not probabilistic
