@@ -48,6 +48,62 @@ _UNIT_COLS = [
 # O(#streams) state (a Mapping is accepted for convenience and converted).
 CountsLike = Union[DataFrame, Mapping[int, int], None]
 
+# ``windowing`` may be one policy for every stream, or a per-stream map
+# {stream_id: policy} — the reference fixes policy per stream at creation
+# (core/db.go:61-80), so a mixed-policy source is the normal case.
+WindowingLike = Union[object, Mapping[int, object]]
+
+
+def _bucket_one(
+    units: DataFrame, windowing, buffer_size: int, idx_col: str
+) -> DataFrame:
+    """Attach the canonical bucket for ONE policy (exp2 closed form when
+    possible, else the general bucket UDF)."""
+    exp2 = (
+        isinstance(windowing, ExpWindowing)
+        and windowing.base == 2.0
+        and buffer_size <= 0
+    )
+    if exp2:
+        from summarydb_spark.operators.summary import with_exp2_bucket
+
+        return with_exp2_bucket(units, idx_col, "_n", "bucket")
+    udf = _bucket_udf_general(windowing, buffer_size)
+    return units.withColumn("bucket", udf(F.col(idx_col), F.col("_n")))
+
+
+def _bucket_units(
+    units: DataFrame, windowing: WindowingLike, buffer_size: int, idx_col: str
+) -> DataFrame:
+    """Attach the canonical bucket, routing PER-STREAM policies.
+
+    A mapping groups its streams by identical policy config and buckets
+    each group with its own expression, unioning the branches — one plan,
+    #distinct-policies branches, each a partition-pruned filter over the
+    same units relation (mirrors SummaryDB.flush's by-config grouping).
+    Streams not covered by the mapping are the CALLER's error to catch
+    (the isin filters would silently drop them — StreamingSummarizer
+    raises loudly instead)."""
+    if not isinstance(windowing, Mapping):
+        return _bucket_one(units, windowing, buffer_size, idx_col)
+    if not windowing:
+        raise ValueError("empty per-stream windowing map")
+    by_cfg: dict = {}
+    for sid, w in windowing.items():
+        p = w.params() if hasattr(w, "params") else vars(w)
+        key = (type(w).__name__, repr(sorted(p.items())))
+        by_cfg.setdefault(key, (w, []))[1].append(int(sid))
+    parts = [
+        _bucket_one(
+            units.where(F.col("stream_id").isin(sids)), w, buffer_size, idx_col
+        )
+        for w, sids in by_cfg.values()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
 
 def _counts_df(ref: DataFrame, counts: CountsLike) -> Optional[DataFrame]:
     """Normalize counts to a ``(stream_id, n)`` DataFrame (None if empty)."""
@@ -252,22 +308,10 @@ def merge_summary_increment(
         )
     units = _with_base(units, nc, "_n")
 
-    exp2 = (
-        isinstance(windowing, ExpWindowing)
-        and windowing.base == 2.0
-        and buffer_size <= 0
-    )
-    if exp2:
-        # bucket of the unit's newest element; the coarsening invariant
-        # guarantees the whole [count_start, count_end] interval shares it
-        from summarydb_spark.operators.summary import with_exp2_bucket
-
-        units = with_exp2_bucket(units, "count_end", "_n", "bucket")
-    else:
-        udf = _bucket_udf_general(windowing, buffer_size)
-        units = units.withColumn(
-            "bucket", udf(F.col("count_end"), F.col("_n"))
-        )
+    # bucket of the unit's newest element; the coarsening invariant
+    # guarantees the whole [count_start, count_end] interval shares it.
+    # windowing may be {stream_id: policy} — _bucket_units routes groups.
+    units = _bucket_units(units, windowing, buffer_size, "count_end")
 
     return (
         units.groupBy("stream_id", "bucket")
@@ -313,7 +357,6 @@ def merge_sketch_increment(
     give the count interval the re-bucketing needs).
     """
     from summarydb_spark.operators.sketch_windows import build_sketch_windows
-    from summarydb_spark.operators.summary import with_exp2_bucket
 
     ops = {"cms" if o == "freq" else o for o in ops}
 
@@ -342,20 +385,9 @@ def merge_sketch_increment(
             ),
         )
 
-    exp2 = (
-        isinstance(windowing, ExpWindowing)
-        and windowing.base == 2.0
-        and buffer_size <= 0
-    )
-
     def bucketed(df: DataFrame, idx_col: str) -> DataFrame:
         df = _with_base(df, nc, "_n")
-        if exp2:
-            return with_exp2_bucket(df, idx_col, "_n", "bucket").drop("_n")
-        udf = _bucket_udf_general(windowing, buffer_size)
-        return df.withColumn(
-            "bucket", udf(F.col(idx_col), F.col("_n"))
-        ).drop("_n")
+        return _bucket_units(df, windowing, buffer_size, idx_col).drop("_n")
 
     new_sk = build_sketch_windows(bucketed(ev, "idx"), ops, keep_bucket=True)
 

@@ -815,6 +815,127 @@ def q_streaming_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXED_N = 512  # events fed to the mixed-policy gate (256 per stream)
+
+
+def q_streaming_mixed_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO windowing policies in ONE Structured-Streaming summarizer job:
+    the first 512 events (ordered by ts, event_id) split into stream 0
+    (idx%2=0, exp(2) decay) and stream 1 (idx%2=1, power(1,1,10,1)
+    decay), ingested through a single ``StreamingSummarizer`` with a
+    per-stream policy map ({stream_id: windowing},
+    streaming/ingest.py) over three micro-batches.  The oracle replays
+    both policies' canonical count-space boundaries driver-side
+    (windowing.canonical_boundaries) and buckets by range join — so a
+    hash-match proves the per-stream routing produces exactly each
+    policy's canonical windows, not a blend.
+
+    Values are scaled to integers (round(value*100)) so double sums are
+    exact in any merge order — the cross-batch fold is order-insensitive
+    bit-for-bit.  The reference fixes policy per stream at creation
+    (core/db.go:61-80) but runs one pipeline per DB; this is that
+    semantics with one streaming job for the whole mixed-policy DB."""
+    import tempfile
+
+    from summarydb_spark.plans.portable_sql import epoch_us
+    from summarydb_spark.sources.tables import register_tables
+    from summarydb_spark.streaming.ingest import StreamingSummarizer
+    from summarydb_spark.windowing import ExpWindowing, PowerWindowing
+
+    register_tables(spark, sf_dir)
+    prep = spark.sql(
+        f"""
+SELECT idx % 2 AS stream_id, idx, t, v
+FROM (
+  SELECT t, v, row_number() OVER (ORDER BY t, event_id) - 1 AS idx
+  FROM (
+    SELECT {epoch_us('ts', 'spark')} AS t,
+           CAST(round(value * 100) AS DOUBLE) AS v, event_id
+    FROM events ORDER BY 1, 3 LIMIT {_MIXED_N}
+  )
+)"""
+    ).cache()
+    work = tempfile.mkdtemp(prefix="mixed_policy_gate_")
+    src = os.path.join(work, "src")
+    for lo, hi in ((0, 128), (128, 320), (320, _MIXED_N)):
+        prep.where(
+            (F.col("idx") >= lo) & (F.col("idx") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    prep.unpersist()
+    source = (
+        spark.readStream.schema("stream_id long, idx long, t long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    summ = StreamingSummarizer(
+        spark,
+        {0: ExpWindowing(2.0), 1: PowerWindowing(1, 1, 10, 1)},
+        os.path.join(work, "state"),
+        ts_col="t",
+        value_col="v",
+        order_cols=("idx",),
+    )
+    q = summ.start(source, os.path.join(work, "cp"), available_now=True)
+    q.awaitTermination()
+    return summ.summary().select(
+        "stream_id",
+        F.col("window_id").cast("long").alias("window_id"),
+        F.col("count_start").cast("long").alias("count_start"),
+        F.col("count_end").cast("long").alias("count_end"),
+        F.col("time_start").cast("long").alias("time_start"),
+        F.col("time_end").cast("long").alias("time_end"),
+        F.col("count").cast("long").alias("cnt"),
+        F.col("sum").cast("long").alias("sum_v"),
+        F.col("max").cast("long").alias("max_v"),
+        F.col("min").cast("long").alias("min_v"),
+    )
+
+
+def _oracle_mixed_policy() -> str:
+    from summarydb_spark.windowing import (
+        ExpWindowing,
+        PowerWindowing,
+        canonical_boundaries,
+    )
+
+    half = _MIXED_N // 2
+    rows = []
+    for sid, pol in ((0, ExpWindowing(2.0)), (1, PowerWindowing(1, 1, 10, 1))):
+        bnd = canonical_boundaries(pol, half)
+        rows += [
+            f"({sid},{bnd[k]},{bnd[k]},{bnd[k + 1]})"
+            for k in range(len(bnd) - 1)
+        ]
+    vals = ",".join(rows)
+    return f"""
+WITH pre AS (
+  SELECT epoch_us(ts) AS t, CAST(round(value * 100) AS DOUBLE) AS v, event_id
+  FROM events ORDER BY 1, 3 LIMIT {_MIXED_N}
+),
+ev AS (
+  SELECT t, v, row_number() OVER (ORDER BY t, event_id) - 1 AS idx FROM pre
+),
+sev AS (SELECT t, v, idx % 2 AS stream_id, idx // 2 AS sidx FROM ev),
+bnd AS (SELECT * FROM (VALUES {vals}) AS x(stream_id, window_id, lo, hi)),
+b AS (
+  SELECT bnd.stream_id, bnd.window_id, sev.t, sev.v, sev.sidx
+  FROM sev JOIN bnd
+    ON sev.stream_id = bnd.stream_id
+   AND sev.sidx >= bnd.lo AND sev.sidx < bnd.hi
+)
+SELECT stream_id,
+       CAST(window_id AS BIGINT) AS window_id,
+       CAST(min(sidx) AS BIGINT) AS count_start,
+       CAST(max(sidx) AS BIGINT) AS count_end,
+       min(t) AS time_start,
+       max(t) AS time_end,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       CAST(min(v) AS BIGINT) AS min_v
+FROM b GROUP BY stream_id, window_id"""
+
+
 def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup state: the same events source is read
     by TWO stream readers and unioned — every event arrives twice — then
@@ -1626,6 +1747,10 @@ DF_QUERIES = {
     "streaming_dedup_gate": (
         q_streaming_dedup_gate,
         ORACLE_STREAMING_DEDUP,
+    ),
+    "streaming_mixed_policy_gate": (
+        q_streaming_mixed_policy_gate,
+        _oracle_mixed_policy(),
     ),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),

@@ -42,7 +42,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Optional
+from typing import Mapping, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -125,10 +125,15 @@ def load_state(
 class StreamingSummarizer:
     """foreachBatch sink folding an events stream into decayed summaries.
 
-    Parameters mirror the batch builder; ``windowing`` is an
-    ExpWindowing/PowerWindowing policy shared by all streams in the source
-    (per-stream policies = one summarizer per policy, filtered source).
-    """
+    Parameters mirror the batch builder; ``windowing`` is either ONE
+    ExpWindowing/PowerWindowing policy shared by every stream in the
+    source, or a per-stream map ``{stream_id: policy}`` — the reference
+    fixes policy per stream at creation (core/db.go:61-80), so a
+    mixed-policy DB streams through ONE summarizer: streams group by
+    identical policy config and each group gets its own bucket branch in
+    the same micro-batch plan (operators.incremental._bucket_units).
+    With a map, a batch containing an UNMAPPED stream id raises — the
+    same register-before-ingest contract as the reference."""
 
     def __init__(
         self,
@@ -185,6 +190,22 @@ class StreamingSummarizer:
             return  # replay of the last committed batch: already folded
         if batch.isEmpty():
             return
+        if isinstance(self.windowing, Mapping):
+            # loud totality check: the per-policy isin filters would
+            # silently DROP rows of unmapped streams — refuse instead
+            # (reference registers streams before ingest, core/db.go:61)
+            unknown = (
+                batch.select(F.col(self.stream_col).alias("sid"))
+                .where(~F.col("sid").isin([int(s) for s in self.windowing]))
+                .limit(1)
+                .collect()
+            )
+            if unknown:
+                raise ValueError(
+                    f"batch {batch_id} contains stream "
+                    f"{unknown[0]['sid']} with no windowing policy; add "
+                    "it to the windowing map before ingesting"
+                )
         old_summary, state = load_state_df(self.spark, self.state_dir)
         if self.clamp_order_col is not None:
             from summarydb_spark.operators.summary import clamp_monotonic

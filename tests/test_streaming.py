@@ -596,3 +596,54 @@ def test_streaming_dedup_gate_collapses_duplicate_delivery(spark):
         .collect()
     }
     assert got == want  # doubled delivery, single counting
+
+
+def test_per_stream_policies_in_one_streaming_job(spark, tmp_path):
+    """ONE summarizer over a mixed-policy source: streams 0/2 decay
+    exp(2), stream 1 decays power(1,1,10,1).  Each stream's final state
+    must equal the single-policy batch rebuild of exactly its events —
+    the reference's fixed-policy-per-stream contract (core/db.go:61-80)
+    without the one-summarizer-per-policy workaround."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    rows = _events(77, streams=(0, 1, 2))
+    for lo, hi in ((0, 25), (25, 60), (60, 77)):
+        _write_chunk(spark, src, [r for r in rows if lo <= r.seq < hi], f"{lo}")
+
+    policies = {
+        0: ExpWindowing(2.0),
+        1: PowerWindowing(1, 1, 10, 1),
+        2: ExpWindowing(2.0),
+    }
+    source = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    summ = StreamingSummarizer(spark, policies, state, order_cols=("seq",))
+    q = summ.start(source, cp, available_now=True)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
+
+    got = summ.summary()
+    for sid, pol in policies.items():
+        batch = build_summary_windows(
+            spark.createDataFrame(
+                [r for r in rows if r.stream_id == sid], EVENT_SCHEMA
+            ),
+            pol,
+            order_cols=("seq",),
+        )
+        assert _canon(got.where(F.col("stream_id") == sid)) == _canon(batch), sid
+
+
+def test_unmapped_stream_raises_loudly(spark, tmp_path):
+    """A mixed-policy summarizer must refuse a batch containing a stream
+    with no policy (silent row drops are corruption)."""
+    state = str(tmp_path / "state")
+    summ = StreamingSummarizer(
+        spark, {0: ExpWindowing(2.0)}, state, order_cols=("seq",)
+    )
+    bdf = spark.createDataFrame(_events(10, streams=(0, 7)), EVENT_SCHEMA)
+    with pytest.raises(ValueError, match="no windowing policy"):
+        summ.process_batch(bdf, 0)
