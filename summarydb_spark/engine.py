@@ -146,6 +146,46 @@ def prune_landmark_scan(lraw: DataFrame, t0: int, t1: int) -> Optional[DataFrame
     )
 
 
+def landmark_selection_lazy(lraw: DataFrame, t0: int, t1: int) -> DataFrame:
+    """One-ACTION landmark selection: the same bracket semantics as
+    :func:`prune_landmark_scan`, but the lo/hi scalars are computed
+    INSIDE the plan with per-stream window aggregates instead of a
+    separate driver-side aggregate job — ``Stream.query`` then issues a
+    single collect for landmarks (one action total on the landmark
+    store) instead of bracket-job + fetch-job.
+
+    Trade-off, explicitly: the bracket is no longer a literal in the
+    scan filter, so parquet row-group pruning only sees the
+    stream-partition and null/ts predicates and the stream's landmark
+    rows are scanned once to compute the bracket.  That is the right
+    trade for the interactive single-query path (the driver round-trip
+    is the latency floor; landmark stores are O(#brackets) per stream).
+    The 2-job literal-pushdown variant remains for callers that prefer
+    scan-volume over round-trips on huge landmark histories.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stream_id")
+    lo = F.coalesce(
+        F.max(F.when(F.col("time_start") <= t0, F.col("time_start"))).over(w),
+        F.min("time_start").over(w),
+    )
+    hi = F.coalesce(
+        F.min(F.when(F.col("time_start") >= t1, F.col("time_start"))).over(w),
+        F.max("time_start").over(w),
+    )
+    return (
+        lraw.withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .where(
+            F.col("time_start").between(F.col("_lo"), F.col("_hi"))
+            & (F.col("time_end") >= int(t0))
+            & (F.col("ts").isNull() | F.col("ts").between(t0, t1))
+        )
+        .drop("_lo", "_hi")
+    )
+
+
 @dataclass
 class _StreamMeta:
     stream_id: int
@@ -506,8 +546,10 @@ class Stream:
         lm = self._db.landmarks_df()
         if lm is not None:
             lraw = lm.where(F.col("stream_id") == self.meta.stream_id)
-            pruned = prune_landmark_scan(lraw, t0, t1)
-            lrows = pruned.collect() if pruned is not None else []
+            # one action: bracket scalars computed in-plan
+            # (landmark_selection_lazy), so a landmark query costs a
+            # single driver round-trip, not bracket-job + fetch-job
+            lrows = landmark_selection_lazy(lraw, t0, t1).collect()
             by_id: dict = {}
             for r in lrows:
                 w = by_id.setdefault(

@@ -255,10 +255,57 @@ def test_landmark_pruned_query_matches_unpruned(spark, tmp_path, monkeypatch):
         for (t0, t1) in ranges
     ]
     with monkeypatch.context() as mp:
-        mp.setattr(eng, "prune_landmark_scan", lambda lraw, t0, t1: lraw)
+        mp.setattr(eng, "landmark_selection_lazy", lambda lraw, t0, t1: lraw)
         want = [
             (s.query(op, t0, t1, PARAMS).value, s.query(op, t0, t1, PARAMS).error)
             for op in ("count", "sum", "max")
             for (t0, t1) in ranges
         ]
     assert got == want
+
+
+def test_lazy_landmark_selection_equals_two_job_pruning(spark, tmp_path):
+    """landmark_selection_lazy (bracket computed in-plan, ONE action)
+    must select exactly the same rows as prune_landmark_scan (bracket as
+    a separate driver aggregate + literal-pushdown fetch)."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.engine import (
+        landmark_selection_lazy,
+        prune_landmark_scan,
+    )
+
+    db, s = _landmark_fixture(spark, tmp_path)
+    lraw = db.landmarks_df().where(F.col("stream_id") == s.stream_id)
+    def canon(rows):  # ts/value are NULL on bracket-only rows
+        return sorted(
+            (tuple((x is None, x) for x in r) for r in map(tuple, rows))
+        )
+
+    for t0, t1 in [(0, 99), (55, 85), (0, 10), (95, 99), (52, 57), (45, 62)]:
+        two_job = prune_landmark_scan(lraw, t0, t1)
+        want = canon(two_job.collect()) if two_job is not None else []
+        got = canon(landmark_selection_lazy(lraw, t0, t1).collect())
+        assert got == want, (t0, t1)
+
+
+def test_single_query_issues_one_action_per_store(spark, tmp_path, monkeypatch):
+    """Stream.query on a flushed stream with landmarks = exactly TWO
+    collect actions: one summary fetch + one landmark fetch (the bracket
+    scalars ride inside the landmark plan, not a third job)."""
+    db, s = _landmark_fixture(spark, tmp_path)
+    s.query("count", 0, 99, PARAMS)  # ensure clean/warm state
+    # patch the CONCRETE DataFrame class (Spark 4: classic vs the
+    # pyspark.sql.DataFrame facade, whose collect is overridden)
+    DataFrame = type(spark.range(1))
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    r = s.query("sum", 45, 85, PARAMS)
+    assert r.value > 0
+    assert len(calls) == 2, f"expected 2 collect actions, saw {len(calls)}"

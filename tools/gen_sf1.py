@@ -1,0 +1,125 @@
+"""Generate a deterministic sf1-scale dataset (10x sf0.1) for scaling
+measurements, WITHOUT touching the read-only /root/testdata.
+
+The driver provides sf{0.001,0.01,0.1}; the 100 TB claims in SCALING.md
+extrapolate one decade beyond sf0.1.  This script extends the measured
+range: it synthesizes the three tables the heavy families actually
+scale on — ``documents`` (dedup/pair-store/graph), ``embeddings``
+(ANN), ``events`` (bootstrap) — with the SAME generative recipe as the
+driver data (measured empirically from sf0.1):
+
+- documents: token bags drawn uniformly from the observed 30-word
+  vocabulary, token count ~ U(10, 100), langs/sources with the observed
+  frequencies, ~5% near-duplicates (an earlier doc + the rare 'dup'
+  marker token) and a handful of exact duplicates — matching sf0.1's
+  8/5000 exact-dup and 255-'dup'-token rates, so pair-store density per
+  doc stays comparable and the scale-up measures SIZE, not a different
+  duplicate regime.
+- embeddings: 10 spherical gaussian clusters in dim 64 (labels 0-9),
+  like the driver's label structure.
+- events: 10 key-shifted copies of sf0.1 events (value distribution —
+  all the bootstrap touches — is exactly preserved).
+
+Small TPC-H tables are copied from sf0.1 unchanged (they are not what
+the measured families scale on).
+
+Usage: python tools/gen_sf1.py [out_dir]     (default /tmp/sf1_synth)
+Deterministic: numpy seed 42.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+VOCAB = (
+    "spark window merge table column vector stream value data small join "
+    "filter big group hash customer sort order slow line part fast the row "
+    "agg key query a scan batch"
+).split()
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+N_DOCS = 50_000
+N_EMB = 20_000
+EMB_DIM = 64
+N_CLUSTERS = 10
+
+
+def gen_documents(out_dir: str, rng: np.random.RandomState) -> None:
+    texts: list[str] = []
+    for i in range(N_DOCS):
+        r = rng.rand()
+        if i > 100 and r < 0.05:  # near-dup: earlier doc + marker token
+            texts.append(texts[rng.randint(0, i)] + " dup")
+        elif i > 100 and r < 0.052:  # exact dup
+            texts.append(texts[rng.randint(0, i)])
+        else:
+            n = rng.randint(10, 101)
+            texts.append(" ".join(VOCAB[k] for k in rng.randint(0, len(VOCAB), n)))
+    langs = np.array(LANGS)[rng.choice(len(LANGS), N_DOCS, p=LANG_P)]
+    sources = np.array([f"src{k}" for k in rng.randint(0, 20, N_DOCS)])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+
+
+def gen_embeddings(out_dir: str, rng: np.random.RandomState) -> None:
+    means = rng.randn(N_CLUSTERS, EMB_DIM)
+    labels = rng.randint(0, N_CLUSTERS, N_EMB)
+    vecs = (means[labels] + 0.3 * rng.randn(N_EMB, EMB_DIM)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(N_EMB), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def gen_events(out_dir: str) -> None:
+    con = duckdb.connect()
+    copies = " UNION ALL ".join(
+        f"""SELECT event_id + {k} * 1000000 AS event_id, ts,
+               user_id + {k} * 100000 AS user_id, event_type, value, props
+        FROM '{SRC}/events.parquet'"""
+        for k in range(10)
+    )
+    con.execute(
+        f"COPY ({copies}) TO '{os.path.join(out_dir, 'events.parquet')}'"
+        " (FORMAT PARQUET)"
+    )
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(42)
+    gen_documents(out_dir, rng)
+    gen_embeddings(out_dir, rng)
+    gen_events(out_dir)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copyfile(
+            os.path.join(SRC, f"{t}.parquet"),
+            os.path.join(out_dir, f"{t}.parquet"),
+        )
+    print(out_dir)
+
+
+if __name__ == "__main__":
+    main()

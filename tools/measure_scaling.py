@@ -15,7 +15,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SFS = ["sf0.001", "sf0.01", "sf0.1"]
+# Comma-separated scale points; a bare name resolves under /root/testdata,
+# an absolute path is used as-is (e.g. the /tmp/sf1_synth dir that
+# tools/gen_sf1.py produces).  SPARK_GRAFT_SCALING_ENGINES=spark skips the
+# DuckDB recompute (its brute-force oracles go quadratic at sf1).
+SFS = os.environ.get(
+    "SPARK_GRAFT_SCALING_SFS", "sf0.001,sf0.01,sf0.1"
+).split(",")
+ENGINES = os.environ.get("SPARK_GRAFT_SCALING_ENGINES", "spark,duckdb").split(",")
 DEFAULT_OPS = [
     "dedup_cluster_cc",
     "dedup_ngram_jaccard",
@@ -44,18 +51,21 @@ def main() -> None:
 
     out: dict = {}
     for op in ops:
-        out[op] = {"spark": {}, "duckdb": {}}
+        out[op] = {e: {} for e in ENGINES}
         for sf in SFS:
-            sf_dir = f"/root/testdata/{sf}"
-            runs = []
-            for i in range(3):  # first run is warm-up
-                t = time.time()
-                qs[op](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(time.time() - t)
-            out[op]["spark"][sf] = round(min(runs[1:]), 3)
+            sf_dir = sf if os.path.isabs(sf) else f"/root/testdata/{sf}"
+            if "spark" in ENGINES:
+                runs = []
+                for i in range(3):  # first run is warm-up
+                    t = time.time()
+                    qs[op](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.time() - t)
+                out[op]["spark"][sf] = round(min(runs[1:]), 3)
 
+            if "duckdb" not in ENGINES:
+                continue
             con = duckdb.connect()
             for tname in TABLES:
                 p = os.path.join(sf_dir, f"{tname}.parquet")
