@@ -824,7 +824,7 @@ def q_streaming_mixed_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     (idx%2=0, exp(2) decay) and stream 1 (idx%2=1, power(1,1,10,1)
     decay), ingested through a single ``StreamingSummarizer`` with a
     per-stream policy map ({stream_id: windowing},
-    streaming/ingest.py) over three micro-batches.  The oracle replays
+    streaming/ingest.py) over two micro-batches.  The oracle replays
     both policies' canonical count-space boundaries driver-side
     (windowing.canonical_boundaries) and buckets by range join — so a
     hash-match proves the per-stream routing produces exactly each
@@ -857,7 +857,10 @@ FROM (
     ).cache()
     work = tempfile.mkdtemp(prefix="mixed_policy_gate_")
     src = os.path.join(work, "src")
-    for lo, hi in ((0, 128), (128, 320), (320, _MIXED_N)):
+    # two uneven micro-batches: enough to exercise merge-into-existing
+    # per-policy state (the 3+-batch path is pinned by
+    # tests/test_streaming.py) while keeping the gate's fixed cost down
+    for lo, hi in ((0, 192), (192, _MIXED_N)):
         prep.where(
             (F.col("idx") >= lo) & (F.col("idx") < hi)
         ).coalesce(1).write.mode("append").parquet(src)

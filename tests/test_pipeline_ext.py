@@ -145,14 +145,18 @@ def test_dq_rule_violations_reports_failing_rule(spark):
     assert rows["lineitem.l_discount <= 0.05 (tight gate)"].n_violations > 0
 
 
-def test_dq_profile_single_scan(spark):
-    """One scan of lineitem: the profile must not union per-column scans."""
+def test_dq_profile_two_branch_scan(spark):
+    """Round-6 shape: exactly TWO scans of lineitem — plain aggregates
+    in an ordinary scan-aggregate and the five count(DISTINCT)s alone in
+    the Expand scan — never one scan per column (which would be 5+),
+    and never plain aggs fused into the Expand (6x row penalty)."""
     import re
 
     plan = plan_of(spark, "dq_column_profile")
-    # each scan node appears once as a "(N) Scan parquet" detail header
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
     assert "Expand" in plan  # multi-distinct expand, by design
+    # exactly ONE Expand node: the plain-agg branch must not get its own
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
 
 
 def test_m4_downsample_semantics(spark):
