@@ -101,6 +101,20 @@ def generic_member_key(member) -> float:
         return float(int(hashlib.md5(bytes(member)).hexdigest()[:13], 16))
     raise TypeError(f"unsupported member type: {type(member).__name__}")
 
+
+def generic_member_key_col(col, dtype):
+    """Column-expression twin of :func:`generic_member_key` for the bulk
+    ingest path: numeric columns cast to double unchanged; string/binary
+    columns encode as the top 52 md5 bits (``conv(substr(md5, 1, 13))``)
+    — Spark's md5 over a string's UTF-8 bytes is the same function as
+    hashlib's, so a bulk-ingested member probes equal to an
+    append_pairs-ingested one."""
+    if isinstance(dtype, (T.StringType, T.BinaryType)):
+        return F.conv(
+            F.substring(F.md5(col.cast("binary")), 1, 13), 16, 10
+        ).cast("double")
+    return col.cast("double")
+
 # Batched query paths push the queried stream set into the store scan as a
 # partition filter.  Above this many distinct streams the in-list would
 # bloat the plan for no benefit (a batch touching >10k streams is close to
@@ -310,12 +324,19 @@ class Stream:
         landmark brackets hold raw points of arbitrary span (the reference
         keeps them in core/landmark_window.go), so they must never
         materialize on the driver.
+
+        A string/binary ``value_col`` is encoded into the float64 domain
+        in-plan by :func:`generic_member_key_col` — the bulk twin of the
+        driver-side encoding ``append_pairs`` applies, so generic members
+        ingest at scale and probe identically either way.
         """
         self._db._assert_writable()
+        vtype = df.schema[value_col].dataType
+        vexpr = generic_member_key_col(F.col(value_col), vtype)
         if self._landmark is not None:
             df.select(
                 F.col(ts_col).cast("long").alias("ts"),
-                F.col(value_col).cast("double").alias("value"),
+                vexpr.alias("value"),
             ).write.mode("append").parquet(self._landmark_stage_path())
             self._landmark["staged"] = True
             return
@@ -327,7 +348,7 @@ class Stream:
         base = df.select(
             F.lit(m.stream_id).cast("long").alias("stream_id"),
             F.col(ts_col).cast("long").alias("ts"),
-            F.col(value_col).cast("double").alias("value"),
+            vexpr.alias("value"),
         )
         w = Window.partitionBy("stream_id").orderBy("ts")
         base = base.withColumn(

@@ -349,3 +349,30 @@ def test_generic_member_landmark_exact(spark, tmp_path):
     s.flush()
     hit = s.query_membership("landmark-token", 100, 102)
     assert hit.value == 1.0 and hit.error == 0.0  # exact, not probabilistic
+
+
+def test_bulk_append_encodes_generic_members(spark, tmp_path):
+    """Bulk Stream.append(df) with a STRING value column must encode
+    identically to append_pairs (column md5 == hashlib md5), so probes
+    hit regardless of ingest path."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.engine import generic_member_key
+
+    db = SummaryDB(spark, str(tmp_path / "bulkdb"))
+    s = db.new_stream(ops=["count", "bloom"], windowing=ExpWindowing(2.0))
+    words = [f"bulk-{i}" for i in range(32)]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "ts long, value string"
+    )
+    s.append(df)
+    s.flush()
+    # the stored values ARE the driver-side encoding
+    got = {
+        r["value"]
+        for r in db.events().select("value").collect()
+    }
+    assert got == {generic_member_key(w) for w in words}
+    # and probes hit through the normal query surface
+    assert s.query_membership(words[3], 0, 31).value == 1.0
+    assert s.query_membership("not-there", 0, 31).value == 0.0
