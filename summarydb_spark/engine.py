@@ -530,14 +530,23 @@ class Stream:
         """Single-query path: flush, select overlapping windows, evaluate
         the estimator driver-side (the window set is O(log N)).
 
-        Parity: core/stream.go:156-192.
+        ONE Spark action total: the summary-window fetch and the
+        landmark fetch (whose bracket scalars ride in-plan,
+        :func:`landmark_selection_lazy`) are unioned into a single
+        collect — the interactive query's latency is one driver round
+        trip, matching the reference's single blocking call
+        (core/stream.go:156-192).  The reference evaluates both stores
+        in one pass too; the naive Spark translation was three
+        sequential jobs.
         """
         if self.meta.dirty:
             self.flush()
-        spark = self._db.spark
-        swins: List[SummaryWindowRow] = []
+        # kind 'S': summary rows; kind 'L': landmark rows.  Columns are
+        # the union of both schemas, NULL-padded, so one collect serves
+        # both selectors below.
+        fetch = None
         if os.path.isdir(self._db._summary_path):
-            rows = (
+            fetch = (
                 self._db._pruned_store_scan(
                     self._db._summary_path, [self.meta.stream_id]
                 )
@@ -546,8 +555,39 @@ class Stream:
                     & (F.col("time_end") >= t0)
                     & (F.col("time_start") <= t1)
                 )
-                .collect()
+                .select(
+                    F.lit("S").alias("kind"),
+                    "time_start",
+                    "time_end",
+                    F.col("count").cast("double").alias("count"),
+                    "sum",
+                    "max",
+                    "min",
+                    F.lit(None).cast("long").alias("window_id"),
+                    F.lit(None).cast("long").alias("ts"),
+                    F.lit(None).cast("double").alias("value"),
+                )
             )
+        lm = self._db.landmarks_df()
+        if lm is not None:
+            lraw = lm.where(F.col("stream_id") == self.meta.stream_id)
+            lsel = landmark_selection_lazy(lraw, t0, t1).select(
+                F.lit("L").alias("kind"),
+                "time_start",
+                "time_end",
+                F.lit(None).cast("double").alias("count"),
+                F.lit(None).cast("double").alias("sum"),
+                F.lit(None).cast("double").alias("max"),
+                F.lit(None).cast("double").alias("min"),
+                "window_id",
+                "ts",
+                "value",
+            )
+            fetch = lsel if fetch is None else fetch.unionByName(lsel)
+        all_rows = fetch.collect() if fetch is not None else []
+
+        swins: List[SummaryWindowRow] = []
+        if any(r["kind"] == "S" for r in all_rows):
             swins = select_summary_windows(
                 [
                     SummaryWindowRow(
@@ -558,19 +598,15 @@ class Stream:
                         max=r["max"],
                         min=r["min"],
                     )
-                    for r in rows
+                    for r in all_rows
+                    if r["kind"] == "S"
                 ],
                 t0,
                 t1,
             )
         lwins: List[LandmarkWindowRow] = []
-        lm = self._db.landmarks_df()
         if lm is not None:
-            lraw = lm.where(F.col("stream_id") == self.meta.stream_id)
-            # one action: bracket scalars computed in-plan
-            # (landmark_selection_lazy), so a landmark query costs a
-            # single driver round-trip, not bracket-job + fetch-job
-            lrows = landmark_selection_lazy(lraw, t0, t1).collect()
+            lrows = [r for r in all_rows if r["kind"] == "L"]
             by_id: dict = {}
             for r in lrows:
                 w = by_id.setdefault(

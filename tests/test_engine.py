@@ -289,10 +289,11 @@ def test_lazy_landmark_selection_equals_two_job_pruning(spark, tmp_path):
         assert got == want, (t0, t1)
 
 
-def test_single_query_issues_one_action_per_store(spark, tmp_path, monkeypatch):
-    """Stream.query on a flushed stream with landmarks = exactly TWO
-    collect actions: one summary fetch + one landmark fetch (the bracket
-    scalars ride inside the landmark plan, not a third job)."""
+def test_single_query_issues_one_action(spark, tmp_path, monkeypatch):
+    """Stream.query on a flushed stream with landmarks = exactly ONE
+    collect action: summary fetch and landmark fetch (bracket scalars
+    in-plan) union into a single job — one driver round trip, like the
+    reference's single blocking call."""
     db, s = _landmark_fixture(spark, tmp_path)
     s.query("count", 0, 99, PARAMS)  # ensure clean/warm state
     # patch the CONCRETE DataFrame class (Spark 4: classic vs the
@@ -308,4 +309,4 @@ def test_single_query_issues_one_action_per_store(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", counting)
     r = s.query("sum", 45, 85, PARAMS)
     assert r.value > 0
-    assert len(calls) == 2, f"expected 2 collect actions, saw {len(calls)}"
+    assert len(calls) == 1, f"expected 1 collect action, saw {len(calls)}"
