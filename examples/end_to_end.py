@@ -58,6 +58,19 @@ def main() -> None:
         # per-window sketches: membership / frequency / quantiles
         r = exp.query_membership(42.0, 0, 4999)
         print(f"bloom: value 42 possibly present = {bool(r.value)}")
+
+        # generic-data membership (round 6): streams ingest ARBITRARY
+        # str/bytes members (encoded into the float64 domain by a
+        # stable 52-bit md5 key) — the reference README's unbuilt
+        # bloom-over-anything promise
+        gen = db.new_stream(ops=["count", "bloom"],
+                            windowing=ExpWindowing(2.0))
+        gen.append_pairs([(i, f"user-{i}@example.com") for i in range(200)])
+        db.flush()
+        hit = gen.query_membership("user-7@example.com", 0, 199)
+        miss = gen.query_membership("nobody@else.invalid", 0, 199)
+        print(f"generic bloom: known email present = {bool(hit.value)}, "
+              f"unknown = {bool(miss.value)}")
         r = exp.query_quantile(0.5, 0, 4999)
         print(f"kll median estimate: {r.value:.1f}")
         db.close()

@@ -159,6 +159,7 @@ def train_ivf_centroids(
     max_iter: int = 8,
     seed: int = 42,
     byte_budget: int = TRAIN_SAMPLE_BYTE_BUDGET,
+    distributed: bool = False,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer: a few numpy Lloyd iterations on a
     driver-collected, L2-normalized corpus sample (Arrow path).
@@ -168,11 +169,20 @@ def train_ivf_centroids(
     them over every subsequent search (the FAISS build/search split).
     The sample is capped in BYTES, not rows (``byte_budget`` // 8*dim,
     <=1M rows), so the driver collect stays ~512 MB at any embedding
-    dimension — a row-only cap would be ~6 GB at dim 768."""
+    dimension — a row-only cap would be ~6 GB at dim 768.
+
+    ``distributed=True`` removes the driver sample entirely: pyspark.ml
+    KMeans (k-means|| init, seeded) trains over the FULL corpus with
+    executor-side Lloyd iterations — the path for corpora whose sample
+    would under-represent the tail even at the byte budget.  Centroids
+    are L2-normalized either way, so the returned array is a drop-in for
+    ``ivf_encode``/search regardless of trainer."""
 
     train = corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0).select(
         _l2norm(_as_double(F.col(emb_col))).alias("cv")
     )
+    if distributed:
+        return _train_ivf_distributed(train, n_centroids, max_iter, seed)
     if sample_fraction < 1.0:
         train = train.sample(sample_fraction, seed=seed)
     cap = _train_row_cap(_embedding_dim(corpus, emb_col), byte_budget)
@@ -195,6 +205,26 @@ def train_ivf_centroids(
                 if nm > 0:
                     centroids[j] = m / nm
     return centroids
+
+
+def _train_ivf_distributed(
+    train: DataFrame, n_centroids: int, max_iter: int, seed: int
+) -> np.ndarray:
+    """Full-corpus quantizer training with pyspark.ml KMeans: Lloyd
+    iterations run executor-side (treeAggregate of per-partition partial
+    sums — the classic distributed k-means), so NO training vectors ever
+    reach the driver; only the (k, d) centroid matrix does.  Seeded
+    k-means|| init keeps a fixed corpus + seed reproducible."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = train.select(array_to_vector(F.col("cv")).alias("features"))
+    model = KMeans(
+        k=n_centroids, maxIter=max_iter, seed=seed, initMode="k-means||"
+    ).fit(feats)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    norms = np.linalg.norm(centers, axis=1, keepdims=True)
+    return centers / np.where(norms > 0, norms, 1.0)
 
 
 def ivf_encode(

@@ -61,3 +61,33 @@ def test_mg_vectorized_reduction_preserves_guarantee(spark):
         got = {r["value"]: r["exact_cnt"] for r in rows}
         assert got == {"hot": 500}, parts
         assert all(r["mg_bound_ok"] for r in rows), parts
+
+
+def test_distributed_ivf_training_is_dropin(spark):
+    """distributed=True trains with pyspark.ml KMeans (no driver sample)
+    and returns the same (k, d) L2-normalized shape — a drop-in for
+    ivf_encode/search, and the assignment it induces separates obvious
+    clusters."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(40, 8) * 0.05 + np.array([5, 0, 0, 0, 0, 0, 0, 0])
+    b = rng.randn(40, 8) * 0.05 + np.array([0, 5, 0, 0, 0, 0, 0, 0])
+    rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([a, b]))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = similarity.train_ivf_centroids(
+        corpus, n_centroids=2, distributed=True
+    )
+    assert cent.shape == (2, 8)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    enc = similarity.ivf_encode(corpus, cent)
+    lists = {
+        r["list_id"]
+        for r in enc.groupBy("list_id").count().collect()
+    }
+    assert lists == {0, 1}
+    # each input cluster maps to one list
+    got = {r["neighbor_id"]: r["list_id"] for r in enc.collect()}
+    assert len({got[i] for i in range(40)}) == 1
+    assert len({got[i] for i in range(40, 80)}) == 1
+    assert got[0] != got[79]
