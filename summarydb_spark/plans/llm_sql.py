@@ -702,7 +702,62 @@ SELECT doc_id,
 FROM sc"""
 
 
+def q_stratified_split(dialect: str) -> str:
+    """Leakage-safe stratified train/val/test assignment — the split
+    primitive every training pipeline needs: membership is a pure
+    function of the document's normalized-content fingerprint (md5), so
+    exact/normalized duplicates ALWAYS land in the same split (no
+    train->test leakage through copies), the assignment is reproducible
+    with no stored state, and adding documents never reshuffles existing
+    ones (hash-stable 80/10/10).
+
+    Output is per (lang, split): doc and distinct-text counts, plus
+    ``n_leaky`` — the number of fingerprints straddling more than one
+    split, computed FROM the data (0 by construction; the oracle
+    hash-match turns the leakage-safety property into a verified
+    assertion, not a comment).
+
+    Complements ``split_train_val_test`` (pipeline_ext), which keys on
+    doc_id — ID-keyed splitting lets duplicate TEXTS straddle splits;
+    this one cannot, by construction.
+
+    Scale: one scan; the leak check groups by fingerprint (linear, one
+    shuffle), the stats group by (lang, split).  At 100 TB the same
+    expression runs as a projection at ingest — no global state."""
+    norm = rx_replace("lower(trim(text))", r"\s+", " ", dialect)
+    hex8 = f"substr(md5({norm}), 1, 8)"
+    h = (
+        f"CAST(conv({hex8}, 16, 10) AS BIGINT)"
+        if dialect == "spark"
+        else f"CAST(concat('0x', {hex8}) AS BIGINT)"
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id, lang, md5({norm}) AS fp, {h} % 100 AS hmod
+  FROM documents
+),
+s AS (
+  SELECT lang, fp,
+         CASE WHEN hmod < 80 THEN 'train'
+              WHEN hmod < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM a
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_leaky FROM (
+    SELECT fp FROM s GROUP BY fp HAVING count(DISTINCT split) > 1
+  ) x
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_texts,
+       leak.n_leaky
+FROM s CROSS JOIN leak
+GROUP BY lang, split, leak.n_leaky"""
+
+
 LLM_QUERIES = {
+    "stratified_split_leakage_safe": q_stratified_split,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
