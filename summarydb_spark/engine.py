@@ -122,6 +122,18 @@ def generic_member_key_col(col, dtype):
 _PRUNE_MAX_STREAMS = 10_000
 
 
+def _pid_alive(pid: int) -> bool:
+    """True if ``pid`` is a live process (signal-0 probe; EPERM means
+    alive but owned by someone else)."""
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def prune_landmark_scan(lraw: DataFrame, t0: int, t1: int) -> Optional[DataFrame]:
     """Push the landmark index-selection predicates into the parquet scan.
 
@@ -933,6 +945,7 @@ class SummaryDB:
         path: str,
         durable_appends: bool = False,
         keep_versions: int = 0,
+        exclusive: bool = False,
         _at_commit: Optional[int] = None,
     ) -> None:
         self.spark = spark
@@ -1003,6 +1016,17 @@ class SummaryDB:
             self._stores = data.get("stores", self._stores)
         self._wal_path = os.path.join(path, "append.wal")
         self._wal_file = None
+        # single-writer advisory lock (the reference's Badger directory
+        # lock, acquired at storage open).  OPT-IN: multi-handle
+        # single-process workflows (tests, notebooks, the time-travel
+        # examples) legitimately hold overlapping writable handles, and
+        # the atomic registry swap keeps the last writer consistent —
+        # the lock is for deployments where a second writer is always a
+        # deployment bug.  Read-only snapshots never take it.
+        self._lock_path = os.path.join(path, ".writer.lock")
+        self._owns_lock = False
+        if exclusive and not self._read_only:
+            self._acquire_writer_lock()
         if not self._read_only:
             # a snapshot handle must not mutate the live DB: no orphan
             # sweep (it would delete the HEAD's newer versions), no WAL
@@ -1122,6 +1146,45 @@ class SummaryDB:
             self._flush_pending()  # writes rows, registry, truncates WAL
         else:
             self._save_registry()
+
+    def _acquire_writer_lock(self) -> None:
+        """Take the single-writer lock: O_EXCL lockfile holding the
+        owner pid.  A lockfile whose pid is no longer alive is a crashed
+        writer's leftover and is reclaimed; a LIVE pid (including this
+        process — a second exclusive handle in-process is the same
+        deployment bug) refuses loudly."""
+        while True:
+            try:
+                fd = os.open(
+                    self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(os.getpid()))
+                self._owns_lock = True
+                return
+            except FileExistsError:
+                try:
+                    with open(self._lock_path) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                if pid and _pid_alive(pid):
+                    raise ValueError(
+                        f"{self.path} is locked by live writer pid {pid}; "
+                        "stop it or open without exclusive=True"
+                    )
+                try:  # stale lock from a crashed writer: reclaim
+                    os.remove(self._lock_path)
+                except FileNotFoundError:
+                    pass  # lost the reclaim race; retry the O_EXCL create
+
+    def _release_writer_lock(self) -> None:
+        if self._owns_lock:
+            try:
+                os.remove(self._lock_path)
+            except OSError:
+                pass
+            self._owns_lock = False
 
     def _assert_writable(self) -> None:
         if self._read_only:
@@ -1244,6 +1307,7 @@ class SummaryDB:
         durable_appends: bool = False,
         keep_versions: int = 0,
         at_commit: Optional[int] = None,
+        exclusive: bool = False,
     ) -> "SummaryDB":
         """Reopen an existing DB (core/db.go:49-59); recovery is trivial
         because all state lives in replayable tables (plus a WAL replay
@@ -1267,6 +1331,7 @@ class SummaryDB:
             path,
             durable_appends=durable_appends,
             keep_versions=keep_versions,
+            exclusive=exclusive,
             _at_commit=at_commit,
         )
 
@@ -1514,3 +1579,4 @@ class SummaryDB:
             return
         self.flush()
         self._wal_truncate()
+        self._release_writer_lock()

@@ -127,45 +127,66 @@ def q_prefix_filter_jaccard_df(spark, sf_dir: str):
         <= F.col("L")
         - F.floor((7 * F.col("L") + 9) / F.lit(10.0)).cast("long")
         + 1
-    ).select("doc_id", "s", "L")
+    ).select("doc_id", "s", "rn", "L")
+    # Candidate generation with BOTH ppjoin filters (Xiao et al. WWW'08):
+    # - size filter: J >= 0.7 forces 7*max(La,Lb) <= 10*min(La,Lb);
+    # - POSITIONAL filter: the first (rank-minimal) common element of a
+    #   true pair provably lies in both prefixes, and overlap <=
+    #   1 + min(La - rn_a, Lb - rn_b) at that element — so a pair whose
+    #   BEST prefix-match bound (max over matches — the first common
+    #   element is among them) cannot reach alpha = ceil(7(La+Lb)/17)
+    #   is pruned exactly.  In dense regimes (saturated shingle vocab)
+    #   hot shingles sit late in the rarest-first prefix, so this is
+    #   the filter that keeps candidates near-linear: measured at the
+    #   synthetic sf1 (10x corpus, closed 30-word vocab) it cut the
+    #   query from 109 s to seconds while staying bit-exact vs the
+    #   brute-force oracle.
     cand = (
         pre.alias("a")
         .join(
             pre.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size filter: J >= 0.7 forces 7*max(La,Lb) <= 10*min(La,Lb)
             & (7 * F.col("b.L") <= 10 * F.col("a.L"))
             & (7 * F.col("a.L") <= 10 * F.col("b.L")),
         )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-    )
-    sh = idx.select("doc_id", "s")
-    inter = (
-        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.doc_id") == F.col("b"))
-            & (F.col("sb.s") == F.col("sa.s")),
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.L").alias("La"),
+            F.col("b.L").alias("Lb"),
+            (
+                1
+                + F.least(
+                    F.col("a.L") - F.col("a.rn"), F.col("b.L") - F.col("b.rn")
+                )
+            ).alias("ub"),
         )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .groupBy("a", "b", "La", "Lb")
+        .agg(F.max("ub").alias("ub"))
+        .where(17 * F.col("ub") >= 7 * (F.col("La") + F.col("Lb")))
+        .select("a", "b", "La", "Lb")
     )
-    card = idx.groupBy("doc_id").agg(F.max("L").alias("L"))
+    # Verification on candidates via per-doc sorted shingle arrays: one
+    # row per pair with a JVM array_intersect (sets are ~L elements), in
+    # place of the exploded candidates x shingles x shingles join whose
+    # row count was candidates * L — the sf1 blow-up.
+    arrays = idx.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
     j = (
-        inter.join(
-            card.select(
-                F.col("doc_id").alias("a"), F.col("L").alias("La")
-            ),
+        cand.join(
+            arrays.select(F.col("doc_id").alias("a"), F.col("ss").alias("sa")),
             "a",
         )
         .join(
-            card.select(
-                F.col("doc_id").alias("b"), F.col("L").alias("Lb")
-            ),
+            arrays.select(F.col("doc_id").alias("b"), F.col("ss").alias("sb")),
             "b",
         )
+        .withColumn(
+            "i", F.size(F.array_intersect("sa", "sb")).cast("long")
+        )
+        .where(F.col("i") > 0)
         .withColumn("u", F.col("La") + F.col("Lb") - F.col("i"))
     )
     return j.where(10 * F.col("i") >= 7 * F.col("u")).select(

@@ -139,3 +139,43 @@ def test_streaming_prunes_superseded_snapshots(spark, tmp_path):
 
     summary, state = load_state_df(spark, sdir)
     assert summary.agg({"count": "sum"}).first()[0] == 16
+
+
+# round 6: opt-in single-writer lock (the reference's Badger dir lock)
+def test_exclusive_writer_lock(spark, tmp_path):
+    import os
+
+    from summarydb_spark.engine import SummaryDB
+    from summarydb_spark.windowing import ExpWindowing
+
+    p = str(tmp_path / "locked")
+    db = SummaryDB(spark, p, exclusive=True)
+    s = db.new_stream(ops=("count",), windowing=ExpWindowing(2.0))
+    s.append_pairs([(1, 1.0)])
+    db.flush()
+    # a second exclusive writer (even in-process: same deployment bug)
+    with pytest.raises(ValueError, match="locked by live writer"):
+        SummaryDB.open(spark, p, exclusive=True)
+    # non-exclusive and read-only handles are unaffected
+    SummaryDB.open(spark, p)
+    # close releases; the next exclusive writer acquires cleanly
+    db.close()
+    assert not os.path.exists(os.path.join(p, ".writer.lock"))
+    db2 = SummaryDB.open(spark, p, exclusive=True)
+    db2.close()
+
+
+def test_stale_writer_lock_is_reclaimed(spark, tmp_path):
+    """A lockfile whose pid is dead is a crashed writer's leftover —
+    the next exclusive open reclaims it instead of deadlocking."""
+    import os
+
+    from summarydb_spark.engine import SummaryDB
+
+    p = str(tmp_path / "stale")
+    os.makedirs(p)
+    with open(os.path.join(p, ".writer.lock"), "w") as f:
+        f.write("999999999")  # far above pid_max: never alive
+    db = SummaryDB(spark, p, exclusive=True)
+    assert db._owns_lock
+    db.close()
