@@ -177,9 +177,20 @@ def q_dedup_ngram_jaccard(dialect: str, threshold: float = 0.2) -> str:
     """Pairwise 3-gram (token-shingle) Jaccard similarity over same-band
     candidate pairs: the verify stage of a banded near-dup pipeline.
 
-    Blocking key = (lang, n_tokens bucket) keeps the pair space bounded —
-    the same block-then-verify structure used at scale; Jaccard is computed
-    with portable set algebra on shingle arrays.
+    Blocking key = (lang, n_tokens bucket); Jaccard is computed with
+    portable set algebra on shingle arrays.
+
+    Scale boundary (measured, BASELINE.md round-6 audit): block sizes
+    grow linearly with the corpus, so within-block pairs grow
+    QUADRATICALLY — 1.09 s at sf0.1 -> 41.7 s at 10x data.  At this low
+    threshold (0.2) in a saturated shingle vocabulary no sound
+    candidate filter exists (prefix filtering covers ~80% of
+    occurrences; every block pair shares shingles), so the quadratic
+    verify is inherent to the exact semantics.  This template is the
+    VERIFY stage; at scale, candidate GENERATION belongs to the banded
+    minhash-LSH family (functions/dedup.py — measured 2x at 10x data),
+    which applies exactly this per-pair verification to banded
+    candidates only.
     """
     # Two deliberate perf moves, neither changing the answer:
     # 1. tokenize ONCE in a sub-select — referencing split(text) inside the

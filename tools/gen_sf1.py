@@ -15,8 +15,13 @@ driver data (measured empirically from sf0.1):
   8/5000 exact-dup and 255-'dup'-token rates, so pair-store density per
   doc stays comparable and the scale-up measures SIZE, not a different
   duplicate regime.
-- embeddings: 10 spherical gaussian clusters in dim 64 (labels 0-9),
-  like the driver's label structure.
+- embeddings: ISOTROPIC random unit vectors in dim 64 with ~2% injected
+  near-duplicates (cos ~0.99 perturbed copies) and uniform random
+  labels 0-9 — measured from the driver data: within-label cosine is
+  ~0 (labels are NOT geometric clusters) and near-dup pairs are a small
+  injected set.  (The first cut of this generator used tight gaussian
+  clusters; that made within-cluster pair density quadratic and
+  falsely flagged the embedding-LSH family as super-linear.)
 - events: 10 key-shifted copies of sf0.1 events (value distribution —
   all the bootstrap touches — is exactly preserved).
 
@@ -78,9 +83,18 @@ def gen_documents(out_dir: str, rng: np.random.RandomState) -> None:
 
 
 def gen_embeddings(out_dir: str, rng: np.random.RandomState) -> None:
-    means = rng.randn(N_CLUSTERS, EMB_DIM)
     labels = rng.randint(0, N_CLUSTERS, N_EMB)
-    vecs = (means[labels] + 0.3 * rng.randn(N_EMB, EMB_DIM)).astype(np.float32)
+    vecs = rng.randn(N_EMB, EMB_DIM)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # inject ~2% near-duplicates: perturbed copies of earlier vectors
+    # (cos ~ 0.99), mirroring the driver data's small injected dup set
+    n_dup = N_EMB // 50
+    src = rng.randint(0, N_EMB - n_dup, n_dup)
+    dst = np.arange(N_EMB - n_dup, N_EMB)
+    noise = 0.15 * rng.randn(n_dup, EMB_DIM)
+    vecs[dst] = vecs[src] + noise
+    vecs[dst] /= np.linalg.norm(vecs[dst], axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
     tbl = pa.table(
         {
             "vec_id": pa.array(range(N_EMB), pa.int64()),
