@@ -647,3 +647,35 @@ def test_unmapped_stream_raises_loudly(spark, tmp_path):
     bdf = spark.createDataFrame(_events(10, streams=(0, 7)), EVENT_SCHEMA)
     with pytest.raises(ValueError, match="no windowing policy"):
         summ.process_batch(bdf, 0)
+
+
+def test_uniform_policy_map_equals_single_policy(spark):
+    """A {sid: policy} map where every stream shares one policy must be
+    bit-identical to passing that policy directly — the routing layer
+    cannot perturb the single-policy path."""
+    rows = _events(83)
+    bdf = spark.createDataFrame(rows, EVENT_SCHEMA)
+    single = merge_summary_increment(
+        None, bdf, ExpWindowing(2.0), order_cols=("seq",)
+    )
+    mapped = merge_summary_increment(
+        None,
+        bdf,
+        {0: ExpWindowing(2.0), 1: ExpWindowing(2.0), 2: ExpWindowing(2.0)},
+        order_cols=("seq",),
+    )
+    assert _canon(mapped) == _canon(single)
+    # and mixing in a DIFFERENT policy changes only that stream
+    mixed = merge_summary_increment(
+        None,
+        bdf,
+        {0: ExpWindowing(2.0), 1: PowerWindowing(1, 1, 10, 1), 2: ExpWindowing(2.0)},
+        order_cols=("seq",),
+    )
+    for sid in (0, 2):
+        assert _canon(mixed.where(F.col("stream_id") == sid)) == _canon(
+            single.where(F.col("stream_id") == sid)
+        ), sid
+    assert _canon(mixed.where(F.col("stream_id") == 1)) != _canon(
+        single.where(F.col("stream_id") == 1)
+    )
