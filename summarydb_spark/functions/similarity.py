@@ -207,6 +207,40 @@ def train_ivf_centroids(
     return centroids
 
 
+def _train_pq_distributed(
+    corpus: DataFrame,
+    emb_col: str,
+    m: int,
+    k: int,
+    max_iter: int,
+    seed: int,
+) -> np.ndarray:
+    """Full-corpus PQ codebook training: per-subspace pyspark.ml KMeans
+    over the L2-normalized corpus, each subspace fit on a ``slice`` of
+    the embedding array (column pruning keeps only d/m values per row in
+    flight).  Driver memory: the (m, k, d/m) codebooks only."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = _embedding_dim(corpus, emb_col)
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    base = corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0).select(
+        _l2norm(_as_double(F.col(emb_col))).alias("cv")
+    )
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        feats = base.select(
+            array_to_vector(F.slice("cv", j * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(
+            k=k, maxIter=max_iter, seed=seed + j, initMode="k-means||"
+        ).fit(feats)
+        books[j] = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return books
+
+
 def _train_ivf_distributed(
     train: DataFrame, n_centroids: int, max_iter: int, seed: int
 ) -> np.ndarray:
@@ -555,6 +589,7 @@ def train_pq_codebooks(
     max_iter: int = 10,
     seed: int = 42,
     byte_budget: int = TRAIN_SAMPLE_BYTE_BUDGET,
+    distributed: bool = False,
 ) -> np.ndarray:
     """Train PQ codebooks: per-subspace k-means on a driver-collected,
     L2-normalized sample (the same bounded build/search split as
@@ -566,7 +601,14 @@ def train_pq_codebooks(
     ``d`` floats — the canonical billion-vector footprint reduction
     (IVF+PQ); ADC scoring costs ``m`` table lookups per pair instead of a
     ``d``-wide dot product.
+
+    ``distributed=True`` trains each subspace's codebook with pyspark.ml
+    KMeans over the FULL corpus (no driver sample at all) — ``m``
+    sequential executor-side fits over sliced features; centroids are
+    the only thing the driver ever holds.
     """
+    if distributed:
+        return _train_pq_distributed(corpus, emb_col, m, k, max_iter, seed)
 
     cap = _train_row_cap(_embedding_dim(corpus, emb_col), byte_budget)
     sample = np.array(

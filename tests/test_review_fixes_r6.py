@@ -91,3 +91,38 @@ def test_distributed_ivf_training_is_dropin(spark):
     assert len({got[i] for i in range(40)}) == 1
     assert len({got[i] for i in range(40, 80)}) == 1
     assert got[0] != got[79]
+
+
+def test_distributed_pq_training_is_dropin(spark):
+    """distributed=True PQ training returns (m, k, d/m) codebooks fit
+    per subspace with no driver sample; encoding still round-trips."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, v.tolist()) for i, v in enumerate(rng.randn(120, 8))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.train_pq_codebooks(
+        corpus, m=2, k=4, distributed=True
+    )
+    assert books.shape == (2, 4, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(corpus, m=3, k=4, distributed=True)
+
+
+def test_generic_member_key_property_roundtrip():
+    """Hypothesis: arbitrary unicode/bytes members encode to exact-
+    integer doubles, str == its utf-8 bytes, distinct inputs collide
+    with ~2^-52 odds (never observed on the sampled domain)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from summarydb_spark.engine import generic_member_key as gk
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def check(s):
+        v = gk(s)
+        assert v == int(v) and 0 <= v < 2**52
+        assert gk(s.encode("utf-8")) == v
+
+    check()
