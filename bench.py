@@ -75,13 +75,15 @@ def main() -> None:
 
         fast = [n for n, t in times.items() if t < 1.0]
 
+        failed: list[str] = []
+
         def run_one(name):
             try:
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception:
-                pass
+                failed.append(name)  # list.append is GIL-atomic
 
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=8) as pool:
@@ -90,6 +92,8 @@ def main() -> None:
             "n_queries": len(fast),
             "wall": round(time.time() - t0, 3),
             "serial_wall": round(sum(times[n] for n in fast), 3),
+            "n_failed": len(failed),
+            "failed": sorted(failed),
         }
 
     full = {

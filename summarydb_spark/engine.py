@@ -1173,10 +1173,36 @@ class SummaryDB:
                         f"{self.path} is locked by live writer pid {pid}; "
                         "stop it or open without exclusive=True"
                     )
-                try:  # stale lock from a crashed writer: reclaim
-                    os.remove(self._lock_path)
-                except FileNotFoundError:
-                    pass  # lost the reclaim race; retry the O_EXCL create
+                # Stale lock from a crashed writer: reclaim ATOMICALLY.
+                # rename() succeeds for exactly one contender (the loser
+                # gets FileNotFoundError), so two processes can never
+                # both "reclaim" and then remove each other's freshly
+                # created lock — the TOCTOU a bare os.remove() allows.
+                reclaim = f"{self._lock_path}.reclaim-{os.getpid()}"
+                try:
+                    os.rename(self._lock_path, reclaim)
+                except OSError:
+                    continue  # lost the reclaim race; retry O_EXCL
+                # Guard the read-pid -> rename window: if a NEW live
+                # writer slipped in, hand its lock back untouched.
+                try:
+                    with open(reclaim) as f:
+                        rpid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    rpid = 0
+                if rpid and rpid != pid and _pid_alive(rpid):
+                    try:
+                        os.rename(reclaim, self._lock_path)
+                    except OSError:
+                        pass
+                    raise ValueError(
+                        f"{self.path} is locked by live writer pid "
+                        f"{rpid}; stop it or open without exclusive=True"
+                    )
+                try:
+                    os.remove(reclaim)
+                except OSError:
+                    pass
 
     def _release_writer_lock(self) -> None:
         if self._owns_lock:
@@ -1577,6 +1603,11 @@ class SummaryDB:
         delete the LIVE writer's ``append.wal`` out from under it."""
         if self._read_only:
             return
-        self.flush()
-        self._wal_truncate()
-        self._release_writer_lock()
+        try:
+            self.flush()
+            self._wal_truncate()
+        finally:
+            # release even if flush raised: the pid stays alive, so a
+            # leaked lockfile would refuse every later exclusive open
+            # from this process until it exits
+            self._release_writer_lock()

@@ -185,6 +185,11 @@ def multi_pattern_tag(
     automaton above ``jvm_max_patterns`` (O(corpus) independent of K).
     Identical output either way — substring-presence semantics."""
     pats = list(patterns)
+    if not pats:
+        # K=0 would build F.array() of zero structs (array<null>) on the
+        # JVM path and fail analysis at s['pat']; the contract is simply
+        # "no patterns -> no tags", so short-circuit with an empty frame.
+        return df.sparkSession.createDataFrame([], _TAG_SCHEMA)
     if len(pats) <= jvm_max_patterns:
         return _tag_jvm_contains(df, id_col, text_col, pats)
     return _tag_automaton(df, id_col, text_col, pats)

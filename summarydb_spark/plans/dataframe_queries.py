@@ -860,10 +860,27 @@ FROM (
     # two uneven micro-batches: enough to exercise merge-into-existing
     # per-policy state (the 3+-batch path is pinned by
     # tests/test_streaming.py) while keeping the gate's fixed cost down
+    # FileStreamSource orders micro-batches by modification time with an
+    # arbitrary (path) tie-break; back-to-back writes can tie on coarse
+    # mtime granularity, and a reversed batch order would misassign the
+    # per-stream indices against the running-count state.  Make the
+    # ordering explicit: bump each batch's data files one second past
+    # the previous batch's newest.
+    prev_mtime = 0.0
     for lo, hi in ((0, 192), (192, _MIXED_N)):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
         prep.where(
             (F.col("idx") >= lo) & (F.col("idx") < hi)
         ).coalesce(1).write.mode("append").parquet(src)
+        batch_mtime = prev_mtime + 1.0
+        for name in set(os.listdir(src)) - before:
+            if name.endswith(".parquet"):
+                p = os.path.join(src, name)
+                batch_mtime = max(batch_mtime, os.path.getmtime(p))
+                if os.path.getmtime(p) <= prev_mtime:
+                    os.utime(p, (prev_mtime + 1.0, prev_mtime + 1.0))
+                    batch_mtime = max(batch_mtime, prev_mtime + 1.0)
+        prev_mtime = batch_mtime
     prep.unpersist()
     source = (
         spark.readStream.schema("stream_id long, idx long, t long, v double")

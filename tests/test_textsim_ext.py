@@ -160,6 +160,19 @@ def test_multi_pattern_tag_jvm_and_automaton_paths_agree(spark):
     assert got_a == want
 
 
+def test_multi_pattern_tag_empty_patterns(spark):
+    """K=0 must return an empty (doc_id, pattern_id) frame on BOTH
+    paths — the JVM path would otherwise build F.array() of zero
+    structs (array<null>) and fail analysis at s['pat']."""
+    from summarydb_spark.functions.match import _TAG_SCHEMA, multi_pattern_tag
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, txt string")
+    for cap in (100, 0):
+        out = multi_pattern_tag(df, "doc_id", "txt", [], jvm_max_patterns=cap)
+        assert out.schema == _TAG_SCHEMA
+        assert out.count() == 0
+
+
 def test_bounded_blocklist_plan_is_pure_jvm(spark):
     """K<=100 patterns must compile to codegen'd contains — zero Python
     in the plan (no mapInPandas / ArrowEvalPython / BatchEvalPython)."""
