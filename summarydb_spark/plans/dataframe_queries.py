@@ -1316,18 +1316,55 @@ SELECT stream_id, qid,
 FROM cov GROUP BY stream_id, qid"""
 
 
+def banded_ngram_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """The exact 3-gram Jaccard >= threshold pair relation, computed by
+    banded-LSH candidate generation + exact per-candidate verify
+    (functions.dedup.banded_jaccard_pairs) over the SAME blocked-shingle
+    relation the exhaustive template joins (llm_sql.ngram_blocks_sql) —
+    same blocking, same shingle hashes, same rounding, so the exhaustive
+    DuckDB template is the oracle and a hash-match proves zero false
+    negatives at the gate scales.
+
+    This is the scale path the exhaustive template's docstring promises:
+    measured at sf1 the exhaustive block join verifies 58.8M within-block
+    pairs (66.9 s) while the banded generator verifies only colliding
+    candidates (~b*j per background pair) — same output bit-for-bit."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+    from summarydb_spark.plans.llm_sql import ngram_blocks_sql
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    # persist: the signature pass, the candidate join, and both verify
+    # reattach legs all read the blocks relation (CacheManager dedupes by
+    # analyzed plan, so repeated calls share one bounded storage entry —
+    # the round-5 measured finding at the other builder persist sites)
+    blocks = spark.sql(ngram_blocks_sql("spark")).persist()
+    return banded_jaccard_pairs(blocks, threshold).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
+    )
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """Near-dup pair relation (3-gram Jaccard >= threshold) as a
     fingerprint-keyed persisted store — one materialization per corpus
-    snapshot per threshold, shared by every graph consumer."""
-    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+    snapshot per threshold, shared by every graph consumer.
+
+    Build mode: banded-LSH generation + exact verify (banded_ngram_pairs)
+    — the exhaustive block join is quadratic in within-block pairs (66.9 s
+    at sf1) while the banded build verifies colliding candidates only.
+    Every consumer's oracle recomputes pairs exhaustively from raw text,
+    so a banded build that missed a pair could not pass the gate."""
     from summarydb_spark.sources.tables import ensure_store, register_tables
 
     register_tables(spark, sf_dir)
-    name = f"ngram_pairs_t{str(threshold).replace('.', '')}"
+    name = f"ngram_pairs_banded_t{str(threshold).replace('.', '')}"
 
     def build(s):
-        return s.sql(q_dedup_ngram_jaccard("spark", threshold=threshold)), None
+        return banded_ngram_pairs(s, sf_dir, threshold), None
 
     path = ensure_store(spark, sf_dir, name, build, coalesce=0)
     return spark.read.parquet(path)
@@ -2131,4 +2168,41 @@ def _degree_stats_oracle() -> str:
 DF_QUERIES["dup_graph_degree_stats"] = (
     q_dup_graph_degree_stats_df,
     _degree_stats_oracle(),
+)
+
+
+def q_dedup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t=0.1 near-dup pair relation built LIVE by the banded-LSH
+    generator (banded_ngram_pairs — no persisted store, so the gate and
+    the bench exercise the full build path every call).  Oracle: the
+    exhaustive within-block join at the same threshold — a hash-match
+    proves the banded generation has ZERO false negatives on this corpus
+    (and exact verify guarantees zero false positives always)."""
+    return banded_ngram_pairs(spark, sf_dir, 0.1)
+
+
+def q_dedup_ngram_jaccard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default plan for the t=0.2 near-dup pair relation: read the
+    fingerprint-keyed pair store, whose BUILD is banded-LSH generation +
+    exact verify (_ngram_pairs) — the scale path.  The exhaustive
+    block-join template remains registered as the oracle-gate twin
+    (dedup_ngram_jaccard_exhaustive) and is this query's DuckDB oracle,
+    so a stale or recall-lossy store cannot pass."""
+    return _ngram_pairs(spark, sf_dir, 0.2)
+
+
+def _oracle_ngram_jaccard(threshold: float) -> str:
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+
+    return q_dedup_ngram_jaccard("duckdb", threshold=threshold)
+
+
+DF_QUERIES["dedup_pairs_banded"] = (
+    q_dedup_pairs_banded,
+    _oracle_ngram_jaccard(0.1),
+)
+
+DF_QUERIES["dedup_ngram_jaccard"] = (
+    q_dedup_ngram_jaccard_df,
+    _oracle_ngram_jaccard(0.2),
 )

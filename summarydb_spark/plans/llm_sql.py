@@ -201,6 +201,27 @@ def q_dedup_ngram_jaccard(dialect: str, threshold: float = 0.2) -> str:
     #    use its own 64-bit hash and int64 set-intersections replace string
     #    set-intersections in the quadratic verify stage.
     if dialect == "spark":
+        inter = "size(array_intersect(a.sh, b.sh))"
+        uni = "size(array_union(a.sh, b.sh))"
+    else:
+        inter = "len(list_intersect(a.sh, b.sh))"
+        uni = "len(list_distinct(list_concat(a.sh, b.sh)))"
+    return f"""
+WITH d AS ({ngram_blocks_sql(dialect)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST({inter} AS DOUBLE) / {uni}, 6) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST({inter} AS DOUBLE) / {uni} >= {threshold}"""
+
+
+def ngram_blocks_sql(dialect: str) -> str:
+    """The blocked-shingle relation (doc_id, lang, len_bucket,
+    sh: array<int64>) both near-dup plans are defined over: the
+    exhaustive block-join template (:func:`q_dedup_ngram_jaccard`) and
+    the banded-LSH generator (plans.dataframe_queries) SELECT from this
+    same SQL, so their shingle/blocking semantics cannot drift apart."""
+    if dialect == "spark":
         toks = "split(text, ' ')"
         shingles = (
             "CASE WHEN size(toks) >= 3 THEN "
@@ -208,8 +229,6 @@ def q_dedup_ngram_jaccard(dialect: str, threshold: float = 0.2) -> str:
             "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))) "
             "ELSE array(xxhash64(concat_ws(' ', toks))) END"
         )
-        inter = "size(array_intersect(a.sh, b.sh))"
-        uni = "size(array_union(a.sh, b.sh))"
     else:
         toks = "string_split(text, ' ')"
         shingles = (
@@ -218,24 +237,14 @@ def q_dedup_ngram_jaccard(dialect: str, threshold: float = 0.2) -> str:
             "for i in range(0, len(toks) - 2)]) "
             "ELSE [hash(array_to_string(toks, ' '))] END"
         )
-        inter = "len(list_intersect(a.sh, b.sh))"
-        uni = "len(list_distinct(list_concat(a.sh, b.sh)))"
     return f"""
-WITH t AS (
+SELECT doc_id, lang,
+       CAST(floor(n_chars_t / 100.0) AS BIGINT) AS len_bucket,
+       {shingles} AS sh
+FROM (
   SELECT doc_id, lang, length(text) AS n_chars_t, {toks} AS toks
   FROM documents
-),
-d AS (
-  SELECT doc_id, lang,
-         CAST(floor(n_chars_t / 100.0) AS BIGINT) AS len_bucket,
-         {shingles} AS sh
-  FROM t
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST({inter} AS DOUBLE) / {uni}, 6) AS jaccard
-FROM d a JOIN d b
-  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE CAST({inter} AS DOUBLE) / {uni} >= {threshold}"""
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -774,7 +783,11 @@ LLM_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    # the exhaustive block-join template, kept registered as the
+    # oracle-gate twin; the DEFAULT dedup_ngram_jaccard plan is the
+    # banded-LSH store read (plans.dataframe_queries) with this same
+    # template as its DuckDB oracle
+    "dedup_ngram_jaccard_exhaustive": q_dedup_ngram_jaccard,
     "decontam_ngram_containment": q_decontam_ngram,
     "knn_brute_cosine": q_knn_brute_cosine,
     "hard_negative_mining": q_hard_negative_mining,

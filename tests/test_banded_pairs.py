@@ -1,0 +1,109 @@
+"""Tests for the banded-LSH exact-Jaccard pair builder (round-7 VERDICT
+item 1): the generation path for low thresholds where prefix filtering
+degenerates.  The contract is EQUALITY with the exhaustive block join —
+banded generation + exact verify must produce the identical pair
+relation, which the oracle gate re-proves per round at sf0.01/sf0.1 and
+tools/measure_scaling.py measured IDENTICAL a full decade past the gate
+(sf1: 822 pairs both, banded ~10x faster)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_num_hashes_derivation():
+    """b = ln(miss)/ln(1-t), floored at 16: the r=1 recall math."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs  # noqa: F401
+
+    # replicate the derivation the function applies
+    for t, miss, expect_min in ((0.1, 1e-6, 131), (0.5, 1e-6, 20), (0.9, 1e-6, 16)):
+        b = max(16, int(math.ceil(math.log(miss) / math.log(1.0 - t))))
+        assert b >= expect_min
+        # per-pair miss bound at the threshold itself
+        assert (1.0 - t) ** b <= miss * 1.05
+
+
+def test_banded_equals_exhaustive_on_testdata(spark):
+    """End-to-end over real documents at sf0.001: the banded builder's
+    pair set equals the exhaustive spark-dialect template bit-for-bit
+    (same blocked-shingle relation by construction, so any difference
+    is a generation recall failure)."""
+    from summarydb_spark.plans.dataframe_queries import banded_ngram_pairs
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, SF_DIR)
+    for threshold in (0.1, 0.2):
+        banded = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in banded_ngram_pairs(spark, SF_DIR, threshold).collect()
+        }
+        exact = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in spark.sql(
+                q_dedup_ngram_jaccard("spark", threshold=threshold)
+            ).collect()
+        }
+        assert banded == exact
+        assert banded, "vacuous: sf0.001 must contain near-dup pairs"
+
+
+def test_banded_constructed_corpus_near_threshold(spark):
+    """Constructed corpus with pairs straddling the threshold: a just-above
+    pair must be found (recall), a just-below pair excluded (exact verify),
+    cross-block twins never pair (blocking parity with the template)."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+
+    # doc 0/1: 10 shared of 12 union -> j = 10/12 = 0.833...
+    # doc 2/3: 1 shared of 10 union -> j = 0.1 (at threshold, inclusive)
+    # doc 4/5: identical sets but DIFFERENT block -> excluded
+    rows = [
+        (0, "en", 0, list(range(11))),          # {0..10}
+        (1, "en", 0, list(range(1, 12))),       # {1..11}
+        (2, "en", 1, [100, 201, 202, 203, 204]),
+        (3, "en", 1, [100, 301, 302, 303, 304, 305]),  # union 10, inter 1
+        (4, "de", 0, [7, 8, 9]),
+        (5, "fr", 0, [7, 8, 9]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, len_bucket long, sh array<long>"
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in banded_jaccard_pairs(df, 0.1).collect()
+    }
+    assert (0, 1, round(10 / 12, 6)) in got
+    assert (2, 3, 0.1) in got, "pair AT the threshold must be found"
+    assert not any(a == 4 or a == 5 for a, _, _ in got)
+    assert got == {(0, 1, round(10 / 12, 6)), (2, 3, 0.1)}
+
+
+def test_banded_no_block_allpairs_join(spark):
+    """The banded plan must join on (block, band_idx, band_hash) — never
+    on the block keys alone (that would be the exhaustive quadratic
+    join wearing a hat).  Checked structurally: every equi-join over the
+    banding relation carries band_hash among its keys."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "en", 0, [1, 2, 3])],
+        "doc_id long, lang string, len_bucket long, sh array<long>",
+    )
+    plan = (
+        banded_jaccard_pairs(df, 0.1)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    joins = [ln for ln in plan.splitlines() if "Join Inner" in ln]
+    cand_joins = [ln for ln in joins if "band_hash" in ln]
+    assert cand_joins, f"no banded candidate join found:\n{plan}"
+    for ln in joins:
+        # a join mentioning len_bucket must also carry band_hash
+        if "len_bucket" in ln:
+            assert "band_hash" in ln, f"block-only join in plan:\n{ln}"
