@@ -956,6 +956,155 @@ SELECT stream_id,
 FROM b GROUP BY stream_id, window_id"""
 
 
+_RESTART_N = 384
+
+
+def q_streaming_restart_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KILL + checkpoint-restart mid-stream, then state equality: the
+    first 384 events split into 2 streams ingest through a
+    ``StreamingSummarizer`` (exp(2) decay) from a 3-file source; the
+    crash is planted in the TIGHTEST recovery window: batch 0 is folded
+    and its state version committed, but the source offsets are NOT
+    (the checkpoint is fresh) — exactly the crash between state write
+    and offset commit.  The restarted streaming query re-delivers batch
+    0, which the _COMMIT marker must skip idempotently, then drains the
+    remaining file.  The oracle replays the canonical count-space
+    boundaries in batch SQL, so a hash-match proves the post-restart
+    state equals the batch rebuild over ALL events — the reference's
+    WAL-replay recovery contract (core/pipeline.go:294-335); a
+    double-fold (marker ignored) or a skip-without-fold both change the
+    sums and fail the hash.  The kill-while-actually-running variant
+    (stop() racing an in-flight rate-source micro-batch) is pinned by
+    tests/test_streaming.py::test_rate_source_soak_kill_restart; this
+    gate keeps the per-round cost to ONE streaming query startup."""
+    import tempfile
+
+    from summarydb_spark.plans.portable_sql import epoch_us
+    from summarydb_spark.sources.tables import register_tables
+    from summarydb_spark.streaming.ingest import StreamingSummarizer
+    from summarydb_spark.windowing import ExpWindowing
+
+    register_tables(spark, sf_dir)
+    prep = spark.sql(
+        f"""
+SELECT idx % 2 AS stream_id, idx, t, v
+FROM (
+  SELECT t, v, row_number() OVER (ORDER BY t, event_id) - 1 AS idx
+  FROM (
+    SELECT {epoch_us('ts', 'spark')} AS t,
+           CAST(round(value * 100) AS DOUBLE) AS v, event_id
+    FROM events ORDER BY 1, 3 LIMIT {_RESTART_N}
+  )
+)"""
+    ).cache()
+    work = tempfile.mkdtemp(prefix="restart_gate_")
+    src = os.path.join(work, "src")
+    prev_mtime = 0.0
+    for lo, hi in ((0, 128), (128, _RESTART_N)):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        prep.where(
+            (F.col("idx") >= lo) & (F.col("idx") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        batch_mtime = prev_mtime + 1.0
+        for name in set(os.listdir(src)) - before:
+            if name.endswith(".parquet"):
+                p = os.path.join(src, name)
+                batch_mtime = max(batch_mtime, os.path.getmtime(p))
+                if os.path.getmtime(p) <= prev_mtime:
+                    os.utime(p, (prev_mtime + 1.0, prev_mtime + 1.0))
+                    batch_mtime = max(batch_mtime, prev_mtime + 1.0)
+        prev_mtime = batch_mtime
+    prep.unpersist()
+
+    def mk_summ() -> StreamingSummarizer:
+        return StreamingSummarizer(
+            spark,
+            ExpWindowing(2.0),
+            os.path.join(work, "state"),
+            ts_col="t",
+            value_col="v",
+            order_cols=("idx",),
+        )
+
+    # phase 1 (the planted crash): fold batch 0 — the first file's rows,
+    # exactly what the streaming query's batch 0 will re-deliver — and
+    # commit its state version, but leave NO checkpoint offsets behind
+    summ = mk_summ()
+    summ.process_batch(
+        spark.read.schema("stream_id long, idx long, t long, v double")
+        .parquet(src)
+        .where(F.col("idx") < 128),
+        0,
+    )
+
+    # phase 2 (the restart): fresh summarizer, FRESH checkpoint -> batch
+    # 0 replays the already-folded file (one file per trigger, mtime
+    # order) and must be skipped by the _COMMIT marker; batch 1 drains
+    # the rest
+    summ2 = mk_summ()
+    q2 = summ2.start(
+        spark.readStream.schema("stream_id long, idx long, t long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        os.path.join(work, "cp"),
+        available_now=True,
+    )
+    q2.awaitTermination()
+    return summ2.summary().select(
+        "stream_id",
+        F.col("window_id").cast("long").alias("window_id"),
+        F.col("count_start").cast("long").alias("count_start"),
+        F.col("count_end").cast("long").alias("count_end"),
+        F.col("time_start").cast("long").alias("time_start"),
+        F.col("time_end").cast("long").alias("time_end"),
+        F.col("count").cast("long").alias("cnt"),
+        F.col("sum").cast("long").alias("sum_v"),
+        F.col("max").cast("long").alias("max_v"),
+        F.col("min").cast("long").alias("min_v"),
+    )
+
+
+def _oracle_restart_gate() -> str:
+    from summarydb_spark.windowing import ExpWindowing, canonical_boundaries
+
+    half = _RESTART_N // 2
+    rows = []
+    for sid in (0, 1):
+        bnd = canonical_boundaries(ExpWindowing(2.0), half)
+        rows += [
+            f"({sid},{bnd[k]},{bnd[k]},{bnd[k + 1]})"
+            for k in range(len(bnd) - 1)
+        ]
+    vals = ",".join(rows)
+    return f"""
+WITH pre AS (
+  SELECT epoch_us(ts) AS t, CAST(round(value * 100) AS DOUBLE) AS v, event_id
+  FROM events ORDER BY 1, 3 LIMIT {_RESTART_N}
+),
+ev AS (
+  SELECT t, v, row_number() OVER (ORDER BY t, event_id) - 1 AS idx FROM pre
+),
+sev AS (SELECT t, v, idx % 2 AS stream_id, idx // 2 AS sidx FROM ev),
+bnd AS (SELECT * FROM (VALUES {vals}) AS x(stream_id, window_id, lo, hi)),
+b AS (
+  SELECT bnd.stream_id, bnd.window_id, sev.t, sev.v, sev.sidx
+  FROM sev JOIN bnd
+    ON sev.stream_id = bnd.stream_id
+   AND sev.sidx >= bnd.lo AND sev.sidx < bnd.hi
+)
+SELECT stream_id,
+       CAST(window_id AS BIGINT) AS window_id,
+       CAST(min(sidx) AS BIGINT) AS count_start,
+       CAST(max(sidx) AS BIGINT) AS count_end,
+       min(t) AS time_start,
+       max(t) AS time_end,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       CAST(min(v) AS BIGINT) AS min_v
+FROM b GROUP BY stream_id, window_id"""
+
+
 def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup state: the same events source is read
     by TWO stream readers and unioned — every event arrives twice — then
@@ -1808,6 +1957,10 @@ DF_QUERIES = {
     "streaming_mixed_policy_gate": (
         q_streaming_mixed_policy_gate,
         _oracle_mixed_policy(),
+    ),
+    "streaming_restart_gate": (
+        q_streaming_restart_gate,
+        _oracle_restart_gate(),
     ),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_META),
     "media_frame_stats": (q_media_frame_stats, ORACLE_MEDIA_FRAMES),
