@@ -92,6 +92,40 @@ def _train_row_cap(
     return max(1, min(TRAIN_SAMPLE_MAX_ROWS, byte_budget // (8 * max(1, dim))))
 
 
+def adaptive_lsh_planes(
+    n: int, target_bucket: int = 32, floor: int = 16, cap: int = 28
+) -> int:
+    """Hyperplane count for corpus size ``n``: enough planes that the
+    EXPECTED bucket occupancy stays ~``target_bucket`` — planes =
+    ceil(log2(n / target_bucket)), floored at the measured-good gate
+    value (16 keeps 2^p >= corpus up to ~2M vectors, so buckets stay
+    sparse there) and capped at 28 (2^28 buckets; beyond that more
+    TABLES, not more planes, is the recall-preserving move).  Grows
+    ~log(N): the BASELINE.md round-6 watch item — a fixed plane count
+    lets bucket size grow linearly with the corpus, degrading the
+    candidate join quadratically within hot buckets."""
+    import math
+
+    if n <= 0:
+        return floor
+    return max(floor, min(cap, int(math.ceil(math.log2(max(2, n / max(1, target_bucket)))))))
+
+
+def adaptive_ivf_centroids(n: int, floor: int = 8, cap: int = 65536) -> int:
+    """IVF list count for corpus size ``n``: ceil(sqrt(n)) clamped to
+    [floor, cap] — the canonical FAISS sizing.  With a FIXED probe
+    count, candidate volume per query is ~n_probe * n / nlist =
+    n_probe * sqrt(n): sublinear in the corpus, vs linear when nlist is
+    a constant (the measured 5x-at-10x ann_ivf_topk curve this
+    replaces).  Training cost is nlist * sample — still bounded by the
+    byte-budgeted sample."""
+    import math
+
+    if n <= 0:
+        return floor
+    return max(floor, min(cap, int(math.ceil(math.sqrt(n)))))
+
+
 def _embedding_dim(df: DataFrame, emb_col: str) -> int:
     """Dimension of the embedding column — one single-row probe job
     (training runs once per index build; the probe is noise)."""

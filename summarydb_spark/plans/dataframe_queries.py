@@ -170,14 +170,22 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hyperplane signatures come from a persisted store (ensure_store):
     the Arrow matmul over the corpus runs once per source dataset, calls
-    pay only the multi-probe join + exact cosine verify."""
-    from summarydb_spark.sources.tables import ensure_store
+    pay only the multi-probe join + exact cosine verify.  The plane
+    count is ADAPTIVE (~log2(n/32), floored at the gate-scale-good 12)
+    and persisted in the store's _params.json sidecar, so the probe
+    signatures always match the stored ones — the round-6 watch item
+    (fixed planes let bucket size grow linearly with the corpus)."""
+    import json as _json
+
+    from summarydb_spark.sources.tables import ensure_store, store_sidecar
 
     def build(s):
         from summarydb_spark.functions.dedup import _hyperplanes
-        from summarydb_spark.functions.similarity import _sigs_all_tables_udf
-
-        from summarydb_spark.functions.similarity import _require_dim
+        from summarydb_spark.functions.similarity import (
+            _require_dim,
+            _sigs_all_tables_udf,
+            adaptive_lsh_planes,
+        )
 
         embs = _embs(s, sf_dir)
         _require_dim(embs, "embedding", 64)
@@ -190,16 +198,22 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
         union = embs.unionByName(planted)
-        sigf = _sigs_all_tables_udf([_hyperplanes(64, 12, 42)])
+        planes = adaptive_lsh_planes(union.count(), floor=12)
+        sigf = _sigs_all_tables_udf([_hyperplanes(64, planes, 42)])
         vecs = union.select(
             F.col("vec_id").alias("_id"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
         )
-        return vecs.withColumn("sig", F.element_at(sigf(F.col("v")), 1)), None
+        return vecs.withColumn("sig", F.element_at(sigf(F.col("v")), 1)), {
+            "_params.json": _json.dumps({"n_planes": planes}).encode()
+        }
 
-    path = ensure_store(spark, sf_dir, "near_dup_emb_sigs", build, coalesce=0)
+    path = ensure_store(
+        spark, sf_dir, "near_dup_emb_sigs_adaptive", build, coalesce=0
+    )
+    params = _json.loads(store_sidecar(path, "_params.json"))
     out = dedup.embedding_near_dups(
-        None, threshold=0.99, n_planes=12, probe_hamming=1,
+        None, threshold=0.99, n_planes=params["n_planes"], probe_hamming=1,
         sigs=spark.read.parquet(path),
     )
     return out.select(
@@ -382,35 +396,50 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, method: str):
     FAISS build/search lifecycle: train + encode once, amortize over every
     query batch; per-call work is only the (tiny) query-side signatures and
     the bucketed candidate join.  Returns (encoded DataFrame, model|None)."""
+    import json as _json
+
     from summarydb_spark.sources.tables import ensure_store, store_sidecar
 
     def build(spark):
         embs = _embs(spark, sf_dir)
         corpus = _planted_corpus(embs)
+        # adaptive index sizing from the corpus count (one job, build
+        # time only — the count never runs on the per-query read path;
+        # the derived values persist in the _params.json sidecar so
+        # query-side signatures/probes always match THIS store even if
+        # the derivation formula changes later)
+        n = corpus.count()
         if method == "ivf":
-            cent = similarity.train_ivf_centroids(embs, n_centroids=8)
-            return similarity.ivf_encode(corpus, cent), {"_model.npy": _np_bytes(cent)}
+            nlist = similarity.adaptive_ivf_centroids(n)
+            cent = similarity.train_ivf_centroids(embs, n_centroids=nlist)
+            return similarity.ivf_encode(corpus, cent), {
+                "_model.npy": _np_bytes(cent),
+                "_params.json": _json.dumps(
+                    {"n": n, "n_centroids": nlist}
+                ).encode(),
+            }
         if method == "pq":
             books = similarity.train_pq_codebooks(embs, m=4, k=32)
             return similarity.pq_encode(corpus, books), {"_model.npy": _np_bytes(books)}
+        planes = similarity.adaptive_lsh_planes(n)
         enc = similarity.lsh_encode(
-            corpus, dim=64, n_planes=_LSH_PLANES, n_tables=6, seed=42
+            corpus, dim=64, n_planes=planes, n_tables=6, seed=42
         )
-        return enc, None
+        return enc, {
+            "_params.json": _json.dumps({"n": n, "n_planes": planes}).encode()
+        }
 
-    # the lsh store name carries the plane count: encodings are only
-    # readable by query signatures built with the SAME planes, so a param
-    # change must miss the old store rather than silently probe it
-    name = (
-        f"ann_lsh_p{_LSH_PLANES}_index" if method == "lsh" else f"ann_{method}_index"
-    )
-    path = ensure_store(spark, sf_dir, name, build)
+    path = ensure_store(spark, sf_dir, f"ann_{method}_adaptive_index", build)
     model = (
         _np_from_bytes(store_sidecar(path, "_model.npy"))
         if method in ("ivf", "pq")
         else None
     )
-    return spark.read.parquet(path), model
+    try:
+        params = _json.loads(store_sidecar(path, "_params.json"))
+    except FileNotFoundError:
+        params = {}
+    return spark.read.parquet(path), model, params
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,11 +448,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact expected top-3 (the planted copies), so this checks recall, rank
     order, and cosine values end-to-end.  The signed corpus is a persisted
     index (_ensure_ann_index) — per-call work is query-side only."""
-    encoded, _ = _ensure_ann_index(spark, sf_dir, "lsh")
+    encoded, _, params = _ensure_ann_index(spark, sf_dir, "lsh")
     queries = _emb_probes(spark, sf_dir)
     out = similarity.lsh_topk(
-        None, queries, k=3, n_planes=_LSH_PLANES, n_tables=6, probe_hamming=2,
-        encoded=encoded,
+        None, queries, k=3, n_planes=params["n_planes"], n_tables=6,
+        probe_hamming=2, encoded=encoded,
     )
     return out.select(
         "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
@@ -436,7 +465,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantizer is trained on the ORIGINAL embeddings and the assigned
     corpus persisted with it (build/search split — the production IVF
     lifecycle); searches read the inverted file and probe 4 of 8 lists."""
-    encoded, cent = _ensure_ann_index(spark, sf_dir, "ivf")
+    encoded, cent, _params = _ensure_ann_index(spark, sf_dir, "ivf")
     queries = _emb_probes(spark, sf_dir)
     out = similarity.ivf_topk(
         None, queries, k=3, n_probe=4, centroids=cent, encoded=encoded
@@ -455,7 +484,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the emitted cosines exact, so the oracle checks recall, rank
     order, and values — a planted copy pushed out of the ADC top-rerank
     would surface a ~0.5-cosine natural row and the hash diverges."""
-    encoded, books = _ensure_ann_index(spark, sf_dir, "pq")
+    encoded, books, _params = _ensure_ann_index(spark, sf_dir, "pq")
     queries = _emb_probes(spark, sf_dir)
     out = similarity.pq_topk(
         None, queries, books, k=3, rerank=32, encoded=encoded
@@ -472,10 +501,10 @@ def q_ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets: all three planted copies qualify) instead of a fixed k.  The
     oracle is the planted closed form filtered to the radius, so recall,
     membership, and cosine values are all hash-checked."""
-    encoded, _ = _ensure_ann_index(spark, sf_dir, "lsh")
+    encoded, _, params = _ensure_ann_index(spark, sf_dir, "lsh")
     queries = _emb_probes(spark, sf_dir)
     out = similarity.lsh_radius(
-        None, queries, tau=0.999, n_planes=_LSH_PLANES, n_tables=6,
+        None, queries, tau=0.999, n_planes=params["n_planes"], n_tables=6,
         probe_hamming=2,
         encoded=encoded,
     )

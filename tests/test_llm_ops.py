@@ -143,21 +143,28 @@ def test_ann_index_store_persists_and_reuses(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SUMMARYDB_STORE_DIR", str(tmp_path))
     from summarydb_spark.plans.dataframe_queries import _ensure_ann_index
 
-    enc1, model1 = _ensure_ann_index(spark, SF_DIR, "ivf")
+    enc1, model1, params1 = _ensure_ann_index(spark, SF_DIR, "ivf")
     store = next(
         p
-        for p in tmp_path.rglob("ann_ivf_index")
+        for p in tmp_path.rglob("ann_ivf_adaptive_index")
         if (p / "_SUCCESS").exists()
     )
     mtime = store.stat().st_mtime_ns
-    enc2, model2 = _ensure_ann_index(spark, SF_DIR, "ivf")
+    enc2, model2, params2 = _ensure_ann_index(spark, SF_DIR, "ivf")
     assert store.stat().st_mtime_ns == mtime
     assert np.array_equal(model1, model2)
-    assert model1.shape[0] == 8
+    # adaptive sizing: nlist = ceil(sqrt(corpus)), persisted in the
+    # sidecar and equal to the trained centroid count
+    import math
+
+    assert params1 == params2
+    nlist = params1["n_centroids"]
+    assert nlist == max(8, math.ceil(math.sqrt(params1["n"])))
+    assert model1.shape[0] == nlist
     rows = enc2.limit(5).collect()
     assert {"neighbor_id", "cv", "list_id"} <= set(rows[0].asDict())
     # every vector assigned to a valid list
-    assert all(0 <= r["list_id"] < 8 for r in rows)
+    assert all(0 <= r["list_id"] < nlist for r in rows)
 
 
 def test_ann_queries_match_with_persisted_index(spark, tmp_path, monkeypatch):
@@ -272,3 +279,23 @@ def test_semantic_dedup_external_clusters(spark):
         for r in semantic_dedup(df, threshold=0.95, clusters=clusters).collect()
     }
     assert out == {2: 1}
+
+
+def test_adaptive_index_param_derivation():
+    """VERDICT r6 item 4: nlist = ceil(sqrt(n)) clamped, planes =
+    ceil(log2(n/32)) floored at the gate-good 16 / capped at 28."""
+    from summarydb_spark.functions.similarity import (
+        adaptive_ivf_centroids,
+        adaptive_lsh_planes,
+    )
+
+    assert adaptive_ivf_centroids(0) == 8
+    assert adaptive_ivf_centroids(5000) == 71
+    assert adaptive_ivf_centroids(50_000) == 224
+    assert adaptive_ivf_centroids(10**12) == 65536
+    assert adaptive_lsh_planes(5000) == 16
+    assert adaptive_lsh_planes(2_000_000) == 16
+    assert adaptive_lsh_planes(16_000_000) == 19
+    assert adaptive_lsh_planes(10**12) == 28
+    # floor override used by the near-dup signature store
+    assert adaptive_lsh_planes(600, floor=12) == 12
