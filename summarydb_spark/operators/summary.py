@@ -262,6 +262,48 @@ def with_exp2_bucket(
     return df.drop("_rank", "_t0", "_t", "_m", "_a", "_k")
 
 
+#: Driver-enumerable boundary-binning limits for the JVM path in
+#: bucketed_events: at most this many DISTINCT stream sizes (one
+#: O(log n) boundary-array literal each keeps the plan small), and at
+#: most this TOTAL replay cost (canonical_boundaries is an O(n log n)
+#: merge-process replay per distinct size — the same work the pandas
+#: UDF does per executor, done once on the driver instead).  Beyond
+#: either bound the executor-memoized UDF remains the right tool.
+JVM_BIN_MAX_DISTINCT_N = 512
+JVM_BIN_MAX_TOTAL_REPLAY = 8_000_000
+
+
+def _jvm_boundary_bucket(
+    windowing, buffer_size: int, ns, idx_col: str = "idx", n_col: str = "n"
+) -> Column:
+    """Literal boundary-array binning in pure JVM expressions.
+
+    For each enumerated stream size n the canonical upper boundaries
+    [b1..bK=n] become an array literal; the bucket of an element is
+    #{b : b <= idx} — exactly searchsorted(boundaries, idx, 'right')-1,
+    the same binning the pandas UDF computes, with no Python worker and
+    no Arrow transfer in the ingest pass.  A stream size that was not
+    enumerated at plan time (a nondeterministic upstream changed the
+    counts between the enumeration job and the main pass) raises
+    loudly instead of binning garbage."""
+    expr = None
+    for nn in ns:
+        bnds = canonical_boundaries(windowing, int(nn), buffer_size)
+        arr = F.array(*[F.lit(int(b)).cast("long") for b in bnds[1:]])
+        bucket = F.size(F.filter(arr, lambda b: b <= F.col(idx_col)))
+        cond = F.col(n_col) == int(nn)
+        expr = F.when(cond, bucket) if expr is None else expr.when(cond, bucket)
+    return expr.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("stream size "),
+                F.col(n_col).cast("string"),
+                F.lit(" was not enumerated at plan time (nondeterministic input?)"),
+            )
+        )
+    ).cast("long")
+
+
 def _bucket_udf_general(windowing, buffer_size: int):
     """Vectorized searchsorted binning against canonical boundaries.
 
@@ -326,6 +368,29 @@ def bucketed_events(
 
     if isinstance(windowing, ExpWindowing) and windowing.base == 2.0 and buffer_size <= 0:
         return with_exp2_bucket(ev, "idx", "n", "bucket")
+    # JVM boundary binning for driver-enumerable size sets: one tiny
+    # count-distinct job over the RAW events (map-side partial agg — the
+    # window/index stage is not re-executed) enumerates the per-stream
+    # sizes; each size's canonical boundaries become an O(log n) array
+    # literal and the binning stays entirely JVM-side.  Falls back to
+    # the executor-memoized pandas UDF when the size set is too large to
+    # enumerate or the total replay cost exceeds the driver budget.
+    ns = sorted(
+        int(r["_n_"])
+        for r in events.groupBy(F.col(stream_col))
+        .agg(F.count(F.lit(1)).alias("_n_"))
+        .select("_n_")
+        .distinct()
+        .collect()
+    )
+    if (
+        ns
+        and len(ns) <= JVM_BIN_MAX_DISTINCT_N
+        and sum(ns) <= JVM_BIN_MAX_TOTAL_REPLAY
+    ):
+        return ev.withColumn(
+            "bucket", _jvm_boundary_bucket(windowing, buffer_size, ns)
+        )
     udf = _bucket_udf_general(windowing, buffer_size)
     return ev.withColumn("bucket", udf(F.col("idx"), F.col("n")))
 

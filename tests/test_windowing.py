@@ -160,3 +160,73 @@ def test_carve_buffer_partial():
 def test_exp15_lengths_prefix():
     gen = ExpWindowing(1.5).lengths()
     assert [next(gen) for _ in range(8)] == [1, 2, 3, 4, 6, 8, 12, 18]
+
+
+def test_jvm_boundary_binning_equals_udf(spark):
+    """Round-7 VERDICT item 5: the general-base decay build bins via
+    literal boundary arrays in pure JVM expressions when the stream-size
+    set is driver-enumerable.  Equality with the pandas-UDF binning is
+    exact (same searchsorted semantics), and the executed plan carries
+    NO Python evaluator."""
+    from pyspark.sql import Row
+
+    from summarydb_spark.operators.summary import (
+        _bucket_udf_general,
+        bucketed_events,
+        build_summary_windows,
+    )
+    from summarydb_spark.windowing import ExpWindowing, PowerWindowing
+
+    rows = [
+        Row(stream_id=sid, ts=i * 10 + sid, value=i * 0.5, seq=i)
+        for sid in (0, 1, 2)
+        for i in range(137 + 11 * sid)  # three DISTINCT sizes
+    ]
+    df = spark.createDataFrame(rows, "stream_id long, ts long, value double, seq long")
+    from pyspark.sql import functions as F
+
+    for windowing, buf in (
+        (ExpWindowing(1.5), 0),
+        (PowerWindowing(1, 1, 10, 1), 0),
+        (ExpWindowing(1.5), 8),
+    ):
+        ev = bucketed_events(df, windowing, order_cols=("seq",), buffer_size=buf)
+        plan = ev._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, (
+            windowing,
+            buf,
+        )
+        udf = _bucket_udf_general(windowing, buf)
+        via_udf = ev.drop("bucket").withColumn(
+            "bucket", udf(F.col("idx"), F.col("n"))
+        )
+        got = {(r.stream_id, r.idx, r.bucket) for r in ev.collect()}
+        want = {(r.stream_id, r.idx, r.bucket) for r in via_udf.collect()}
+        assert got == want, (windowing, buf)
+        assert got, "vacuous"
+        # end-to-end: the summary build over the JVM path matches the
+        # golden property count_end(max) = n-1 per stream
+        summ = build_summary_windows(df, windowing, order_cols=("seq",), buffer_size=buf)
+        tops = {
+            r.stream_id: r.mx
+            for r in summ.groupBy("stream_id").agg(F.max("count_end").alias("mx")).collect()
+        }
+        assert tops == {0: 136, 1: 147, 2: 158}
+
+
+def test_jvm_binning_falls_back_above_budget(spark, monkeypatch):
+    """Past the driver replay budget the general path must fall back to
+    the executor-memoized UDF (the plan contains a Python evaluator) —
+    never attempt an unbounded driver replay."""
+    import summarydb_spark.operators.summary as summ_mod
+    from summarydb_spark.operators.summary import bucketed_events
+    from summarydb_spark.windowing import ExpWindowing
+
+    monkeypatch.setattr(summ_mod, "JVM_BIN_MAX_TOTAL_REPLAY", 10)
+    df = spark.createDataFrame(
+        [(0, i, 0.5, i) for i in range(40)],
+        "stream_id long, ts long, value double, seq long",
+    )
+    ev = bucketed_events(df, ExpWindowing(1.5), order_cols=("seq",))
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan or "ArrowEvalPython" in plan
