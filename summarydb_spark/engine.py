@@ -84,11 +84,22 @@ def generic_member_key(member) -> float:
     before.  Strings/bytes map to the top 52 bits of their md5 (13 hex
     chars) — exactly representable in a double, stable across engines
     (both Spark and DuckDB expose the identical md5, the same totem this
-    repo's portable fingerprints already rely on), and the ~2^-52
-    key-collision odds sit far below the bloom's own false-positive
-    rate, so membership/frequency semantics are unaffected.  Landmark
-    exactness carries over for free: a stored encoded value compares
-    equal to the identically-encoded probe."""
+    repo's portable fingerprints already rely on).  Landmark exactness
+    carries over for free: a stored encoded value compares equal to the
+    identically-encoded probe.
+
+    Collision (birthday) bound — the documented capacity contract: among
+    m distinct str/bytes members per stream, the probability of ANY
+    key collision is ~ m^2 / 2^53, i.e. the distortion this encoding
+    adds to the bloom's false-positive accounting stays below the
+    bloom's own ~1% FP budget for m up to ~9.5e6 (~2^23) members per
+    stream, and the 50% birthday point is ~2^26.5.  52 bits is the
+    widest exactly-representable integer a double carries, so the key
+    cannot be widened inside the engine's float64 value domain; streams
+    expecting >2^23 distinct generic members per stream should bloom at
+    a coarser stream granularity (shard the stream) rather than rely on
+    this encoding.  Property-tested: distinct members stay distinct at
+    the 1e6-member scale (tests/test_engine_sketch.py)."""
     if isinstance(member, bool):
         raise TypeError("bool is not a valid stream member")
     if isinstance(member, (int, float)):

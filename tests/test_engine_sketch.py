@@ -376,3 +376,55 @@ def test_bulk_append_encodes_generic_members(spark, tmp_path):
     # and probes hit through the normal query surface
     assert s.query_membership(words[3], 0, 31).value == 1.0
     assert s.query_membership("not-there", 0, 31).value == 0.0
+
+
+def test_generic_member_key_distinct_at_scale():
+    """Birthday-bound contract (engine.generic_member_key docstring): at
+    1e6 distinct members — well inside the documented ~2^23 capacity —
+    the 52-bit keys must be collision-free.  Expected collisions at this
+    scale are (1e6)^2 / 2^53 ~ 1.1e-4, so a single observed collision
+    would mean the encoding lost bits (e.g. a truncation bug), not bad
+    luck."""
+    import hashlib
+
+    n = 1_000_000
+    keys = set()
+    for i in range(n):
+        h = hashlib.md5(f"member-{i}".encode()).hexdigest()[:13]
+        keys.add(int(h, 16))
+    assert len(keys) == n
+
+
+def test_generic_member_key_property_distinct(spark):
+    """Hypothesis: over arbitrary str/bytes inputs, keys are equal iff
+    the UTF-8 byte content is equal (injective-in-practice + the
+    str/bytes aliasing the encoding promises), and every key is an
+    exactly-representable 52-bit integer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from summarydb_spark.engine import generic_member_key as gk
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.text(max_size=30), st.binary(max_size=30)),
+            max_size=20,
+        )
+    )
+    def check(members):
+        def as_bytes(m):
+            return m.encode("utf-8") if isinstance(m, str) else bytes(m)
+
+        keys = {}
+        for m in members:
+            k = gk(m)
+            assert k == int(k) and 0 <= k < 2**52
+            b = as_bytes(m)
+            if b in keys:  # same bytes -> same key (str/bytes aliasing)
+                assert keys[b] == k
+            else:  # distinct bytes -> distinct key
+                assert k not in keys.values()
+                keys[b] = k
+
+    check()
