@@ -66,10 +66,21 @@ WITH d AS (
   GROUP BY event_type, ({t} {idiv} 86400000000)
 ),
 w AS (
+  -- Width discipline (found by the sf1 oracle gate, round 7): sum_v
+  -- reaches 3.3e9 at sf1, so DECIMAL(18,4) squares overflow DuckDB's
+  -- multiply and the unrounded s1 mantissa passes 2^53.  s1 rounds to
+  -- its exact scale (sum_v carries exactly 4 decimals, so round(,4) is
+  -- lossless) BEFORE the double cast; s2 squares integer micro-units
+  -- in DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0) in both engines
+  -- (width 19 forces DuckDB onto int128 physical storage — width 18
+  -- multiplies in int64 and overflows past 9.2e18), good through the
+  -- next decade (sf10: m <= 3.3e14, sum(m^2) <= 7.7e29 << 1e38).
   SELECT event_type, day, sum_v,
-         CAST(sum(CAST(sum_v AS DECIMAL(38,10))) {frame} AS DOUBLE) AS s1,
-         CAST(sum(CAST(sum_v AS DECIMAL(18,4)) * CAST(sum_v AS DECIMAL(18,4)))
-              {frame} AS DOUBLE) AS s2,
+         CAST(round(sum(CAST(sum_v AS DECIMAL(38,10))) {frame}, 4)
+              AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(sum_v * 10000) AS DECIMAL(19,0))
+                  * CAST(round(sum_v * 10000) AS DECIMAL(19,0)))
+              {frame} AS DOUBLE) / 100000000.0 AS s2,
          CAST(count(*) {frame} AS BIGINT) AS n_prior
   FROM d
 )

@@ -21,6 +21,35 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+#: The events/windowing family — the queries whose numeric state scales
+#: with EVENT count (decimal power sums, integer micro-units, window
+#: ranks), where 2^53-class cliffs only appear past the gate scales.
+#: Run it at sf1 with `check_oracle.py /tmp/sf1_synth @events`
+#: (tools/gen_sf1.py generates the decade; DuckDB handles 1M rows fine).
+#: Streaming gates are excluded — their cost is fixed machinery, not
+#: event-count-scaling numerics.
+EVENTS_FAMILY = (
+    "acf_value_lags active_time_union_daily anomaly_zscore_daily "
+    "approx_count_range approx_count_range_landmark approx_max_range "
+    "approx_max_range_landmark approx_min_range approx_min_range_landmark "
+    "approx_percentile_check approx_sum_range approx_sum_range_landmark "
+    "asof_join_events_orders bitmap_distinct_daily burstiness_interarrival "
+    "cohort_retention_daily cube_events_type_day cusum_drift_daily "
+    "decay_compaction_exp2 decay_summary_exp15 decay_summary_exp2 "
+    "decay_summary_power dow_histogram_events downsample_m4_daily "
+    "equidepth_histogram_value event_type_islands ewma_halflife_daily "
+    "gap_fill_locf_daily heatmap_dow_hour hopping_window_2d1d "
+    "markov_event_transitions moving_avg_7d_daily peak_concurrency_daily "
+    "reservoir_sample_events rolling_distinct_users_7d "
+    "rolling_median_daily_count rolling_ols_slope_14d "
+    "seasonal_naive_backtest session_path_trigrams session_window_builtin "
+    "sessionize_events sketch_range_batched stream_stats "
+    "theil_sen_daily_trend time_to_conversion tumbling_window_daily "
+    "value_histogram_events window_lead_lag_monthly"
+).split()
+
+FAMILIES = {"@events": EVENTS_FAMILY}
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -104,7 +133,13 @@ def main() -> int:
         if args and os.path.isdir(args[0])
         else "/root/testdata/sf0.01"
     )
-    only = {n for a in args for n in a.split(",") if n}
+    only = {
+        n
+        for a in args
+        for part in a.split(",")
+        if part
+        for n in FAMILIES.get(part, [part])
+    }
 
     import __spark_entry__ as entrymod
     from summarydb_spark.session import get_spark
