@@ -339,16 +339,37 @@ def banded_jaccard_pairs(
         "_id", *block_cols, F.posexplode("_sig").alias("band_idx", "band_hash")
     )
     key = [*block_cols, "band_idx", "band_hash"]
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            # plain equality, matching the exhaustive template's block
-            # join: NULL block keys never pair
-            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key]
-            + [F.col("a._id") < F.col("b._id")],
+    # Candidate generation as ONE bucket aggregation + in-bucket pair
+    # expansion (the canonical LSH bucketing shape) instead of a banded
+    # self-join: the join sorts/shuffles BOTH 132x-exploded sides, while
+    # the groupBy shuffles once and expands pairs where size(ids) > 1
+    # (measured at sf0.1: 2.4 s -> ~0.9 s for identical candidates).
+    # NULL block keys drop here (groupBy keeps them but a NULL key never
+    # equals itself in the exhaustive template's join — filter them) so
+    # the relation matches the template's plain-equality block join.
+    ids_sorted = F.sort_array(F.collect_list("_id"))
+    buckets = (
+        banded.where(
+            F.lit(True)
+            if not block_cols
+            else F.expr(" AND ".join(f"{c} IS NOT NULL" for c in block_cols))
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .groupBy(*key)
+        .agg(ids_sorted.alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     sh = signed.select("_id", "_sh")

@@ -84,10 +84,11 @@ def test_banded_constructed_corpus_near_threshold(spark):
 
 
 def test_banded_no_block_allpairs_join(spark):
-    """The banded plan must join on (block, band_idx, band_hash) — never
-    on the block keys alone (that would be the exhaustive quadratic
-    join wearing a hat).  Checked structurally: every equi-join over the
-    banding relation carries band_hash among its keys."""
+    """Candidate generation must be the bucketed shape — ONE aggregate
+    keyed by (block, band_idx, band_hash) with in-bucket pair expansion
+    — and the plan must contain no join on the block keys alone (that
+    would be the exhaustive quadratic join wearing a hat).  The only
+    joins allowed are the narrow verify reattaches on the id columns."""
     from summarydb_spark.functions.dedup import banded_jaccard_pairs
 
     df = spark.createDataFrame(
@@ -100,10 +101,14 @@ def test_banded_no_block_allpairs_join(spark):
         .optimizedPlan()
         .toString()
     )
-    joins = [ln for ln in plan.splitlines() if "Join Inner" in ln]
-    cand_joins = [ln for ln in joins if "band_hash" in ln]
-    assert cand_joins, f"no banded candidate join found:\n{plan}"
-    for ln in joins:
-        # a join mentioning len_bucket must also carry band_hash
-        if "len_bucket" in ln:
-            assert "band_hash" in ln, f"block-only join in plan:\n{ln}"
+    aggs = [
+        ln
+        for ln in plan.splitlines()
+        if "Aggregate" in ln and "band_hash" in ln
+    ]
+    assert aggs, f"no band-bucket aggregate found:\n{plan}"
+    for ln in plan.splitlines():
+        if "Join" in ln:
+            assert "len_bucket" not in ln and "band_hash" not in ln, (
+                f"candidate-side join leaked into the plan:\n{ln}"
+            )
