@@ -292,6 +292,7 @@ def banded_jaccard_pairs(
     num_hashes: Optional[int] = None,
     seed: int = 42,
     miss_prob: float = 1e-6,
+    delta_col: Optional[str] = None,
 ) -> DataFrame:
     """Exact-verified Jaccard pairs via r=1 banded MinHash generation —
     the scale path for LOW thresholds where prefix filtering degenerates
@@ -320,7 +321,14 @@ def banded_jaccard_pairs(
     whether a given pair collides is a pure function of (corpus, seed) —
     an oracle hash-match at a gate scale is reproducible, and the
     per-pair miss bound (miss_prob, default 1e-6) covers scales beyond
-    the gate."""
+    the gate.
+
+    ``delta_col`` (boolean column on ``blocks``) selects INCREMENTAL
+    maintenance: only pairs where at least one endpoint is flagged are
+    expanded and verified — the per-ingest delta a production pair
+    store computes for an arriving batch (new x corpus and new x new
+    pairs; the old-corpus pairs are already in the store).  The filter
+    applies at bucket-expansion time, before any verify work."""
     import math
 
     if num_hashes is None:
@@ -329,6 +337,11 @@ def banded_jaccard_pairs(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
         F.col(sh_col).alias("_sh"),
+        *(
+            [F.col(delta_col).cast("boolean").alias("_fb")]
+            if delta_col
+            else []
+        ),
     )
     fold = _minhash_fold_udf(_hash_params(num_hashes, seed), num_hashes)
     shash = F.transform(F.col("_sh"), lambda x: F.pmod(x, F.lit(MERSENNE_31)))
@@ -336,7 +349,10 @@ def banded_jaccard_pairs(
     # narrow banding relation: the heavy shingle arrays never ride the
     # num_hashes-way explode or the candidate shuffle
     banded = signed.select(
-        "_id", *block_cols, F.posexplode("_sig").alias("band_idx", "band_hash")
+        "_id",
+        *block_cols,
+        *(["_fb"] if delta_col else []),
+        F.posexplode("_sig").alias("band_idx", "band_hash"),
     )
     key = [*block_cols, "band_idx", "band_hash"]
     # Candidate generation as ONE bucket aggregation + in-bucket pair
@@ -347,7 +363,14 @@ def banded_jaccard_pairs(
     # NULL block keys drop here (groupBy keeps them but a NULL key never
     # equals itself in the exhaustive template's join — filter them) so
     # the relation matches the template's plain-equality block join.
-    ids_sorted = F.sort_array(F.collect_list("_id"))
+    # collect (id, flag) structs when in delta mode — sort_array orders
+    # by the first struct field (_id), preserving the a<b expansion
+    item = (
+        F.struct(F.col("_id"), F.col("_fb"))
+        if delta_col
+        else F.col("_id")
+    )
+    ids_sorted = F.sort_array(F.collect_list(item))
     buckets = (
         banded.where(
             F.lit(True)
@@ -358,15 +381,33 @@ def banded_jaccard_pairs(
         .agg(ids_sorted.alias("ids"))
         .where(F.size("ids") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    if delta_col:
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.filter(
+                    F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(
+                            x["_id"].alias("id_a"),
+                            y["_id"].alias("id_b"),
+                            (x["_fb"] | y["_fb"]).alias("in_delta"),
+                        ),
+                    ),
+                    lambda p: p["in_delta"],
+                ),
+            )
         )
-    )
+    else:
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
     cand = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")

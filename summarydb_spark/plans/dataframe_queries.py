@@ -2379,9 +2379,53 @@ def _oracle_ngram_jaccard(threshold: float) -> str:
     return q_dedup_ngram_jaccard("duckdb", threshold=threshold)
 
 
+def q_dedup_pairs_banded_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pair-store maintenance: the per-ingest DELTA of the
+    t=0.1 pair relation for an arriving batch (docs with doc_id%7==0 —
+    the same deterministic split dedup_incremental_probe uses) against
+    the rest of the corpus.  Banded generation expands only in-bucket
+    pairs with >= 1 batch endpoint (new x corpus and new x new); exact
+    verify per candidate.  The oracle filters the exhaustive pair
+    relation to batch-endpoint pairs, so a hash-match proves the delta
+    is exactly the set of rows a store rebuild would add — the
+    append-only maintenance contract of a production pair store (the
+    reference's mergeable-aggregate shape, core/op_set.go:44-60,
+    applied to the pair relation itself)."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+    from summarydb_spark.plans.llm_sql import ngram_blocks_sql
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    blocks = (
+        spark.sql(ngram_blocks_sql("spark"))
+        .withColumn("is_new", F.col("doc_id") % 7 == 0)
+        .persist()
+    )
+    return banded_jaccard_pairs(blocks, 0.1, delta_col="is_new").select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def _oracle_pairs_banded_delta() -> str:
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+
+    pair_sql = q_dedup_ngram_jaccard("duckdb", threshold=0.1)
+    return f"""
+WITH p AS ({pair_sql})
+SELECT doc_a, doc_b, jaccard FROM p
+WHERE doc_a % 7 = 0 OR doc_b % 7 = 0"""
+
+
 DF_QUERIES["dedup_pairs_banded"] = (
     q_dedup_pairs_banded,
     _oracle_ngram_jaccard(0.1),
+)
+
+DF_QUERIES["dedup_pairs_banded_delta"] = (
+    q_dedup_pairs_banded_delta,
+    _oracle_pairs_banded_delta(),
 )
 
 DF_QUERIES["dedup_ngram_jaccard"] = (

@@ -112,3 +112,35 @@ def test_banded_no_block_allpairs_join(spark):
             assert "len_bucket" not in ln and "band_hash" not in ln, (
                 f"candidate-side join leaked into the plan:\n{ln}"
             )
+
+
+def test_banded_delta_semantics(spark):
+    """delta_col mode: exactly the pairs with >= 1 flagged endpoint —
+    new x corpus and new x new survive, old x old pairs are never
+    expanded (and never verified)."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+
+    # docs 0,1,2 mutually similar (j = 10/12 pairwise); 0 is "new"
+    base = list(range(11))
+    rows = [
+        (0, "en", 0, base, True),
+        (1, "en", 0, [x + 1 for x in base], False),
+        (2, "en", 0, [x + 100 for x in base] + base[:10], False),
+    ]
+    # sh2 has 21 distinct elems incl. 0..9, so |sh0 ∩ sh2| = 10 of
+    # |union| = 22 -> j = 0.4545: all three pairs clear the threshold
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, lang string, len_bucket long, sh array<long>, is_new boolean",
+    )
+    full = {
+        (r.id_a, r.id_b)
+        for r in banded_jaccard_pairs(df, 0.1).collect()
+    }
+    delta = {
+        (r.id_a, r.id_b)
+        for r in banded_jaccard_pairs(df, 0.1, delta_col="is_new").collect()
+    }
+    assert (1, 2) in full, "old-old pair must exist in the full relation"
+    assert delta == {(0, 1), (0, 2)}, delta
+    assert delta == {p for p in full if 0 in p}
