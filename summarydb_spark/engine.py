@@ -1036,6 +1036,8 @@ class SummaryDB:
         # deployment bug.  Read-only snapshots never take it.
         self._lock_path = os.path.join(path, ".writer.lock")
         self._owns_lock = False
+        self._lock_fd = None
+        self._defunct = False
         if exclusive and not self._read_only:
             self._acquire_writer_lock()
         if not self._read_only:
@@ -1159,71 +1161,70 @@ class SummaryDB:
             self._save_registry()
 
     def _acquire_writer_lock(self) -> None:
-        """Take the single-writer lock: O_EXCL lockfile holding the
-        owner pid.  A lockfile whose pid is no longer alive is a crashed
-        writer's leftover and is reclaimed; a LIVE pid (including this
-        process — a second exclusive handle in-process is the same
-        deployment bug) refuses loudly."""
-        while True:
+        """Take the single-writer lock: ``flock(LOCK_EX | LOCK_NB)`` on a
+        lockfile fd held open for the handle's lifetime.
+
+        The kernel owns the lock state, which removes the whole
+        stale-reclaim problem class a pid-file scheme has: a crashed
+        writer's lock evaporates with its fds (nothing to reclaim), a
+        LIVE writer — another process or a second exclusive handle in
+        this one (flock is per open-file-description) — makes the
+        non-blocking acquire fail, and no read-check-act window exists
+        anywhere, so two handles can never both own the lock (the
+        round-7 review found the rename-reclaim predecessor still had a
+        3-process steal sequence).  The pid is written into the file
+        purely for the refusal diagnostic.  The file is deliberately
+        never unlinked on release: unlink+flock reintroduces the race
+        (a contender can lock an unlinked inode while a fresh file takes
+        the path); an empty 16-byte lockfile at rest is the documented
+        cost.  Caveat: flock is advisory and per-host — on NFS or for
+        cross-host exclusion, front the store with a real coordination
+        service; same contract as the reference's Badger directory lock."""
+        import fcntl
+
+        fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
             try:
-                fd = os.open(
-                    self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-                with os.fdopen(fd, "w") as f:
-                    f.write(str(os.getpid()))
-                self._owns_lock = True
-                return
-            except FileExistsError:
-                try:
-                    with open(self._lock_path) as f:
-                        pid = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    pid = 0
-                if pid and _pid_alive(pid):
-                    raise ValueError(
-                        f"{self.path} is locked by live writer pid {pid}; "
-                        "stop it or open without exclusive=True"
-                    )
-                # Stale lock from a crashed writer: reclaim ATOMICALLY.
-                # rename() succeeds for exactly one contender (the loser
-                # gets FileNotFoundError), so two processes can never
-                # both "reclaim" and then remove each other's freshly
-                # created lock — the TOCTOU a bare os.remove() allows.
-                reclaim = f"{self._lock_path}.reclaim-{os.getpid()}"
-                try:
-                    os.rename(self._lock_path, reclaim)
-                except OSError:
-                    continue  # lost the reclaim race; retry O_EXCL
-                # Guard the read-pid -> rename window: if a NEW live
-                # writer slipped in, hand its lock back untouched.
-                try:
-                    with open(reclaim) as f:
-                        rpid = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    rpid = 0
-                if rpid and rpid != pid and _pid_alive(rpid):
-                    try:
-                        os.rename(reclaim, self._lock_path)
-                    except OSError:
-                        pass
-                    raise ValueError(
-                        f"{self.path} is locked by live writer pid "
-                        f"{rpid}; stop it or open without exclusive=True"
-                    )
-                try:
-                    os.remove(reclaim)
-                except OSError:
-                    pass
+                with open(self._lock_path) as f:
+                    holder = f.read().strip() or "unknown"
+            except OSError:
+                holder = "unknown"
+            os.close(fd)
+            raise ValueError(
+                f"{self.path} is locked by live writer pid {holder}; "
+                "stop it or open without exclusive=True"
+            )
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
+        self._lock_fd = fd
+        self._owns_lock = True
 
     def _release_writer_lock(self) -> None:
         if self._owns_lock:
+            import fcntl
+
             try:
-                os.remove(self._lock_path)
+                fcntl.flock(self._lock_fd, fcntl.LOCK_UN)
             except OSError:
                 pass
+            try:
+                os.close(self._lock_fd)
+            except OSError:
+                pass
+            self._lock_fd = None
             self._owns_lock = False
 
     def _assert_writable(self) -> None:
+        if self._defunct:
+            raise ValueError(
+                "this handle was invalidated by a failed close(); its "
+                "writer lock is released, so writing through it could "
+                "race a new exclusive writer — reopen the DB (buffered "
+                "rows are recovered by WAL replay when the DB was "
+                "opened with durable_appends=True)"
+            )
         if self._read_only:
             raise ValueError(
                 "this handle is a read-only snapshot (at_commit=...); "
@@ -1611,14 +1612,28 @@ class SummaryDB:
         """Flush dirty streams and drop the append journal.  On a
         read-only snapshot handle (``open(..., at_commit=N)``) this is a
         no-op: there is nothing to flush, and touching the WAL would
-        delete the LIVE writer's ``append.wal`` out from under it."""
+        delete the LIVE writer's ``append.wal`` out from under it.
+
+        Failure contract: if the flush raises, the handle is marked
+        DEFUNCT before the lock is released — every later write through
+        it refuses loudly, so a retry cannot race a new exclusive
+        writer that legitimately acquired the freed lock (round-7
+        review finding).  Un-flushed buffered rows are lost with the
+        handle unless the DB was opened with ``durable_appends=True``,
+        in which case the journal survives (it is only truncated after
+        a clean flush) and reopen replays it — the same
+        durability boundary ``append_pairs`` documents."""
         if self._read_only:
             return
         try:
             self.flush()
             self._wal_truncate()
+        except BaseException:
+            self._defunct = True
+            raise
         finally:
-            # release even if flush raised: the pid stays alive, so a
-            # leaked lockfile would refuse every later exclusive open
-            # from this process until it exits
+            # release even on failure: the pid stays alive, so a leaked
+            # lock would refuse every later exclusive open from this
+            # process; the _defunct flag above keeps the released lock
+            # safe from this handle's retries
             self._release_writer_lock()

@@ -375,12 +375,18 @@ def bucketed_events(
     # literal and the binning stays entirely JVM-side.  Falls back to
     # the executor-memoized pandas UDF when the size set is too large to
     # enumerate or the total replay cost exceeds the driver budget.
+    # LIMIT N+1 bounds the driver transfer: a heterogeneous corpus with
+    # millions of distinct sizes ships at most 513 rows before the
+    # len() check routes it to the UDF (round-7 review finding — an
+    # unbounded collect here would pay an O(#distinct-sizes) driver
+    # stall exactly in the regime the UDF fallback exists for)
     ns = sorted(
         int(r["_n_"])
         for r in events.groupBy(F.col(stream_col))
         .agg(F.count(F.lit(1)).alias("_n_"))
         .select("_n_")
         .distinct()
+        .limit(JVM_BIN_MAX_DISTINCT_N + 1)
         .collect()
     )
     if (

@@ -395,7 +395,9 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, method: str):
     decodes with exactly the model that encoded the store.  This is the
     FAISS build/search lifecycle: train + encode once, amortize over every
     query batch; per-call work is only the (tiny) query-side signatures and
-    the bucketed candidate join.  Returns (encoded DataFrame, model|None)."""
+    the bucketed candidate join.  Returns (encoded DataFrame, model|None,
+    params dict from the _params.json sidecar — the adaptive
+    n_centroids/n_planes the store was built with)."""
     import json as _json
 
     from summarydb_spark.sources.tables import ensure_store, store_sidecar
@@ -464,7 +466,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted-neighbor corpus; same closed-form oracle as the LSH twin.
     The quantizer is trained on the ORIGINAL embeddings and the assigned
     corpus persisted with it (build/search split — the production IVF
-    lifecycle); searches read the inverted file and probe 4 of 8 lists."""
+    lifecycle); searches read the inverted file and probe 4 of the
+    adaptive nlist = ceil(sqrt(corpus)) lists (the sidecar records the
+    trained count), so candidate volume per query is ~4*sqrt(n)."""
     encoded, cent, _params = _ensure_ann_index(spark, sf_dir, "ivf")
     queries = _emb_probes(spark, sf_dir)
     out = similarity.ivf_topk(
@@ -847,6 +851,31 @@ def q_streaming_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXED_N = 512  # events fed to the mixed-policy gate (256 per stream)
 
 
+def _write_ordered_chunks(prep: DataFrame, src: str, ranges) -> None:
+    """Write each idx-range of ``prep`` as one parquet file under
+    ``src`` with STRICTLY INCREASING mtimes.  FileStreamSource orders
+    micro-batches by modification time with an arbitrary (path)
+    tie-break; back-to-back writes can tie on coarse mtime granularity,
+    and a reversed batch order would misassign per-stream indices
+    against the running-count state — so each batch's data files are
+    bumped one second past the previous batch's newest."""
+    prev_mtime = 0.0
+    for lo, hi in ranges:
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        prep.where(
+            (F.col("idx") >= lo) & (F.col("idx") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        batch_mtime = prev_mtime + 1.0
+        for name in set(os.listdir(src)) - before:
+            if name.endswith(".parquet"):
+                p = os.path.join(src, name)
+                batch_mtime = max(batch_mtime, os.path.getmtime(p))
+                if os.path.getmtime(p) <= prev_mtime:
+                    os.utime(p, (prev_mtime + 1.0, prev_mtime + 1.0))
+                    batch_mtime = max(batch_mtime, prev_mtime + 1.0)
+        prev_mtime = batch_mtime
+
+
 def q_streaming_mixed_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO windowing policies in ONE Structured-Streaming summarizer job:
     the first 512 events (ordered by ts, event_id) split into stream 0
@@ -889,27 +918,7 @@ FROM (
     # two uneven micro-batches: enough to exercise merge-into-existing
     # per-policy state (the 3+-batch path is pinned by
     # tests/test_streaming.py) while keeping the gate's fixed cost down
-    # FileStreamSource orders micro-batches by modification time with an
-    # arbitrary (path) tie-break; back-to-back writes can tie on coarse
-    # mtime granularity, and a reversed batch order would misassign the
-    # per-stream indices against the running-count state.  Make the
-    # ordering explicit: bump each batch's data files one second past
-    # the previous batch's newest.
-    prev_mtime = 0.0
-    for lo, hi in ((0, 192), (192, _MIXED_N)):
-        before = set(os.listdir(src)) if os.path.isdir(src) else set()
-        prep.where(
-            (F.col("idx") >= lo) & (F.col("idx") < hi)
-        ).coalesce(1).write.mode("append").parquet(src)
-        batch_mtime = prev_mtime + 1.0
-        for name in set(os.listdir(src)) - before:
-            if name.endswith(".parquet"):
-                p = os.path.join(src, name)
-                batch_mtime = max(batch_mtime, os.path.getmtime(p))
-                if os.path.getmtime(p) <= prev_mtime:
-                    os.utime(p, (prev_mtime + 1.0, prev_mtime + 1.0))
-                    batch_mtime = max(batch_mtime, prev_mtime + 1.0)
-        prev_mtime = batch_mtime
+    _write_ordered_chunks(prep, src, ((0, 192), (192, _MIXED_N)))
     prep.unpersist()
     source = (
         spark.readStream.schema("stream_id long, idx long, t long, v double")
@@ -991,7 +1000,7 @@ _RESTART_N = 384
 def q_streaming_restart_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KILL + checkpoint-restart mid-stream, then state equality: the
     first 384 events split into 2 streams ingest through a
-    ``StreamingSummarizer`` (exp(2) decay) from a 3-file source; the
+    ``StreamingSummarizer`` (exp(2) decay) from a 2-file source; the
     crash is planted in the TIGHTEST recovery window: batch 0 is folded
     and its state version committed, but the source offsets are NOT
     (the checkpoint is fresh) — exactly the crash between state write
@@ -1028,21 +1037,7 @@ FROM (
     ).cache()
     work = tempfile.mkdtemp(prefix="restart_gate_")
     src = os.path.join(work, "src")
-    prev_mtime = 0.0
-    for lo, hi in ((0, 128), (128, _RESTART_N)):
-        before = set(os.listdir(src)) if os.path.isdir(src) else set()
-        prep.where(
-            (F.col("idx") >= lo) & (F.col("idx") < hi)
-        ).coalesce(1).write.mode("append").parquet(src)
-        batch_mtime = prev_mtime + 1.0
-        for name in set(os.listdir(src)) - before:
-            if name.endswith(".parquet"):
-                p = os.path.join(src, name)
-                batch_mtime = max(batch_mtime, os.path.getmtime(p))
-                if os.path.getmtime(p) <= prev_mtime:
-                    os.utime(p, (prev_mtime + 1.0, prev_mtime + 1.0))
-                    batch_mtime = max(batch_mtime, prev_mtime + 1.0)
-        prev_mtime = batch_mtime
+    _write_ordered_chunks(prep, src, ((0, 128), (128, _RESTART_N)))
     prep.unpersist()
 
     def mk_summ() -> StreamingSummarizer:

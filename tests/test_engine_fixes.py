@@ -158,16 +158,20 @@ def test_exclusive_writer_lock(spark, tmp_path):
         SummaryDB.open(spark, p, exclusive=True)
     # non-exclusive and read-only handles are unaffected
     SummaryDB.open(spark, p)
-    # close releases; the next exclusive writer acquires cleanly
+    # close releases; the next exclusive writer acquires cleanly (the
+    # flock lockfile deliberately stays on disk — the kernel lock state
+    # is what was released, and unlinking would reintroduce the
+    # unlinked-inode race)
     db.close()
-    assert not os.path.exists(os.path.join(p, ".writer.lock"))
+    assert not db._owns_lock
     db2 = SummaryDB.open(spark, p, exclusive=True)
     db2.close()
 
 
 def test_stale_writer_lock_is_reclaimed(spark, tmp_path):
-    """A lockfile whose pid is dead is a crashed writer's leftover —
-    the next exclusive open reclaims it instead of deadlocking."""
+    """A lockfile left behind by a crashed writer holds no kernel flock
+    (fds die with the process) — the next exclusive open acquires it
+    without any reclaim protocol."""
     import os
 
     from summarydb_spark.engine import SummaryDB
@@ -175,7 +179,40 @@ def test_stale_writer_lock_is_reclaimed(spark, tmp_path):
     p = str(tmp_path / "stale")
     os.makedirs(p)
     with open(os.path.join(p, ".writer.lock"), "w") as f:
-        f.write("999999999")  # far above pid_max: never alive
+        f.write("999999999")  # a crashed writer's leftover pidfile
     db = SummaryDB(spark, p, exclusive=True)
     assert db._owns_lock
     db.close()
+
+
+def test_failed_close_defuncts_handle(spark, tmp_path, monkeypatch):
+    """A close() whose flush raises must release the lock (the pid
+    stays alive — a leak would wedge the process) but also DEFUNCT the
+    handle: a retried write/close through it could otherwise race the
+    next exclusive writer that legitimately acquired the freed lock."""
+    import pytest as _pytest
+
+    from summarydb_spark.engine import SummaryDB
+    from summarydb_spark.windowing import ExpWindowing
+
+    p = str(tmp_path / "defunct")
+    db = SummaryDB(spark, p, exclusive=True)
+    s = db.new_stream(ops=("count",), windowing=ExpWindowing(2.0))
+    s.append_pairs([(1, 1.0)])
+
+    def boom(self):
+        raise RuntimeError("injected flush failure")
+
+    monkeypatch.setattr(SummaryDB, "flush", boom)
+    with _pytest.raises(RuntimeError, match="injected"):
+        db.close()
+    monkeypatch.undo()
+    assert not db._owns_lock
+    # the freed lock is acquirable by a new writer...
+    db2 = SummaryDB.open(spark, p, exclusive=True)
+    # ...and the defunct handle refuses every write path loudly
+    with _pytest.raises(ValueError, match="invalidated by a failed close"):
+        s.append_pairs([(2, 2.0)])
+    with _pytest.raises(ValueError, match="invalidated by a failed close"):
+        db.flush()
+    db2.close()
