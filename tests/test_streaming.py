@@ -761,3 +761,81 @@ def test_rate_source_soak_kill_restart(spark, tmp_path):
     )
     batch = build_summary_windows(batch_rows, ExpWindowing(2.0), order_cols=("seq",))
     assert _canon(summ2.summary()) == _canon(batch)
+
+
+def test_sketch_state_restart_equals_batch(spark, tmp_path):
+    """Sketch-state recovery contract (the sketch twin of
+    streaming_restart_gate): batch 0 is folded with its state version
+    committed but NO checkpoint offsets (the tightest crash window);
+    the restarted streaming query must skip the replayed batch
+    idempotently for BOTH the scalar summary and the per-window sketch
+    state, and the drained sketches must answer membership/frequency/
+    distinct/quantile identically to a batch rebuild over all rows."""
+    from summarydb_spark.operators.sketch_windows import (
+        build_sketch_windows,
+        query_distinct,
+        query_frequency,
+        query_membership,
+        query_quantile,
+    )
+    from summarydb_spark.operators.summary import bucketed_events
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    rows = _events(64, streams=(0, 1))
+    for lo, hi in ((0, 20), (20, 45), (45, 64)):
+        _write_chunk(spark, src, [r for r in rows if lo <= r.seq < hi], f"{lo}")
+
+    ops = ("bloom", "cms", "hll", "kll")
+
+    def mk_summ():
+        return StreamingSummarizer(
+            spark, ExpWindowing(2.0), state, order_cols=("seq",), sketch_ops=ops
+        )
+
+    # planted crash: fold EXACTLY file 1's rows as batch 0 (state +
+    # sketches committed, offsets not)
+    mk_summ().process_batch(
+        spark.createDataFrame([r for r in rows if r.seq < 20], EVENT_SCHEMA), 0
+    )
+
+    summ2 = mk_summ()
+    q = summ2.start(
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        cp,
+        available_now=True,
+    )
+    assert q.awaitTermination(180), "restart did not drain"
+
+    from summarydb_spark.streaming.ingest import load_sketches
+
+    got = load_sketches(spark, state)
+    batch = build_sketch_windows(
+        bucketed_events(
+            spark.createDataFrame(rows, EVENT_SCHEMA),
+            ExpWindowing(2.0),
+            order_cols=("seq",),
+        ),
+        ops,
+    )
+    for sid, t0, t1 in ((0, 0, 630), (1, 101, 401), (0, 150, 250)):
+        for fn, args in (
+            (query_membership, (10.5,)),
+            (query_membership, (9999.0,)),
+            (query_frequency, (3.0,)),
+            (query_distinct, ()),
+            (query_quantile, (0.5,)),
+        ):
+            a = fn(got, sid, *args, t0, t1)
+            b = fn(batch, sid, *args, t0, t1)
+            assert a.value == b.value, (fn.__name__, sid, args, a, b)
+    # the scalar summary restarted identically too
+    batch_summary = build_summary_windows(
+        spark.createDataFrame(rows, EVENT_SCHEMA),
+        ExpWindowing(2.0),
+        order_cols=("seq",),
+    )
+    assert _canon(summ2.summary()) == _canon(batch_summary)
