@@ -270,7 +270,10 @@ class StreamingSummarizer:
             )
         # per-stream counters derived FROM the written summary (n = newest
         # index + 1, last_ts = newest time) — one tiny aggregate job, no
-        # driver-side counter dicts
+        # driver-side counter dicts.  (Round-7 measured: persisting
+        # new_summary to feed this aggregate from cache instead of the
+        # read-back is ~1.5x SLOWER per fold — the cached subtree loses
+        # AQE, the same trade the round-5 persist investigation recorded.)
         written = self.spark.read.parquet(os.path.join(vdir, "summary.parquet"))
         written.groupBy("stream_id").agg(
             (F.max("count_end") + 1).cast("long").alias("n"),
