@@ -216,3 +216,70 @@ def test_failed_close_defuncts_handle(spark, tmp_path, monkeypatch):
     with _pytest.raises(ValueError, match="invalidated by a failed close"):
         db.flush()
     db2.close()
+
+
+def test_writer_lock_cross_process_and_crash_release(tmp_path):
+    """The flock design's defining properties, tested across real
+    processes (no Spark needed — the lock methods only touch the
+    filesystem): a second PROCESS cannot acquire while the holder
+    lives, and a SIGKILLed holder's lock evaporates with its fds — the
+    kernel releases it, no stale-reclaim protocol required."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    from types import SimpleNamespace
+
+    from summarydb_spark.engine import SummaryDB
+
+    import summarydb_spark
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(summarydb_spark.__file__))
+    )
+    d = str(tmp_path / "xproc")
+    os.makedirs(d)
+    ready = os.path.join(d, "ready")
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            f"""
+import os, time
+from types import SimpleNamespace
+import sys
+sys.path.insert(0, {repo_root!r})
+from summarydb_spark.engine import SummaryDB
+ns = SimpleNamespace(path={d!r}, _lock_path=os.path.join({d!r}, ".writer.lock"),
+                     _owns_lock=False, _lock_fd=None)
+SummaryDB._acquire_writer_lock(ns)
+open({ready!r}, "w").close()
+time.sleep(60)
+""",
+        ],
+        cwd=os.getcwd(),
+    )
+    try:
+        deadline = time.time() + 30
+        while not os.path.exists(ready):
+            assert child.poll() is None, "child died before acquiring"
+            assert time.time() < deadline, "child never signalled ready"
+            time.sleep(0.05)
+        me = SimpleNamespace(
+            path=d,
+            _lock_path=os.path.join(d, ".writer.lock"),
+            _owns_lock=False,
+            _lock_fd=None,
+        )
+        with pytest.raises(ValueError, match="locked by live writer"):
+            SummaryDB._acquire_writer_lock(me)
+        # crash the holder: SIGKILL leaves no chance for cleanup code
+        child.send_signal(signal.SIGKILL)
+        child.wait(timeout=10)
+        SummaryDB._acquire_writer_lock(me)  # kernel released the lock
+        assert me._owns_lock
+        SummaryDB._release_writer_lock(me)
+    finally:
+        if child.poll() is None:
+            child.kill()
