@@ -624,11 +624,17 @@ def train_pq_codebooks(
     seed: int = 42,
     byte_budget: int = TRAIN_SAMPLE_BYTE_BUDGET,
     distributed: bool = False,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Train PQ codebooks: per-subspace k-means on a driver-collected,
     L2-normalized sample (the same bounded build/search split as
     :func:`train_ivf_centroids` — train once on a byte-budgeted sample
     [``byte_budget`` // 8*dim rows, <=1M], persist, reuse).
+
+    ``normalize=False`` trains on the raw column values — required when
+    the input is IVF residuals (x - centroid), which must NOT be
+    re-normalized (sample-path only; the distributed trainer always
+    normalizes).
 
     Returns an ``(m, k, d//m)`` array: ``m`` subspaces, ``k`` codes each.
     Memory per corpus vector after encoding is ``m`` small ints instead of
@@ -642,16 +648,21 @@ def train_pq_codebooks(
     the only thing the driver ever holds.
     """
     if distributed:
+        if not normalize:
+            raise ValueError(
+                "distributed PQ training always normalizes; train residual "
+                "codebooks with the sample path (normalize=False)"
+            )
         return _train_pq_distributed(corpus, emb_col, m, k, max_iter, seed)
 
     cap = _train_row_cap(_embedding_dim(corpus, emb_col), byte_budget)
-    sample = np.array(
-        corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0)
-        .select(_l2norm(_as_double(F.col(emb_col))).alias("cv"))
-        .limit(cap)
-        .toPandas()["cv"]
-        .tolist()
-    )
+    if normalize:
+        src = corpus.where(_nrm2(_as_double(F.col(emb_col))) > 0).select(
+            _l2norm(_as_double(F.col(emb_col))).alias("cv")
+        )
+    else:
+        src = corpus.select(_as_double(F.col(emb_col)).alias("cv"))
+    sample = np.array(src.limit(cap).toPandas()["cv"].tolist())
     if len(sample) < k:
         raise ValueError(
             f"PQ training needs >= k={k} non-zero vectors per codebook, "
@@ -798,6 +809,146 @@ def pq_topk(
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cands = scored.withColumn("adc_rnk", F.row_number().over(w_adc)).where(
+        F.col("adc_rnk") <= rerank
+    )
+    rescored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+
+
+def _centroid_table(spark, centroids: np.ndarray) -> DataFrame:
+    """(list_id, cent array<double>) relation of the coarse quantizer —
+    nlist rows, always broadcast."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, cent array<double>",
+    )
+
+
+def ivfpq_encode(
+    spark,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    m: int = 4,
+    k: int = 32,
+    max_iter: int = 10,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray]:
+    """Index-build half of IVFADC (FAISS IVF+PQ, Jegou et al. PAMI'11):
+    assign every corpus vector to its nearest coarse centroid, then PQ-encode
+    the RESIDUAL (x - centroid) — residual magnitudes are much smaller than
+    the vectors themselves, so the same codebook budget quantizes far more
+    precisely than raw-vector PQ.  Returns (encoded DataFrame with
+    (neighbor_id, cv, list_id, codes), residual codebooks (m, k, d//m)).
+
+    The residual is pure JVM column math (zip_with subtract against the
+    broadcast nlist-row centroid table); codebook training samples residuals
+    WITHOUT re-normalizing (normalize=False).  At 100 TB the hot index is
+    (neighbor_id, list_id, codes) — m small ints per vector — partitioned by
+    list_id; cv stays cold for the exact re-rank fetches."""
+    enc = ivf_encode(corpus, centroids, emb_col=emb_col, id_col=id_col)
+    cent_df = _centroid_table(spark, centroids)
+    with_res = enc.join(F.broadcast(cent_df), ["list_id"]).withColumn(
+        "rv", F.zip_with(F.col("cv"), F.col("cent"), lambda a, b: a - b)
+    )
+    books = train_pq_codebooks(
+        with_res, emb_col="rv", m=m, k=k, max_iter=max_iter, seed=seed,
+        normalize=False,
+    )
+    coder = _pq_encode_udf(books)
+    encoded = with_res.withColumn("codes", coder(F.col("rv"))).select(
+        "neighbor_id", "cv", "list_id", "codes"
+    )
+    return encoded, books
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    encoded: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 32,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search half of IVFADC: probe the ``n_probe`` nearest coarse lists,
+    ADC-score only candidates inside probed lists, exact-rerank the ADC
+    top-``rerank``.
+
+    The dot product decomposes over the residual:
+    ``q . x  ~  q . c_list + q . r``, where ``q . c_list`` is the probe dot
+    already computed during list ranking and ``q . r`` is ``m`` LUT lookups
+    (LUT[j*k+c] = q_j . codebook[j][c]).  So the per-candidate score is pure
+    JVM arithmetic — no Python in the pair loop — and candidate volume per
+    query is ~ n_probe/nlist of the corpus, with ADC making each candidate
+    O(m) instead of O(d).  The exact re-rank stage emits true cosines, so
+    approximation error can only cost recall, never values."""
+    m, kk, _sub = codebooks.shape
+    cdots = _mat_dots_udf(centroids)
+    lut = _pq_lut_udf(codebooks)
+
+    q = (
+        queries.where(_nrm2(_as_double(F.col(emb_col))) > 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            _l2norm(_as_double(F.col(emb_col))).alias("qv"),
+        )
+        .withColumn("_dots", cdots(F.col("qv")))
+        .withColumn("lut", lut(F.col("qv")))
+    )
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    F.col("_dots"),
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    qp = q.withColumn("probe", F.explode(ranked)).select(
+        "query_id",
+        "qv",
+        "lut",
+        F.col("probe.i").alias("list_id"),
+        F.col("probe.d").alias("cdot"),
+    )
+
+    adc_res = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: F.element_at(
+                F.col("lut"), (j * kk + code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        qp.join(encoded, ["list_id"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", F.col("cdot") + adc_res)
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id")

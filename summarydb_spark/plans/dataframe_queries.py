@@ -423,6 +423,17 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, method: str):
         if method == "pq":
             books = similarity.train_pq_codebooks(embs, m=4, k=32)
             return similarity.pq_encode(corpus, books), {"_model.npy": _np_bytes(books)}
+        if method == "ivfpq":
+            nlist = similarity.adaptive_ivf_centroids(n)
+            cent = similarity.train_ivf_centroids(embs, n_centroids=nlist)
+            enc, books = similarity.ivfpq_encode(spark, corpus, cent, m=4, k=32)
+            return enc, {
+                "_model.npy": _np_bytes(cent),
+                "_books.npy": _np_bytes(books),
+                "_params.json": _json.dumps(
+                    {"n": n, "n_centroids": nlist}
+                ).encode(),
+            }
         planes = similarity.adaptive_lsh_planes(n)
         enc = similarity.lsh_encode(
             corpus, dim=64, n_planes=planes, n_tables=6, seed=42
@@ -432,11 +443,15 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, method: str):
         }
 
     path = ensure_store(spark, sf_dir, f"ann_{method}_adaptive_index", build)
-    model = (
-        _np_from_bytes(store_sidecar(path, "_model.npy"))
-        if method in ("ivf", "pq")
-        else None
-    )
+    if method in ("ivf", "pq"):
+        model = _np_from_bytes(store_sidecar(path, "_model.npy"))
+    elif method == "ivfpq":
+        model = (
+            _np_from_bytes(store_sidecar(path, "_model.npy")),
+            _np_from_bytes(store_sidecar(path, "_books.npy")),
+        )
+    else:
+        model = None
     try:
         params = _json.loads(store_sidecar(path, "_params.json"))
     except FileNotFoundError:
@@ -492,6 +507,26 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _emb_probes(spark, sf_dir)
     out = similarity.pq_topk(
         None, queries, books, k=3, rerank=32, encoded=encoded
+    )
+    return out.select(
+        "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rnk")
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the canonical billion-vector index (FAISS IVF+PQ): coarse
+    quantizer restricts each probe to 4 of the adaptive sqrt(n) lists, PQ
+    codes quantize the RESIDUAL (x - centroid) to m=4 bytes-ish ids, ADC
+    scores candidates with q.c_list + m LUT lookups (pure JVM), and the
+    ADC top-32 re-rank exactly — same closed-form planted oracle as the
+    IVF/PQ singles, so recall, rank order, AND values are hash-checked.
+    Index is persisted (build/search split); per-call work is the 20
+    query signatures + the probed-list candidate join."""
+    encoded, model, _params = _ensure_ann_index(spark, sf_dir, "ivfpq")
+    cent, books = model
+    queries = _emb_probes(spark, sf_dir)
+    out = similarity.ivfpq_topk(
+        queries, cent, books, encoded, k=3, n_probe=4, rerank=32
     )
     return out.select(
         "query_id", "rnk", "neighbor_id", F.round("cosine", 6).alias("cosine")
@@ -850,6 +885,50 @@ def q_streaming_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIXED_N = 512  # events fed to the mixed-policy gate (256 per stream)
 
+# memoized source dirs for the summarizer gates: prep is a deterministic
+# pure function of (sf_dir, n, ranges) over immutable testdata, so one
+# session never rebuilds the same chunk files — only the streaming
+# machinery (fresh checkpoint/state/query) re-runs per call
+_GATE_SRC_CACHE: dict = {}
+
+
+def _ordered_event_source(
+    spark: SparkSession, sf_dir: str, n: int, ranges
+) -> str:
+    """Build (once per session) the 2-stream ordered event source the
+    summarizer gates stream from: the first ``n`` events (ordered by ts,
+    event_id; stream_id = idx%2, values scaled to exact integers) written
+    as one parquet file per idx-range with strictly increasing mtimes.
+    Returns the source directory path; callers must NOT mutate it."""
+    import tempfile
+
+    from summarydb_spark.plans.portable_sql import epoch_us
+    from summarydb_spark.sources.tables import register_tables
+
+    key = (os.path.abspath(sf_dir), n, tuple(ranges))
+    src = _GATE_SRC_CACHE.get(key)
+    if src and os.path.isdir(src):
+        return src
+    register_tables(spark, sf_dir)
+    prep = spark.sql(
+        f"""
+SELECT idx % 2 AS stream_id, idx, t, v
+FROM (
+  SELECT t, v, row_number() OVER (ORDER BY t, event_id) - 1 AS idx
+  FROM (
+    SELECT {epoch_us('ts', 'spark')} AS t,
+           CAST(round(value * 100) AS DOUBLE) AS v, event_id
+    FROM events ORDER BY 1, 3 LIMIT {n}
+  )
+)"""
+    ).cache()
+    work = tempfile.mkdtemp(prefix="gate_src_")
+    src = os.path.join(work, "src")
+    _write_ordered_chunks(prep, src, ranges)
+    prep.unpersist()
+    _GATE_SRC_CACHE[key] = src
+    return src
+
 
 def _write_ordered_chunks(prep: DataFrame, src: str, ranges) -> None:
     """Write each idx-range of ``prep`` as one parquet file under
@@ -895,31 +974,16 @@ def q_streaming_mixed_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     semantics with one streaming job for the whole mixed-policy DB."""
     import tempfile
 
-    from summarydb_spark.plans.portable_sql import epoch_us
-    from summarydb_spark.sources.tables import register_tables
     from summarydb_spark.streaming.ingest import StreamingSummarizer
     from summarydb_spark.windowing import ExpWindowing, PowerWindowing
 
-    register_tables(spark, sf_dir)
-    prep = spark.sql(
-        f"""
-SELECT idx % 2 AS stream_id, idx, t, v
-FROM (
-  SELECT t, v, row_number() OVER (ORDER BY t, event_id) - 1 AS idx
-  FROM (
-    SELECT {epoch_us('ts', 'spark')} AS t,
-           CAST(round(value * 100) AS DOUBLE) AS v, event_id
-    FROM events ORDER BY 1, 3 LIMIT {_MIXED_N}
-  )
-)"""
-    ).cache()
-    work = tempfile.mkdtemp(prefix="mixed_policy_gate_")
-    src = os.path.join(work, "src")
     # two uneven micro-batches: enough to exercise merge-into-existing
     # per-policy state (the 3+-batch path is pinned by
     # tests/test_streaming.py) while keeping the gate's fixed cost down
-    _write_ordered_chunks(prep, src, ((0, 192), (192, _MIXED_N)))
-    prep.unpersist()
+    src = _ordered_event_source(
+        spark, sf_dir, _MIXED_N, ((0, 192), (192, _MIXED_N))
+    )
+    work = tempfile.mkdtemp(prefix="mixed_policy_gate_")
     source = (
         spark.readStream.schema("stream_id long, idx long, t long, v double")
         .option("maxFilesPerTrigger", 1)
@@ -1017,28 +1081,13 @@ def q_streaming_restart_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate keeps the per-round cost to ONE streaming query startup."""
     import tempfile
 
-    from summarydb_spark.plans.portable_sql import epoch_us
-    from summarydb_spark.sources.tables import register_tables
     from summarydb_spark.streaming.ingest import StreamingSummarizer
     from summarydb_spark.windowing import ExpWindowing
 
-    register_tables(spark, sf_dir)
-    prep = spark.sql(
-        f"""
-SELECT idx % 2 AS stream_id, idx, t, v
-FROM (
-  SELECT t, v, row_number() OVER (ORDER BY t, event_id) - 1 AS idx
-  FROM (
-    SELECT {epoch_us('ts', 'spark')} AS t,
-           CAST(round(value * 100) AS DOUBLE) AS v, event_id
-    FROM events ORDER BY 1, 3 LIMIT {_RESTART_N}
-  )
-)"""
-    ).cache()
+    src = _ordered_event_source(
+        spark, sf_dir, _RESTART_N, ((0, 128), (128, _RESTART_N))
+    )
     work = tempfile.mkdtemp(prefix="restart_gate_")
-    src = os.path.join(work, "src")
-    _write_ordered_chunks(prep, src, ((0, 128), (128, _RESTART_N)))
-    prep.unpersist()
 
     def mk_summ() -> StreamingSummarizer:
         return StreamingSummarizer(
@@ -1963,6 +2012,7 @@ DF_QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_oracle()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_oracle()),
     "ann_pq_topk": (q_ann_pq_topk, _ann_oracle()),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, _ann_oracle()),
     "ann_radius_search": (q_ann_radius_search, _ann_radius_oracle()),
     "dedup_incremental_probe": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "session_window_builtin": (q_session_window_builtin, ORACLE_SESSION_WINDOW),

@@ -27,14 +27,19 @@ standard Spark recovery contract:
 State layout under ``state_dir``::
 
     v=<batch_id>/summary.parquet     canonical summary windows
-    v=<batch_id>/state.parquet       per-stream (stream_id, n, last_ts)
     v=<batch_id>/meta.json           {"batch_id": ...}
     v=<batch_id>/_COMMIT             empty marker, written last
 
-The per-stream counters live in a parquet table, not driver JSON: the
-batch step reads them as a DataFrame and broadcast-joins them into the
-merge, so driver memory and plan size stay O(1) in #streams (the
-reference keeps the same metadata in storage, core/db.go:100-150).
+The per-stream counters (stream_id, n, last_ts) are DERIVED from the
+summary itself at load time (n = newest count_end + 1, last_ts = newest
+time_end) as a lazy aggregate folded into the next batch's plan — the
+summary is being read anyway, so the derivation costs no extra scan and
+the batch step saves a whole write job per micro-batch.  Counters never
+touch the driver: the derived DataFrame broadcast-joins into the merge,
+so driver memory and plan size stay O(1) in #streams (the reference
+keeps the same metadata in storage, core/db.go:100-150).  Older state
+dirs that carry an explicit ``state.parquet`` (or counters in meta.json)
+still load.
 """
 
 from __future__ import annotations
@@ -93,15 +98,26 @@ def load_state_df(
     df = spark.read.parquet(os.path.join(vdir, "summary.parquet"))
     sp = os.path.join(vdir, "state.parquet")
     if os.path.isdir(sp):
+        # legacy layout: counters materialized per batch
         return df, spark.read.parquet(sp)
-    # pre-state.parquet layout: counters in meta.json (small by definition)
     with open(os.path.join(vdir, "meta.json")) as f:
         meta = json.load(f)
-    counts = {int(k): int(n) for k, n in meta.get("counts", {}).items()}
-    last_ts = {int(k): int(n) for k, n in meta.get("last_ts", {}).items()}
-    state = spark.createDataFrame(
-        [(k, n, last_ts.get(k)) for k, n in counts.items()],
-        "stream_id long, n long, last_ts long",
+    if meta.get("counts"):
+        # oldest layout: counters in meta.json (small by definition)
+        counts = {int(k): int(n) for k, n in meta["counts"].items()}
+        last_ts = {int(k): int(n) for k, n in meta.get("last_ts", {}).items()}
+        state = spark.createDataFrame(
+            [(k, n, last_ts.get(k)) for k, n in counts.items()],
+            "stream_id long, n long, last_ts long",
+        )
+        return df, state
+    # current layout: counters derived lazily from the summary — the
+    # newest window per stream carries both n-1 (count_end) and last_ts
+    # (time_end), so the caller's plan folds this aggregate into the same
+    # summary scan it already performs
+    state = df.groupBy("stream_id").agg(
+        (F.max("count_end") + 1).cast("long").alias("n"),
+        F.max("time_end").cast("long").alias("last_ts"),
     )
     return df, state
 
@@ -188,24 +204,35 @@ class StreamingSummarizer:
             )
         if os.path.exists(os.path.join(vdir, "_COMMIT")):
             return  # replay of the last committed batch: already folded
-        if batch.isEmpty():
-            return
         if isinstance(self.windowing, Mapping):
-            # loud totality check: the per-policy isin filters would
-            # silently DROP rows of unmapped streams — refuse instead
-            # (reference registers streams before ingest, core/db.go:61)
-            unknown = (
-                batch.select(F.col(self.stream_col).alias("sid"))
-                .where(~F.col("sid").isin([int(s) for s in self.windowing]))
-                .limit(1)
-                .collect()
-            )
-            if unknown:
+            # ONE job for both pre-flight checks: emptiness + the loud
+            # totality check (the per-policy isin filters would silently
+            # DROP rows of unmapped streams — refuse instead; reference
+            # registers streams before ingest, core/db.go:61).  The old
+            # isEmpty + filter/limit pair scanned the batch twice in the
+            # all-mapped common case; this aggregate scans once with
+            # map-side partials.
+            chk = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(
+                    F.when(
+                        ~F.col(self.stream_col).isin(
+                            [int(s) for s in self.windowing]
+                        ),
+                        F.col(self.stream_col),
+                    )
+                ).alias("bad"),
+            ).collect()[0]
+            if chk["n"] == 0:
+                return
+            if chk["bad"] is not None:
                 raise ValueError(
                     f"batch {batch_id} contains stream "
-                    f"{unknown[0]['sid']} with no windowing policy; add "
+                    f"{chk['bad']} with no windowing policy; add "
                     "it to the windowing map before ingesting"
                 )
+        elif batch.isEmpty():
+            return
         old_summary, state = load_state_df(self.spark, self.state_dir)
         if self.clamp_order_col is not None:
             from summarydb_spark.operators.summary import clamp_monotonic
@@ -268,19 +295,11 @@ class StreamingSummarizer:
             new_sketches.write.mode("overwrite").parquet(
                 os.path.join(vdir, "sketches.parquet")
             )
-        # per-stream counters derived FROM the written summary (n = newest
-        # index + 1, last_ts = newest time) — one tiny aggregate job, no
-        # driver-side counter dicts.  (Round-7 measured: persisting
-        # new_summary to feed this aggregate from cache instead of the
-        # read-back is ~1.5x SLOWER per fold — the cached subtree loses
-        # AQE, the same trade the round-5 persist investigation recorded.)
-        written = self.spark.read.parquet(os.path.join(vdir, "summary.parquet"))
-        written.groupBy("stream_id").agg(
-            (F.max("count_end") + 1).cast("long").alias("n"),
-            F.max("time_end").cast("long").alias("last_ts"),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(vdir, "state.parquet")
-        )
+        # per-stream counters are NOT materialized: load_state_df derives
+        # (n, last_ts) lazily from the summary the next reader scans
+        # anyway — one fewer write job per micro-batch.  (Round-7 also
+        # measured: persisting new_summary to feed such an aggregate from
+        # cache is ~1.5x SLOWER per fold — the cached subtree loses AQE.)
         with open(os.path.join(vdir, "meta.json"), "w") as f:
             json.dump({"batch_id": batch_id}, f)
         with open(os.path.join(vdir, "_COMMIT"), "w"):
