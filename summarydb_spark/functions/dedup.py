@@ -759,3 +759,57 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """k-core of an undirected pair graph via iterative peeling ->
+    (node, deg_core): repeatedly drop nodes with degree < k among the
+    survivors, at most ``max_rounds`` rounds, then report each survivor's
+    in-core degree.  Equals the true k-core whenever peeling converges
+    within the round budget (the alive count is monotone decreasing, so
+    an unchanged count is exact convergence and the loop exits early).
+
+    The dup-graph cohesion ladder above CC/PageRank/triangles: cores
+    separate the dense copy-cliques worth human review from loosely
+    chained boilerplate.  Scale shape mirrors connected_components: each
+    round is two hash semi-joins + one groupBy on the CURRENT edge set,
+    lineage truncated per round with localCheckpoint; no driver-side
+    graph state beyond the one monotone counter."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    alive = und.select(F.col("a").alias("n")).distinct().localCheckpoint(
+        eager=True
+    )
+    prev = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            und.join(alive.withColumnRenamed("n", "a"), "a")
+            .join(alive.withColumnRenamed("n", "b"), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("a").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        cur = alive.count()
+        if cur == prev:
+            break  # monotone shrink: equal count == identical set
+        prev = cur
+    return (
+        und.join(alive.withColumnRenamed("n", "a"), "a")
+        .join(alive.withColumnRenamed("n", "b"), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_core"))
+        .select(F.col("a").alias("node"), "deg_core")
+    )

@@ -244,3 +244,40 @@ def test_pagerank_matches_bruteforce(spark, tmp_path_factory, texts):
     # total mass is conserved up to the flooring losses (<= 1 nano per
     # division): sum of ranks can never exceed 1e9
     assert sum(r.rank_nano for r in rows.values()) <= 1_000_000_000
+
+
+def test_kcore_hand_graph(spark):
+    """Path 1-2-3-4 peels away entirely at k=2; the clique 10-11-12 plus
+    a pendant 13 keeps exactly the triangle with degree 2 each."""
+    from summarydb_spark.functions.dedup import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (12, 13)],
+        "a long, b long",
+    )
+    got = {(r["node"], r["deg_core"]) for r in kcore(edges, k=2).collect()}
+    assert got == {(10, 2), (11, 2), (12, 2)}
+
+
+def test_kcore_round_budget_converges_at_gate_scales(spark):
+    """The registered query's semantics are '12-round peel'; it equals the
+    true 2-core only when peeling converges within the budget.  Pin that
+    convergence at the gate scale: one extra round changes nothing."""
+    from summarydb_spark.functions.dedup import kcore
+    from summarydb_spark.plans.dataframe_queries import (
+        _KCORE_ROUNDS,
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, "/root/testdata/sf0.001").localCheckpoint()
+    at_budget = {
+        (r["node"], r["deg_core"])
+        for r in kcore(e, k=2, max_rounds=_KCORE_ROUNDS).collect()
+    }
+    beyond = {
+        (r["node"], r["deg_core"])
+        for r in kcore(e, k=2, max_rounds=_KCORE_ROUNDS + 6).collect()
+    }
+    assert at_budget == beyond
+    # and the result is a genuine 2-core: every survivor has deg >= 2
+    assert all(d >= 2 for _, d in at_budget)
