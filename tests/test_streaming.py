@@ -839,3 +839,85 @@ def test_sketch_state_restart_equals_batch(spark, tmp_path):
         order_cols=("seq",),
     )
     assert _canon(summ2.summary()) == _canon(batch_summary)
+
+
+def test_socket_source_ingest_equals_batch(spark, tmp_path):
+    """A NETWORK socket source — the in-container analogue of a Kafka
+    consumer (non-replayable push ingest, arbitrary micro-batch
+    boundaries): a local TCP server streams CSV events, the summarizer
+    folds whatever each micro-batch delivers, and once all N events have
+    been committed the state must equal the batch rebuild — proving the
+    incremental fold is batch-boundary-insensitive under boundaries the
+    test does NOT control (the reference's live Append loop,
+    core/pipeline.go:80-95, fed from a real network peer)."""
+    import socket
+    import threading
+    import time
+
+    from summarydb_spark.streaming.ingest import load_state
+
+    N = 256
+    # integer-valued doubles: exact under any partial-sum split
+    rows = [(i % 2, i * 10, float((i % 64) * 2), i) for i in range(N)]
+    lines = "\n".join(f"{s},{t},{int(v)},{q}" for s, t, v, q in rows) + "\n"
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(lines.encode())
+            done.wait(180)  # hold the connection until the query stops
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+
+    src = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.element_at("p", 1).cast("long").alias("stream_id"),
+            F.element_at("p", 2).cast("long").alias("ts"),
+            F.element_at("p", 3).cast("double").alias("value"),
+            F.element_at("p", 4).cast("long").alias("seq"),
+        )
+    )
+    state = str(tmp_path / "state")
+    summ = StreamingSummarizer(
+        spark, ExpWindowing(2.0), state, order_cols=("seq",)
+    )
+    q = summ.start(
+        src,
+        str(tmp_path / "cp"),
+        available_now=False,
+        processing_time="200 milliseconds",
+    )
+    try:
+        deadline = time.time() + 120
+        while True:
+            _df, counts, _ = load_state(spark, state)
+            if sum(counts.values()) == N:
+                break
+            assert time.time() < deadline, (
+                f"socket ingest stalled at {sum(counts.values())}/{N}"
+            )
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        done.set()
+        server.close()
+
+    batch = build_summary_windows(
+        spark.createDataFrame(rows, EVENT_SCHEMA),
+        ExpWindowing(2.0),
+        order_cols=("seq",),
+    )
+    assert _canon(summ.summary()) == _canon(batch)
