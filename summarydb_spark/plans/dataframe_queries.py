@@ -2854,3 +2854,210 @@ ORDER BY part_id"""
 
 
 DF_QUERIES["kcore_copurchase"] = (q_kcore_copurchase, _oracle_kcore())
+
+
+# -- item-item collaborative filtering ---------------------------------------
+
+
+def q_copurchase_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the order-basket matrix:
+    cosine similarity between parts' order-membership vectors
+    (c_ij / sqrt(n_i * n_j), the classic Amazon item-to-item shape), top-5
+    neighbors per part among pairs co-bought in >= 2 orders.
+
+    Scale shape: the co-occurrence build fans out per order as
+    (basket_size choose 2) — bounded by small baskets, never by the
+    catalog — then one hash agg; the per-part top-k is a window over each
+    part's candidate list (bounded by its co-purchase degree).  Binary
+    cosine needs only integer counts: c_ij and n_i are exact, the
+    products stay far below 2^53, and IEEE sqrt/divide are correctly
+    rounded — so ORDERING on the raw double is deterministic cross-engine
+    and only the EMITTED similarity is rounded."""
+    from summarydb_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    co = (
+        a.join(b, "o")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    sym = co.unionByName(
+        co.select(F.col("b").alias("a"), F.col("a").alias("b"), "c")
+    )
+    scored = (
+        sym.join(n.withColumnRenamed("p", "a"), "a")
+        .withColumnRenamed("n_ord", "na")
+        .join(n.withColumnRenamed("p", "b"), "b")
+        .withColumnRenamed("n_ord", "nb")
+        .select(
+            F.col("a").alias("part_id"),
+            F.col("b").alias("neighbor_id"),
+            "c",
+            (F.col("c") / F.sqrt(F.col("na") * F.col("nb"))).alias("_cos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("part_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "part_id",
+            "rnk",
+            "neighbor_id",
+            F.col("c").cast("long").alias("n_co_orders"),
+            F.round("_cos", 6).alias("cosine"),
+        )
+        .orderBy("part_id", "rnk")
+    )
+
+
+ORACLE_COPURCHASE_SIM = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT l_partkey AS p, count(*) AS n_ord FROM li GROUP BY 1),
+co AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (SELECT a, b, c FROM co UNION ALL SELECT b, a, c FROM co),
+scored AS (
+  SELECT sym.a AS part_id, sym.b AS neighbor_id, sym.c,
+         sym.c / sqrt(na.n_ord * nb.n_ord) AS raw
+  FROM sym JOIN n na ON na.p = sym.a JOIN n nb ON nb.p = sym.b
+),
+ranked AS (
+  SELECT part_id, neighbor_id, c, raw,
+         row_number() OVER (
+           PARTITION BY part_id ORDER BY raw DESC, neighbor_id
+         ) AS rnk
+  FROM scored
+)
+SELECT part_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+       CAST(c AS BIGINT) AS n_co_orders, round(raw, 6) AS cosine
+FROM ranked WHERE rnk <= 5
+ORDER BY part_id, rnk"""
+
+
+DF_QUERIES["copurchase_similarity_topk"] = (
+    q_copurchase_similarity_topk,
+    ORACLE_COPURCHASE_SIM,
+)
+
+
+# -- two-sample Kolmogorov-Smirnov drift --------------------------------------
+
+
+def q_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the first and
+    second half of the events timeline (split at the midpoint day):
+    D = max_v |F1(v) - F2(v)| over the pooled support.  Complements the
+    binned PSI drift (psi_feature_drift) with the exact order-statistic
+    distance.
+
+    Exactness: values are integer cents, ECDF numerators are integer
+    cumulative counts, and D is reported as the exact integer
+    d_num = max |c1*n2 - c2*n1| over common denominator n1*n2 — no
+    float comparisons anywhere near the argmax (the 2^53 headroom is
+    ample: c*n < 1e12 at sf1).  Scale shape: one hash agg to per-(value,
+    half) counts — everything after runs on the DISTINCT value spine
+    (bounded by the value domain, here <= 100k cents, not by event
+    count); at wider domains pre-bin the spine.  The single-partition
+    cumulative window is over that bounded spine only."""
+    from summarydb_spark.plans.portable_sql import epoch_us
+    from summarydb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"CAST(floor({epoch_us('ts', 'spark')} / 86400000000.0) AS BIGINT)").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    mid = (int(lo) + int(hi)) // 2
+    halves = ev.withColumn(
+        "h", F.when(F.col("day") <= F.lit(mid), F.lit(1)).otherwise(F.lit(2))
+    )
+    counts = halves.groupBy("v").agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).alias("k2"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = counts.select(
+        "v",
+        F.sum("k1").over(w).alias("c1"),
+        F.sum("k2").over(w).alias("c2"),
+    )
+    tot = halves.agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "gap"
+        ),
+    )
+    best = gap.orderBy(F.col("gap").desc(), F.col("v")).limit(1)
+    return best.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("gap").cast("long").alias("d_num"),
+        F.col("v").alias("at_v"),
+        F.round(F.col("gap") / (F.col("n1") * F.col("n2")), 6).alias("d"),
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH ev AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+mid AS (SELECT (min(day) + max(day)) // 2 AS m FROM ev),
+h AS (
+  SELECT v, CASE WHEN day <= mid.m THEN 1 ELSE 2 END AS h
+  FROM ev, mid
+),
+counts AS (
+  SELECT v,
+         count(*) FILTER (h = 1) AS k1,
+         count(*) FILTER (h = 2) AS k2
+  FROM h GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(k1) OVER (ORDER BY v) AS c1,
+         sum(k2) OVER (ORDER BY v) AS c2
+  FROM counts
+),
+tot AS (
+  SELECT count(*) FILTER (h = 1) AS n1, count(*) FILTER (h = 2) AS n2 FROM h
+),
+gap AS (
+  SELECT v, n1, n2, abs(c1 * n2 - c2 * n1) AS g FROM cum, tot
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(g AS BIGINT) AS d_num, v AS at_v,
+       round(g / (n1 * n2), 6) AS d
+FROM gap ORDER BY g DESC, v LIMIT 1"""
+
+
+DF_QUERIES["ks_drift_halves"] = (q_ks_drift_halves, ORACLE_KS_DRIFT)
