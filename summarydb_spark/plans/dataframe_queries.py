@@ -3061,3 +3061,83 @@ FROM gap ORDER BY g DESC, v LIMIT 1"""
 
 
 DF_QUERIES["ks_drift_halves"] = (q_ks_drift_halves, ORACLE_KS_DRIFT)
+
+
+# -- bucketed co-located join -------------------------------------------------
+
+
+def _ensure_bucketed_sales(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Catalog-register bucketed, sorted copies of orders/lineitem
+    (8 buckets on the join key) persisted under the store dir — the
+    co-located layout a 100 TB warehouse writes ONCE so every later
+    orderkey join runs with no exchange and no sort on either side.
+    Table names carry the source fingerprint so different sf_dirs never
+    collide inside one session."""
+    import re
+
+    from summarydb_spark.sources.tables import _store_path, load_table
+
+    fp = re.sub(
+        r"\W", "_", os.path.basename(os.path.dirname(_store_path(sf_dir, "x")))
+    )
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"b_{tbl}_{fp}"
+        if not spark.catalog.tableExists(name):
+            (
+                # repartition onto the bucket hash first: ONE file per
+                # bucket, which is the layout Spark requires to elide the
+                # merge-join Sort from sorted-bucket metadata (multi-file
+                # buckets keep per-file order only, so the read re-sorts)
+                load_table(spark, sf_dir, tbl)
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", _store_path(sf_dir, f"bucketed_{tbl}"))
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        names[tbl] = name
+    return names["orders"], names["lineitem"]
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority over the BUCKETED orders-lineitem join:
+    both tables are pre-bucketed and sorted on the order key (build once,
+    _ensure_bucketed_sales), so the join itself needs no shuffle and no
+    sort — the only exchange left in the plan is the final 5-group
+    aggregate.  tests/test_plans.py pins the exchange-free join plan with
+    broadcast disabled (at gate scale Catalyst rightly prefers broadcast;
+    at 100 TB neither side broadcasts and the bucketed layout is what
+    keeps the join local).  Values are exact integer cents."""
+    o_t, l_t = _ensure_bucketed_sales(spark, sf_dir)
+    o = spark.table(o_t)
+    li = spark.table(l_t)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_c"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority"""
+
+
+DF_QUERIES["bucketed_join_revenue"] = (
+    q_bucketed_join_revenue,
+    ORACLE_BUCKETED_JOIN,
+)

@@ -347,3 +347,57 @@ def test_mmr_greedy_hand_case(spark):
     s2 = 7 * rel[2] - 3 * sim[(2, 1)]  # 6999993 - 2999994 = 3999999
     s3 = 7 * rel[3] - 3 * sim[(3, 1)]  # 5600000 - 300000  = 5300000
     assert s3 > s2  # the diverse doc wins rank 2 under MMR
+
+
+def test_bucketed_join_no_exchange(spark):
+    """The point of the bucketed layout: with broadcast disabled (the
+    100 TB regime — neither fact side fits), the orderkey join over the
+    bucketed tables must plan as a SortMergeJoin over Bucketed scans with
+    ZERO Exchange operators — the shuffle was paid once at write time.
+    Spark 3+ no longer trusts sorted-bucket ordering by default
+    (SPARK-28595: multi-file buckets broke it), so a partition-local Sort
+    remains; the layout here IS single-file-per-bucket, and enabling the
+    legacy ordering conf must elide sorts — pinned as the second half."""
+    from summarydb_spark.plans.dataframe_queries import _ensure_bucketed_sales
+
+    sf = "/root/testdata/sf0.001"
+    o_t, l_t = _ensure_bucketed_sales(spark, sf)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_ord = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+
+    def plan_str():
+        o = spark.table(o_t)
+        li = spark.table(l_t)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+        return j, j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j, plan = plan_str()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        n_sorts = plan.count("+- Sort")
+        # single-file buckets + legacy ordering conf: sorts elide
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        _, plan2 = plan_str()
+        assert "Exchange" not in plan2
+        assert plan2.count("+- Sort") < n_sorts, plan2
+        # and the join really runs: row count equals the unbucketed join
+        n = j.count()
+        raw_li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        raw_o = spark.read.parquet(f"{sf}/orders.parquet")
+        assert n == raw_li.join(
+            raw_o, raw_li.l_orderkey == raw_o.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord
+        )

@@ -119,6 +119,57 @@ def gen_events(out_dir: str) -> None:
     )
 
 
+def gen_sales(out_dir: str) -> None:
+    """10 key-shifted replicas of customer/orders/lineitem: every key
+    (cust, order, part, supp) shifts by k * 2^22 per replica, so the
+    relational-graph families (co-purchase k-core / item-item CF /
+    skyline) see 10x nodes AND 10x edges with the per-replica structure
+    — and hence edge density per node — exactly preserved.  (A copy
+    that shifted only order keys would densify the co-purchase graph
+    10x instead of growing it, measuring a different regime.)"""
+    S = 1 << 22
+    con = duckdb.connect()
+    cust = " UNION ALL ".join(
+        f"""SELECT c_custkey + {k * S} AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet'"""
+        for k in range(10)
+    )
+    con.execute(
+        f"COPY ({cust}) TO '{os.path.join(out_dir, 'customer.parquet')}'"
+        " (FORMAT PARQUET)"
+    )
+    orders = " UNION ALL ".join(
+        f"""SELECT o_orderkey + {k * S} AS o_orderkey,
+               o_custkey + {k * S} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM '{SRC}/orders.parquet'"""
+        for k in range(10)
+    )
+    con.execute(
+        f"COPY ({orders}) TO '{os.path.join(out_dir, 'orders.parquet')}'"
+        " (FORMAT PARQUET)"
+    )
+    cols = duckdb.sql(
+        f"DESCRIBE SELECT * FROM '{SRC}/lineitem.parquet'"
+    ).fetchall()
+    names = [c[0] for c in cols]
+    keep = ", ".join(
+        n for n in names
+        if n not in ("l_orderkey", "l_partkey", "l_suppkey")
+    )
+    li = " UNION ALL ".join(
+        f"""SELECT l_orderkey + {k * S} AS l_orderkey,
+               l_partkey + {k * S} AS l_partkey,
+               l_suppkey + {k * S} AS l_suppkey, {keep}
+        FROM '{SRC}/lineitem.parquet'"""
+        for k in range(10)
+    )
+    con.execute(
+        f"COPY ({li}) TO '{os.path.join(out_dir, 'lineitem.parquet')}'"
+        " (FORMAT PARQUET)"
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
     os.makedirs(out_dir, exist_ok=True)
@@ -126,8 +177,8 @@ def main() -> None:
     gen_documents(out_dir, rng)
     gen_embeddings(out_dir, rng)
     gen_events(out_dir)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    gen_sales(out_dir)
+    for t in ("region", "nation", "supplier", "part"):
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"),
             os.path.join(out_dir, f"{t}.parquet"),
