@@ -1125,6 +1125,62 @@ SELECT vec_id, label,
 FROM embeddings"""
 
 
+
+def q_weighted_quantiles(dialect: str) -> str:
+    """Quantity-WEIGHTED lower quantiles of price per return flag (the
+    inventory-mass median, not the line-count median) — entirely in
+    integers: weights are rounded quantities, the quantile predicate is
+    the cross-multiplied 2*cumw >= total (no division anywhere), and the
+    picked value is an exact cents amount.  Scale shape: one hash agg to
+    the (flag, price) spine, then a per-flag cumulative window over that
+    bounded spine — never a window over raw lineitem rows."""
+    return """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+),
+c AS (SELECT flag, price_c, sum(wt) AS w FROM x GROUP BY flag, price_c),
+cum AS (
+  SELECT flag, price_c,
+         sum(w) OVER (PARTITION BY flag ORDER BY price_c) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM c
+)
+SELECT flag,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN price_c END) AS BIGINT)
+         AS wmedian_price_c,
+       CAST(min(CASE WHEN 10 * cw >= 9 * tw THEN price_c END) AS BIGINT)
+         AS wp90_price_c,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM cum
+GROUP BY flag
+ORDER BY flag"""
+
+
+def q_benford_profile(dialect: str) -> str:
+    """Benford first-significant-digit profile of order totals — the
+    classic synthetic-data / fraud DQ screen.  Digit extraction is string
+    math on the exact integer cents (no log10 floats); the per-digit
+    share is exact integer ppm.  One scan + 9-group agg."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    stype = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS {stype}), 1, 1) AS INTEGER) AS digit
+  FROM orders
+  WHERE o_totalprice > 0
+),
+t AS (SELECT count(*) AS n_total FROM d)
+SELECT d.digit,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((count(*) * 1000000) {idiv} t.n_total AS BIGINT) AS ppm
+FROM d, t
+GROUP BY d.digit, t.n_total
+ORDER BY d.digit"""
+
 CORE_QUERIES = {
     "decay_summary_exp2": q_decay_summary_exp2,
     "decay_compaction_exp2": q_compaction_exp2,
@@ -1158,6 +1214,8 @@ CORE_QUERIES = {
     "semi_anti_join_customers": q_semi_anti_join,
     "json_props_extract": q_json_props,
     "array_embedding_stats": q_array_embedding_stats,
+    "weighted_quantiles_by_flag": q_weighted_quantiles,
+    "benford_first_digit": q_benford_profile,
 }
 
 
