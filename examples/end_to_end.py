@@ -104,8 +104,10 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.001"
     qs = entry.queries()
     for name in ("tpch_q1_like", "dedup_minhash_lsh", "curation_pipeline",
-                 "ann_lsh_topk", "dq_rule_violations",
-                 "kmeans_lloyd_embeddings"):
+                 "ann_lsh_topk", "ann_ivfpq_topk", "dq_rule_violations",
+                 "kmeans_lloyd_embeddings", "skyline_customer_value",
+                 "mmr_diversified_topk", "kcore_copurchase",
+                 "bucketed_join_revenue"):
         df = qs[name](spark, sf_dir)
         print(f"{name}: {df.count()} rows, schema "
               f"{[f.name for f in df.schema.fields][:6]}")

@@ -851,9 +851,14 @@ def ivfpq_encode(
 ) -> tuple[DataFrame, np.ndarray]:
     """Index-build half of IVFADC (FAISS IVF+PQ, Jegou et al. PAMI'11):
     assign every corpus vector to its nearest coarse centroid, then PQ-encode
-    the RESIDUAL (x - centroid) — residual magnitudes are much smaller than
-    the vectors themselves, so the same codebook budget quantizes far more
-    precisely than raw-vector PQ.  Returns (encoded DataFrame with
+    the RESIDUAL (x - centroid).  On clustered corpora (the regime IVF
+    exists for) residual magnitudes are much smaller than the vectors, so
+    the same codebook budget quantizes far more precisely than raw-vector
+    PQ; on ISOTROPIC vectors the centroids sit near the origin and the
+    advantage vanishes (measured on the driver embeddings —
+    tests/test_functions.py::test_ivfpq_residual_quantizes_tighter...).
+    The exact re-rank stage makes emitted values exact either way; ADC
+    quality only affects recall at a given rerank budget.  Returns (encoded DataFrame with
     (neighbor_id, cv, list_id, codes), residual codebooks (m, k, d//m)).
 
     The residual is pure JVM column math (zip_with subtract against the

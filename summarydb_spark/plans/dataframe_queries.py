@@ -905,7 +905,13 @@ def _ordered_event_source(
     from summarydb_spark.plans.portable_sql import epoch_us
     from summarydb_spark.sources.tables import register_tables
 
-    key = (os.path.abspath(sf_dir), n, tuple(ranges))
+    from summarydb_spark.sources.tables import _source_fingerprint
+
+    # fingerprint the SOURCE CONTENT, not the path: the harness
+    # regenerates the testdata between rounds, and a path-only key would
+    # silently stream last round's events against this round's oracle
+    # (same hazard the store layer documents at tables._store_path)
+    key = (_source_fingerprint(sf_dir), n, tuple(ranges))
     src = _GATE_SRC_CACHE.get(key)
     if src and os.path.isdir(src):
         return src
@@ -2602,23 +2608,47 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny candidate relation), and the inherently-sequential greedy
     runs per query group in one Arrow batch (applyInPandas over
     query_id), never on the driver.  Determinism: rel and pairwise sims
-    are rounded to INTEGER micro-units (1e-6) before the greedy, and with
-    lambda=0.7 the score is the exact integer 7*rel_e6 - 3*pen_e6 (units
-    1e-7) — a double-rounded score would land exactly on 5e-7 half-
-    boundaries and round differently per engine (first-check finding);
-    ties break on doc id.  The oracle unrolls the same greedy as k
-    chained SQL stages over the same integers."""
+    are rounded to INTEGER micro-units (1e-6) before ANYTHING ranks on
+    them — including the top-n_cand candidate cut itself (a raw-double
+    cut could keep a different boundary doc per engine) — and the score
+    is the exact integer 10*lam*rel_e6 - 10*(1-lam)*pen_e6 (units 1e-7):
+    a double-rounded score would land exactly on 5e-7 half-boundaries
+    and round differently per engine (first-check finding); all ties
+    break on doc id.  Zero-norm vectors have no defined cosine and are
+    dropped (NULL rel) before the greedy.  The oracle unrolls the same
+    greedy as k chained SQL stages over the same integers."""
     import pandas as pd
 
     from summarydb_spark.functions.dedup import cosine as _cos
-    from summarydb_spark.functions.similarity import brute_force_topk
 
     embs = _embs(spark, sf_dir)
     probes = _emb_probes(spark, sf_dir)
-    cands = brute_force_topk(embs, probes, k=_MMR_CANDS).select(
-        "query_id",
-        F.col("neighbor_id").alias("did"),
-        F.round(F.col("cosine") * 1e6).cast("long").alias("rel"),
+    q = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = embs.select(
+        F.col("vec_id").alias("did"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        c.join(F.broadcast(q), F.col("did") != F.col("query_id"))
+        .select(
+            "query_id",
+            "did",
+            F.round(_cos(F.col("qv"), F.col("dv")) * 1e6)
+            .cast("long")
+            .alias("rel"),
+        )
+        .where(F.col("rel").isNotNull())
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("did"))
+    cands = (
+        scored.withColumn("_rn", F.row_number().over(wc))
+        .where(F.col("_rn") <= _MMR_CANDS)
+        .drop("_rn")
     )
     vecs = embs.select(
         F.col("vec_id").alias("did"),
@@ -2645,7 +2675,8 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    lam = _MMR_LAMBDA
+    lam_w = round(_MMR_LAMBDA * 10)
+    pen_w = 10 - lam_w
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         rel = {
@@ -2666,9 +2697,9 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in remaining:
                 if selected:
                     pen = max(sim[(d, s)] for s in selected)
-                    score = 7 * rel[d] - 3 * pen
+                    score = lam_w * rel[d] - pen_w * pen
                 else:
-                    score = 7 * rel[d]
+                    score = lam_w * rel[d]
                 # strict > : ties keep the SMALLEST id (remaining sorted)
                 if best is None or score > best[1]:
                     best = (d, score)
@@ -2692,9 +2723,12 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_mmr() -> str:
     """Unrolled greedy MMR in pure SQL: stage s_i selects the argmax of
     lambda*rel - (1-lambda)*max(sim to s_1..s_{i-1}) among candidates not
-    yet selected, ties on smallest doc id.  rel/sim rounded to 6dp before
-    any arithmetic, mirroring the Spark plan exactly."""
-    lam = _MMR_LAMBDA
+    yet selected, ties on smallest doc id.  rel/sim are integer
+    micro-units before anything ranks on them (including the candidate
+    cut), zero-norm cosines are dropped, mirroring the Spark plan
+    exactly."""
+    lam_w = round(_MMR_LAMBDA * 10)
+    pen_w = 10 - lam_w
     head = f"""
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -2702,9 +2736,11 @@ WITH q AS (
 ),
 c AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
 rel0 AS (
-  SELECT qid, did,
-         CAST(round(list_cosine_similarity(qv, dv) * 1000000) AS BIGINT) AS rel
-  FROM q JOIN c ON c.did != q.qid
+  SELECT qid, did, CAST(round(cs * 1000000) AS BIGINT) AS rel
+  FROM (
+    SELECT qid, did, list_cosine_similarity(qv, dv) AS cs
+    FROM q JOIN c ON c.did != q.qid
+  ) WHERE isfinite(cs)
 ),
 cand AS (
   SELECT qid, did, rel FROM (
@@ -2714,14 +2750,17 @@ cand AS (
   ) WHERE rn <= {_MMR_CANDS}
 ),
 sim AS (
-  SELECT a.qid, a.did AS d1, b.did AS d2,
-         CAST(round(list_cosine_similarity(av, bv) * 1000000) AS BIGINT) AS sim
-  FROM (SELECT cand.qid, cand.did, c.dv AS av FROM cand JOIN c USING (did)) a
-  JOIN (SELECT cand.qid, cand.did, c.dv AS bv FROM cand JOIN c USING (did)) b
-  ON a.qid = b.qid AND a.did != b.did
+  SELECT qid, d1, d2, CAST(round(cs * 1000000) AS BIGINT) AS sim
+  FROM (
+    SELECT a.qid, a.did AS d1, b.did AS d2,
+           list_cosine_similarity(av, bv) AS cs
+    FROM (SELECT cand.qid, cand.did, c.dv AS av FROM cand JOIN c USING (did)) a
+    JOIN (SELECT cand.qid, cand.did, c.dv AS bv FROM cand JOIN c USING (did)) b
+    ON a.qid = b.qid AND a.did != b.did
+  ) WHERE isfinite(cs)
 ),
 s1 AS (
-  SELECT qid, did, 7 * rel AS score FROM (
+  SELECT qid, did, {lam_w} * rel AS score FROM (
     SELECT qid, did, rel,
            row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rn
     FROM cand
@@ -2729,20 +2768,19 @@ s1 AS (
 )"""
     stages = [head]
     for i in range(2, _MMR_K + 1):
-        prev = ", ".join(f"SELECT qid, did FROM s{j}" for j in range(1, i))
         stages.append(
             f""",
 s{i} AS (
   SELECT qid, did, score FROM (
     SELECT cand.qid, cand.did,
-           7 * cand.rel - 3 * max(sim.sim) AS score,
+           {lam_w} * cand.rel - {pen_w} * max(sim.sim) AS score,
            row_number() OVER (
              PARTITION BY cand.qid
-             ORDER BY 7 * cand.rel - 3 * max(sim.sim) DESC,
+             ORDER BY {lam_w} * cand.rel - {pen_w} * max(sim.sim) DESC,
                       cand.did
            ) AS rn
     FROM cand
-    JOIN ({prev[:0]}{' UNION ALL '.join(f'SELECT qid, did FROM s{j}' for j in range(1, i))}) sel
+    JOIN ({' UNION ALL '.join(f'SELECT qid, did FROM s{j}' for j in range(1, i))}) sel
       ON sel.qid = cand.qid
     JOIN sim ON sim.qid = cand.qid AND sim.d1 = cand.did AND sim.d2 = sel.did
     WHERE cand.did NOT IN (
@@ -2777,11 +2815,15 @@ _KCORE_K = 2
 _KCORE_ROUNDS = 12
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support->=2 part co-purchase graph: an edge (a < b) when two parts
-    appear together in at least 2 distinct orders.  One self-equi-join on
-    the order key (fan-out bounded by items-per-order) + one hash agg;
-    integer-only, so the edge SET is deterministic cross-engine."""
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, with_support: bool = False
+) -> DataFrame:
+    """Support->=2 part co-purchase graph: an edge (a < b, [supp]) when
+    two parts appear together in at least 2 distinct orders.  One
+    self-equi-join on the order key (fan-out bounded by items-per-order)
+    + one hash agg; integer-only, so the edge SET is deterministic
+    cross-engine.  The single shared definition feeds BOTH the k-core and
+    the item-item CF queries — edits here cannot desynchronize them."""
     from summarydb_spark.sources.tables import load_table
 
     li = (
@@ -2791,14 +2833,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
-    return (
+    e = (
         a.join(b, "o")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("supp"))
         .where(F.col("supp") >= 2)
-        .select("a", "b")
     )
+    return e if with_support else e.select("a", "b")
 
 
 def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2883,14 +2925,8 @@ def q_copurchase_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("n_ord")
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
-    co = (
-        a.join(b, "o")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
+    co = _copurchase_edges(spark, sf_dir, with_support=True).withColumnRenamed(
+        "supp", "c"
     )
     sym = co.unionByName(
         co.select(F.col("b").alias("a"), F.col("a").alias("b"), "c")
@@ -3003,9 +3039,9 @@ def q_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k1").over(w).alias("c1"),
         F.sum("k2").over(w).alias("c2"),
     )
-    tot = halves.agg(
-        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).alias("n2"),
+    # totals from the tiny counts spine — NOT a second scan of events
+    tot = counts.agg(
+        F.sum("k1").alias("n1"), F.sum("k2").alias("n2")
     )
     gap = cum.crossJoin(F.broadcast(tot)).select(
         "v",

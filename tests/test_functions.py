@@ -298,43 +298,77 @@ def test_ivfpq_topk_planted_and_residual_recall(spark, embs):
         assert abs(r["cosine"] - exact[key]) < 1e-9
 
 
-def test_ivfpq_residual_adc_beats_raw_pq_adc(spark, embs):
-    """The reason IVFADC quantizes residuals: with the same (m, k) budget,
-    residual codes reconstruct the dot product more accurately than
-    raw-vector codes.  Verify the mean |adc - true_cosine| gap is smaller
-    for the residual path on real vectors."""
+def test_ivfpq_residual_quantizes_tighter_than_raw_pq(spark):
+    """The reason IVFADC quantizes residuals: when the corpus is
+    CLUSTERED (the regime IVF exists for), residual magnitudes are much
+    smaller than the vectors, so the same (m, k) codebook budget
+    reconstructs far more precisely than raw-vector PQ.  Measured
+    directly as mean squared reconstruction error on synthetic clustered
+    vectors.  (On ISOTROPIC unit vectors — the driver embeddings —
+    centroids sit near the origin, residuals are as large as the vectors
+    themselves, and the measured advantage disappears: first-check
+    finding, recorded in the ivfpq_encode docstring.)"""
     import numpy as np
 
-    corpus = embs.where("vec_id < 400")
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, 50, axis=0) + 0.15 * rng.randn(400, 64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], 0) for i in range(len(X))],
+        "vec_id long, embedding array<double>, label int",
+    )
     cent = similarity.train_ivf_centroids(corpus, n_centroids=8)
     encoded, books = similarity.ivfpq_encode(spark, corpus, cent, m=4, k=16)
-    # residual ADC error, measured through the public search path at a
-    # rerank wide enough to cover everything (so adc ordering is visible)
-    q = embs.where("vec_id < 5")
-    res = similarity.ivfpq_topk(
-        q, cent, books, encoded, k=10, n_probe=8, rerank=400
-    ).collect()
     raw_books = similarity.train_pq_codebooks(corpus, m=4, k=16)
-    raw = similarity.pq_topk(corpus, q, raw_books, k=10, rerank=400).collect()
-    exact = {
-        (r["query_id"], r["neighbor_id"]): r["cosine"]
-        for r in similarity.brute_force_topk(corpus, q, k=399).collect()
-    }
-    # both emit exact cosines post-rerank; compare RECALL against exact
-    # top-10 as the end-to-end quality signal of the ADC ordering
-    def recall(rows):
-        exact_top = {}
-        for (qid, nid), c in exact.items():
-            exact_top.setdefault(qid, []).append((c, nid))
-        hits = tot = 0
-        got = {}
-        for r in rows:
-            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        for qid, lst in exact_top.items():
-            want = {nid for _, nid in sorted(lst, reverse=True)[:10]}
-            hits += len(want & got.get(qid, set()))
-            tot += len(want)
-        return hits / tot
 
-    assert recall(res) >= 0.9  # wide rerank: ADC ordering barely matters
-    assert recall(raw) >= 0.9
+    rows = encoded.select("cv", "list_id", "codes").collect()
+    V = np.array([r["cv"] for r in rows])
+    lists = np.array([r["list_id"] for r in rows])
+    codes = np.array([r["codes"] for r in rows])
+    m, k, sub = books.shape
+
+    rec_res = cent[lists].copy()
+    for j in range(m):
+        rec_res[:, j * sub : (j + 1) * sub] += books[j][codes[:, j]]
+    err_res = float(((V - rec_res) ** 2).sum(axis=1).mean())
+
+    enc_raw = similarity.pq_encode(corpus, raw_books).select(
+        "cv", "codes"
+    ).collect()
+    V2 = np.array([r["cv"] for r in enc_raw])
+    codes2 = np.array([r["codes"] for r in enc_raw])
+    rec_raw = np.zeros_like(V2)
+    for j in range(m):
+        rec_raw[:, j * sub : (j + 1) * sub] = raw_books[j][codes2[:, j]]
+    err_raw = float(((V2 - rec_raw) ** 2).sum(axis=1).mean())
+
+    # a real, non-marginal gap (measured ~0.48 vs ~0.6+ here), and both
+    # beat the zero-vector baseline (unit vectors: E||x||^2 = 1)
+    assert err_res < 0.95 * err_raw, (err_res, err_raw)
+    assert err_raw < 1.0
+
+
+def test_ivfpq_adc_ordering_drives_rerank(spark, embs):
+    """With a TIGHT rerank budget the ADC ordering itself must carry the
+    planted signal: each planted near-copy (cos ~0.9999) must survive an
+    ADC cut of rerank=4 over its probed lists and surface at rank 1 —
+    a broken ADC formula (wrong LUT index, dropped q.c_list term) buries
+    the copy behind ~0.0-cosine natural rows and fails this."""
+    planted = embs.where("vec_id < 5").select(
+        (F.col("vec_id") + 810000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.01).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = embs.unionByName(planted)
+    cent = similarity.train_ivf_centroids(corpus, n_centroids=8)
+    encoded, books = similarity.ivfpq_encode(spark, corpus, cent, m=4, k=32)
+    out = similarity.ivfpq_topk(
+        planted, cent, books, encoded, k=1, n_probe=3, rerank=4
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rnk"] == 1}
+    for qid in range(810000, 810005):
+        assert top1[qid] == qid - 810000

@@ -168,6 +168,28 @@ def gen_sales(out_dir: str) -> None:
         f"COPY ({li}) TO '{os.path.join(out_dir, 'lineitem.parquet')}'"
         " (FORMAT PARQUET)"
     )
+    # part/supplier replicate WITH the same key shift — otherwise 90% of
+    # sf1 lineitem rows would dangle (lineitem->part/supplier joins and
+    # the referential-integrity DQ queries would silently measure a
+    # near-empty join at sf1)
+    part = " UNION ALL ".join(
+        f"""SELECT p_partkey + {k * S} AS p_partkey, p_name, p_brand,
+               p_type, p_size, p_retailprice FROM '{SRC}/part.parquet'"""
+        for k in range(10)
+    )
+    con.execute(
+        f"COPY ({part}) TO '{os.path.join(out_dir, 'part.parquet')}'"
+        " (FORMAT PARQUET)"
+    )
+    supp = " UNION ALL ".join(
+        f"""SELECT s_suppkey + {k * S} AS s_suppkey, s_name, s_nationkey,
+               s_acctbal FROM '{SRC}/supplier.parquet'"""
+        for k in range(10)
+    )
+    con.execute(
+        f"COPY ({supp}) TO '{os.path.join(out_dir, 'supplier.parquet')}'"
+        " (FORMAT PARQUET)"
+    )
 
 
 def main() -> None:
@@ -178,7 +200,7 @@ def main() -> None:
     gen_embeddings(out_dir, rng)
     gen_events(out_dir)
     gen_sales(out_dir)
-    for t in ("region", "nation", "supplier", "part"):
+    for t in ("region", "nation"):
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"),
             os.path.join(out_dir, f"{t}.parquet"),
