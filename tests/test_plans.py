@@ -401,3 +401,33 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set(
             "spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord
         )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "skyline_customer_value",
+        "copurchase_similarity_topk",
+        "ks_drift_halves",
+        "ann_ivfpq_topk",
+        "weighted_quantiles_by_flag",
+        "benford_first_digit",
+    ],
+)
+def test_new_ops_no_cartesian(spark, name):
+    """The session's new operators must never plan an all-pairs product:
+    skyline prefilters via a broadcast bucket relation, CF joins on the
+    order key, KS/quantiles/benford are scan+agg, IVFADC joins on
+    list_id buckets."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_skyline_scan_runs_on_survivors_not_raw_points(spark):
+    """The exact skyline window must consume the prefiltered survivor
+    set: the plan's single-partition window sits above the suffix-max
+    broadcast join + filter, and the bucket stats relation enters as a
+    broadcast (never a shuffle of the point set against 64 rows)."""
+    plan = plan_of(spark, "skyline_customer_value")
+    assert "BroadcastHashJoin" in plan
+    # the suffix-max filter guards the window input: smax null-or-below
+    assert "smax" in plan
