@@ -3177,3 +3177,94 @@ DF_QUERIES["bucketed_join_revenue"] = (
     q_bucketed_join_revenue,
     ORACLE_BUCKETED_JOIN,
 )
+
+
+# -- custom stateful sessionizer (EventTimeTimeout) ---------------------------
+
+
+def q_streaming_session_timeout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionizer under real Structured Streaming:
+    applyInPandasWithState holds one open session per user, appends a
+    session the moment a successor event proves it closed, and lets the
+    WATERMARK close trailing sessions via an event-time TIMEOUT — the
+    arbitrary-stateful-processing contract (GroupState get/update/remove
+    + setTimeoutTimestamp) that the built-in session_window gate cannot
+    exercise.  availableNow runs one data batch, then the no-data batch
+    advances the watermark to max(ts)-1h and fires the timeouts; trailing
+    sessions still inside the watermark horizon stay open and are
+    withheld, exactly as a live deployment would withhold them.  The
+    oracle replays that split in batch SQL: every non-final session per
+    user, plus final sessions whose (ms-floored) end + gap clears the
+    final watermark."""
+    from summarydb_spark.streaming.stateful import sessionize_with_timeout
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    glob = os.path.join(sf_dir, "events.[p]arquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(glob)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("tstamp"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("t"),
+        )
+        .withWatermark("tstamp", "1 hour")
+    )
+    out = sessionize_with_timeout(stream)
+    name = "streaming_session_timeout_gate_sink"
+    spark.catalog.dropTempView(name)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "n_events", "t_start", "t_end")
+
+
+# Sessions from the canonical lag+running-sum replay; EMITTED = every
+# session with a successor session for that user (closed by an in-batch
+# event), plus last-per-user sessions whose timeout timestamp
+# (ms-floored end + 1h gap) is <= the final watermark (ms-floored global
+# max(ts) - 1h delay).  Spark tracks event time in ms (same floor as the
+# watermark-gate oracle).
+ORACLE_SESSION_TIMEOUT = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+wm AS (
+  SELECT CAST(floor(max(t) / 1000.0) AS BIGINT) - 3600000 AS wm_ms FROM e
+),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 3600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM d
+),
+sess AS (
+  SELECT user_id, sid, count(*) AS n_events, min(t) AS t_start, max(t) AS t_end
+  FROM s GROUP BY user_id, sid
+),
+flagged AS (
+  SELECT user_id, n_events, t_start, t_end,
+         sid = max(sid) OVER (PARTITION BY user_id) AS is_last
+  FROM sess
+)
+SELECT user_id, n_events, t_start, t_end
+FROM flagged, wm
+WHERE NOT is_last
+   OR CAST(floor(t_end / 1000.0) AS BIGINT) + 3600000 <= wm.wm_ms"""
+
+
+DF_QUERIES["streaming_session_timeout_gate"] = (
+    q_streaming_session_timeout_gate,
+    ORACLE_SESSION_TIMEOUT,
+)

@@ -140,3 +140,93 @@ def streaming_stream_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, n_events long, t_start long, t_end long"
+SESSION_STATE_SCHEMA = "t_start long, t_end long, n long"
+
+#: 1h session gap in micros / ms — shared by the operator and its oracle
+SESSION_GAP_US = 3_600_000_000
+SESSION_GAP_MS = SESSION_GAP_US // 1000
+
+
+def _sessionize_update(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Timeout-closing sessionizer: sessions closed by an in-batch
+    successor event emit immediately; the trailing open session is held
+    in state with an EVENT-TIME timeout at (t_end + gap), so the
+    watermark — not a later event — closes it.  Input rows carry
+    ``t`` (epoch micros) alongside the watermark timestamp column."""
+    uid = int(key[0])
+    if state.hasTimedOut:
+        t_start, t_end, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n],
+                "t_start": [t_start],
+                "t_end": [t_end],
+            }
+        )
+        return
+
+    chunks = [p for p in pdfs if not p.empty]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    pdf = pdf[pdf["t"].notna()].sort_values("t", kind="mergesort")
+    ts = pdf["t"].astype("int64").tolist()
+    if not ts:
+        return
+
+    if state.exists:
+        t_start, t_end, n = state.get
+    else:
+        t_start = t_end = None
+        n = 0
+
+    closed = []
+    for t in ts:
+        if t_start is None:
+            t_start, t_end, n = t, t, 1
+        elif t - t_end <= SESSION_GAP_US:
+            t_end, n = t, n + 1
+        else:
+            closed.append((uid, n, t_start, t_end))
+            t_start, t_end, n = t, t, 1
+
+    state.update((t_start, t_end, n))
+    # event-time timeout at session end + gap; never behind the current
+    # watermark (Spark rejects that), which only matters for groups whose
+    # open session already expired mid-stream — the clamp fires them at
+    # the next watermark advance, the same no-data batch either way
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(t_end // 1000 + SESSION_GAP_MS, wm + 1))
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["user_id", "n_events", "t_start", "t_end"]
+        )
+
+
+def sessionize_with_timeout(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionizer over a WATERMARKED streaming DataFrame
+    of ``(user_id long, tstamp timestamp, t long)`` — the
+    applyInPandasWithState + EventTimeTimeout contract the built-in
+    ``session_window`` hides: state is the one open session per user,
+    closed sessions append as soon as a successor event proves them
+    closed, and the WATERMARK (via timeout) closes trailing sessions
+    that no later event ever would.  The reference has no streaming
+    sessions at all; this is the engine-level primitive a user would
+    otherwise hand-roll (compare q_streaming_sessionize_gate, which
+    exercises the built-in operator on the same data)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

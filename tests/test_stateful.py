@@ -93,3 +93,73 @@ def test_stateful_stats_streaming_matches_batch(spark, tmp_path):
         assert r["gap_n"] == n - 1
         assert math.isclose(r["gap_mean"], gmean, rel_tol=1e-9)
         assert math.isclose(r["gap_m2"] / (n - 2), gvar, rel_tol=1e-9)
+
+
+def test_sessionize_with_timeout_cross_batch_and_watermark(spark, tmp_path):
+    """Hand-built 2-batch stream pinning every semantic of the
+    timeout-closing sessionizer: (a) a session SPLIT ACROSS BATCHES
+    merges in state (one row, n=2); (b) a session closed by a later
+    in-batch event emits without waiting for any timeout; (c) the
+    trailing session of a user emits iff its end + gap clears the FINAL
+    watermark — u3's never does and must be withheld."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.streaming.stateful import sessionize_with_timeout
+
+    H = 3_600_000_000  # 1h in micros
+    # base far from the epoch: a row whose event time equals the INITIAL
+    # watermark (1970-01-01T00:00) is late-dropped before the operator
+    # ever sees it — an epoch-adjacency artifact, not session semantics
+    B = 100 * H
+    batch1 = [(1, B), (2, B)]
+    batch2 = [(1, B + H // 2), (2, B + 2 * H), (3, B + 5 * H)]
+    src = str(tmp_path / "src")
+    prev = 0.0
+    for i, rows in enumerate((batch1, batch2)):
+        df = spark.createDataFrame(rows, "user_id long, t long")
+        before = set(_os.listdir(src)) if _os.path.isdir(src) else set()
+        df.coalesce(1).write.mode("append").parquet(src)
+        for name in set(_os.listdir(src)) - before:
+            if name.endswith(".parquet"):
+                p = _os.path.join(src, name)
+                if _os.path.getmtime(p) <= prev:
+                    _os.utime(p, (prev + 1.0, prev + 1.0))
+                prev = max(prev, _os.path.getmtime(p))
+
+    stream = (
+        spark.readStream.schema("user_id long, t long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("t")).alias("tstamp"),
+            "t",
+        )
+        .withWatermark("tstamp", "1 hour")
+    )
+    q = (
+        sessionize_with_timeout(stream)
+        .writeStream.format("memory")
+        .queryName("session_timeout_unit_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["n_events"], r["t_start"], r["t_end"])
+        for r in spark.table("session_timeout_unit_sink").collect()
+    }
+    # final watermark = B+5H - 1H = B+4H:
+    #   u1 [B, B+H/2] n=2 -> merged across batches, times out (B+1.5H <= B+4H)
+    #   u2 [B, B]         -> closed by the B+2H event inside batch 2
+    #   u2 [B+2H, B+2H]   -> times out (B+3H <= B+4H)
+    #   u3 [B+5H, B+5H]   -> B+6H > B+4H: withheld
+    assert got == {
+        (1, 2, B, B + H // 2),
+        (2, 1, B, B),
+        (2, 1, B + 2 * H, B + 2 * H),
+    }
