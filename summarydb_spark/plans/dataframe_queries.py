@@ -3268,3 +3268,88 @@ DF_QUERIES["streaming_session_timeout_gate"] = (
     q_streaming_session_timeout_gate,
     ORACLE_SESSION_TIMEOUT,
 )
+
+
+# -- stream-stream interval join ----------------------------------------------
+
+
+def q_streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under real Structured Streaming — the
+    one streaming primitive no other gate exercises: two readStream
+    sources (views / purchases of the same events table), each
+    watermarked 1h, inner-joined on user with the purchase constrained
+    to [view_t, view_t + 1h].  Spark buffers BOTH sides in state and
+    uses the watermarks + time bound to evict rows that can no longer
+    match — the attribution-join shape every clickstream pipeline runs.
+    With availableNow the whole source lands in one micro-batch, so the
+    inner join's emitted set equals the batch interval join exactly
+    (state eviction can only drop rows whose match window has passed —
+    none can be missed within one batch), which is precisely what the
+    oracle replays in SQL."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+
+    def src(glob: str, etype: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(sf_dir, glob))
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp_ltz").alias(f"{prefix}_ts"),
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias(
+                    f"{prefix}_t"
+                ),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    v = src("events.[p]arquet", "view", "v")
+    p = src("events.[pq]arquet", "purchase", "p")
+    j = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND "
+            "p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    name = "streaming_interval_join_gate_sink"
+    spark.catalog.dropTempView(name)
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_t").alias("t_view"),
+        F.col("p_t").alias("t_purchase"),
+    )
+
+
+ORACLE_STREAMING_INTERVAL_JOIN = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS t_view
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t_purchase
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.view_id, p.purchase_id, v.t_view, p.t_purchase
+FROM v JOIN p
+  ON p.user_id = v.user_id
+ AND p.t_purchase >= v.t_view
+ AND p.t_purchase <= v.t_view + 3600000000"""
+
+
+DF_QUERIES["streaming_interval_join_gate"] = (
+    q_streaming_interval_join_gate,
+    ORACLE_STREAMING_INTERVAL_JOIN,
+)
