@@ -3353,3 +3353,100 @@ DF_QUERIES["streaming_interval_join_gate"] = (
     q_streaming_interval_join_gate,
     ORACLE_STREAMING_INTERVAL_JOIN,
 )
+
+
+def q_streaming_outer_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the variant where the
+    WATERMARK changes the output: matched pairs emit like the inner
+    gate, and a view with no purchase emits a NULL-padded row only once
+    the global watermark passes its match horizon (view_t + 1h), i.e.
+    state eviction proves no future purchase can ever match it.  Views
+    whose horizon is still inside the watermark are withheld — exactly
+    the late-attribution contract of a live pipeline.  The oracle
+    replays both halves in batch SQL: the full interval join, plus
+    unmatched views with floor_ms(view_t) + 1h strictly below the final
+    combined watermark (min of the two sides' max event times, ms
+    floored, minus the 1h delay)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+
+    def src(glob: str, etype: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(sf_dir, glob))
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp_ltz").alias(f"{prefix}_ts"),
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias(
+                    f"{prefix}_t"
+                ),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    v = src("events.[p]arquet", "view", "v")
+    p = src("events.[pq]arquet", "purchase", "p")
+    j = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND "
+            "p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    name = "streaming_outer_join_gate_sink"
+    spark.catalog.dropTempView(name)
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_t").alias("t_view"),
+        F.col("p_t").alias("t_purchase"),
+    )
+
+
+ORACLE_STREAMING_OUTER_JOIN = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS t_view
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t_purchase
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least(
+           (SELECT CAST(floor(max(t_view) / 1000.0) AS BIGINT) FROM v),
+           (SELECT CAST(floor(max(t_purchase) / 1000.0) AS BIGINT) FROM p)
+         ) - 3600000 AS wm_ms
+),
+matched AS (
+  SELECT v.user_id, v.view_id, p.purchase_id, v.t_view, p.t_purchase
+  FROM v JOIN p
+    ON p.user_id = v.user_id
+   AND p.t_purchase >= v.t_view
+   AND p.t_purchase <= v.t_view + 3600000000
+)
+SELECT * FROM matched
+UNION ALL
+SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS purchase_id,
+       v.t_view, CAST(NULL AS BIGINT) AS t_purchase
+FROM v, wm
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_id = v.view_id)
+  AND CAST(floor(v.t_view / 1000.0) AS BIGINT) + 3600000 < wm.wm_ms"""
+
+
+DF_QUERIES["streaming_outer_join_gate"] = (
+    q_streaming_outer_join_gate,
+    ORACLE_STREAMING_OUTER_JOIN,
+)
