@@ -3270,6 +3270,34 @@ DF_QUERIES["streaming_session_timeout_gate"] = (
 )
 
 
+def _run_stream_to_memory(df, name: str, spark: SparkSession,
+                          state_partitions: int = 8) -> DataFrame:
+    """Start ``df`` as an availableNow append stream into a memory sink
+    and return the sink table.  Stateful streaming operators allocate
+    one state store PER shuffle partition per side; a fresh 2-source
+    interval join at the session default (32) spins up ~128 stores of a
+    few rows each, which is pure fixed cost at gate scale — so the gate
+    sizes ``spark.sql.shuffle.partitions`` to the stream for the
+    duration of the run (the standard deployment practice: state
+    partition count is fixed at a checkpoint's first run) and restores
+    the session default afterwards."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.catalog.dropTempView(name)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 # -- stream-stream interval join ----------------------------------------------
 
 
@@ -3314,17 +3342,7 @@ def q_streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFram
             "p_ts <= v_ts + INTERVAL 1 HOUR"
         ),
     )
-    name = "streaming_interval_join_gate_sink"
-    spark.catalog.dropTempView(name)
-    q = (
-        j.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_stream_to_memory(j, "streaming_interval_join_gate_sink", spark).select(
         F.col("v_user").alias("user_id"),
         F.col("v_id").alias("view_id"),
         F.col("p_id").alias("purchase_id"),
@@ -3396,17 +3414,7 @@ def q_streaming_outer_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    name = "streaming_outer_join_gate_sink"
-    spark.catalog.dropTempView(name)
-    q = (
-        j.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_stream_to_memory(j, "streaming_outer_join_gate_sink", spark).select(
         F.col("v_user").alias("user_id"),
         F.col("v_id").alias("view_id"),
         F.col("p_id").alias("purchase_id"),
