@@ -1252,7 +1252,7 @@ GROUP BY d.day, d.event_type"""
 ORACLE_SESSION_WINDOW = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
 d AS (
-  SELECT user_id, t,
+  SELECT user_id, t, event_id,
          CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 3600000000
               THEN 1 ELSE 0 END AS new_s
@@ -1260,7 +1260,7 @@ d AS (
 ),
 s AS (
   SELECT user_id, t,
-         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
   FROM d
 )
@@ -3228,16 +3228,22 @@ def q_streaming_session_timeout_gate(spark: SparkSession, sf_dir: str) -> DataFr
 # Sessions from the canonical lag+running-sum replay; EMITTED = every
 # session with a successor session for that user (closed by an in-batch
 # event), plus last-per-user sessions whose timeout timestamp
-# (ms-floored end + 1h gap) is <= the final watermark (ms-floored global
-# max(ts) - 1h delay).  Spark tracks event time in ms (same floor as the
-# watermark-gate oracle).
+# (ms-floored end + 1h gap) is STRICTLY below the final watermark
+# (ms-floored global max(ts) - 1h delay) — Spark fires event-time
+# timeouts only when timeoutTimestamp < watermark
+# (FlatMapGroupsWithStateExec), so at exact equality the engine
+# withholds the session.  Spark tracks event time in ms (same floor as
+# the watermark-gate oracle).  The running-sum window carries the same
+# (t, event_id) tiebreak as the lag that computes new_s, so duplicate
+# timestamps at a session boundary can't sum a new_s=0 row ahead of its
+# opener.
 ORACLE_SESSION_TIMEOUT = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
 wm AS (
   SELECT CAST(floor(max(t) / 1000.0) AS BIGINT) - 3600000 AS wm_ms FROM e
 ),
 d AS (
-  SELECT user_id, t,
+  SELECT user_id, t, event_id,
          CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 3600000000
               THEN 1 ELSE 0 END AS new_s
@@ -3245,7 +3251,7 @@ d AS (
 ),
 s AS (
   SELECT user_id, t,
-         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
   FROM d
 ),
@@ -3261,7 +3267,7 @@ flagged AS (
 SELECT user_id, n_events, t_start, t_end
 FROM flagged, wm
 WHERE NOT is_last
-   OR CAST(floor(t_end / 1000.0) AS BIGINT) + 3600000 <= wm.wm_ms"""
+   OR CAST(floor(t_end / 1000.0) AS BIGINT) + 3600000 < wm.wm_ms"""
 
 
 DF_QUERIES["streaming_session_timeout_gate"] = (

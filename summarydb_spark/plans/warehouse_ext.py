@@ -696,7 +696,7 @@ WITH e AS (
   SELECT user_id, {t} AS t, event_id FROM events
 ),
 d AS (
-  SELECT user_id, t,
+  SELECT user_id, t, event_id,
          CASE WHEN lag(t) OVER w IS NULL
                    OR t - lag(t) OVER w > 3600000000
               THEN 1 ELSE 0 END AS new_s
@@ -705,7 +705,7 @@ d AS (
 ),
 s AS (
   SELECT user_id, t,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM d
 ),
@@ -805,7 +805,7 @@ WITH e AS (
   SELECT user_id, {t} AS t, event_id FROM events
 ),
 d AS (
-  SELECT user_id, t,
+  SELECT user_id, t, event_id,
          CASE WHEN lag(t) OVER w IS NULL
                    OR t - lag(t) OVER w > 3600000000
               THEN 1 ELSE 0 END AS new_s
@@ -814,7 +814,7 @@ d AS (
 ),
 s AS (
   SELECT user_id, t,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM d
 ),

@@ -193,8 +193,23 @@ def _sessionize_update(
     for t in ts:
         if t_start is None:
             t_start, t_end, n = t, t, 1
+        elif t < t_start - SESSION_GAP_US:
+            # within-watermark late event that precedes the open session by
+            # more than the gap: its own, already-expired session — emit it
+            # immediately rather than moving the open session backward.
+            # (No retroactive merging across the held boundary; bounded
+            # lateness <= gap makes chains through this case impossible
+            # unless a later in-batch event bridges, which the sorted scan
+            # below would then merge into the open session anyway.)
+            closed.append((uid, 1, t, t))
         elif t - t_end <= SESSION_GAP_US:
-            t_end, n = t, n + 1
+            # min/max merge so a within-watermark LATE event (t < t_end,
+            # arriving in a later micro-batch) extends the session's span
+            # instead of moving t_end backward — which would both misreport
+            # the span and fire the event-time timeout too early
+            t_start = min(t_start, t)
+            t_end = max(t_end, t)
+            n += 1
         else:
             closed.append((uid, n, t_start, t_end))
             t_start, t_end, n = t, t, 1

@@ -113,8 +113,13 @@ def test_sessionize_with_timeout_cross_batch_and_watermark(spark, tmp_path):
     # watermark (1970-01-01T00:00) is late-dropped before the operator
     # ever sees it — an epoch-adjacency artifact, not session semantics
     B = 100 * H
-    batch1 = [(1, B), (2, B)]
-    batch2 = [(1, B + H // 2), (2, B + 2 * H), (3, B + 5 * H)]
+    # u5 pins the within-watermark LATE-event merge: batch 2 delivers an
+    # event at B+H/4, EARLIER than u5's open-session end B+H/2 held in
+    # state (watermark after batch 1 is B-H/2, so it is not late-dropped).
+    # The session must keep t_end = B+H/2 — not move it backward — and
+    # count 3 events.
+    batch1 = [(1, B), (2, B), (5, B), (5, B + H // 2)]
+    batch2 = [(1, B + H // 2), (2, B + 2 * H), (3, B + 5 * H), (5, B + H // 4)]
     src = str(tmp_path / "src")
     prev = 0.0
     for i, rows in enumerate((batch1, batch2)):
@@ -158,8 +163,93 @@ def test_sessionize_with_timeout_cross_batch_and_watermark(spark, tmp_path):
     #   u2 [B, B]         -> closed by the B+2H event inside batch 2
     #   u2 [B+2H, B+2H]   -> times out (B+3H <= B+4H)
     #   u3 [B+5H, B+5H]   -> B+6H > B+4H: withheld
+    #   u5 [B, B+H/2] n=3 -> late B+H/4 merged WITHOUT moving t_end back
     assert got == {
         (1, 2, B, B + H // 2),
         (2, 1, B, B),
         (2, 1, B + 2 * H, B + 2 * H),
+        (5, 3, B, B + H // 2),
     }
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for driving _sessionize_update directly —
+    the engine test above can't reach the pre-session-singleton branch
+    (with watermark delay == gap it is provably unreachable; it guards
+    deployments with delay > gap)."""
+
+    def __init__(self, value=None, watermark_ms=0, timed_out=False):
+        self._v = value
+        self._wm = watermark_ms
+        self.hasTimedOut = timed_out
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+
+def test_sessionize_update_late_event_semantics():
+    """Direct contract of the update function for within-watermark late
+    events: (a) a late event inside the open session's span merges by
+    min/max (t_end never moves backward, so the timeout can't fire
+    early); (b) a late event more than the gap BEFORE the open session's
+    start emits as its own already-expired singleton session and leaves
+    the open session untouched."""
+    import pandas as pd
+
+    from summarydb_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        SESSION_GAP_US,
+        _sessionize_update,
+    )
+
+    H = SESSION_GAP_US
+    B = 100 * H
+
+    # (a) open session [B, B+H/2]; late event at B+H/4
+    st = _FakeGroupState(value=(B, B + H // 2, 2), watermark_ms=0)
+    out = list(
+        _sessionize_update(
+            (7,), iter([pd.DataFrame({"t": [B + H // 4]})]), st
+        )
+    )
+    assert out == []  # nothing closed
+    assert st.get == (B, B + H // 2, 3)
+    assert st.timeout_ts == (B + H // 2) // 1000 + SESSION_GAP_MS
+
+    # (b) open session [B+3H, B+3H]; late event at B+H (> gap before start)
+    st = _FakeGroupState(value=(B + 3 * H, B + 3 * H, 1), watermark_ms=0)
+    out = list(
+        _sessionize_update((7,), iter([pd.DataFrame({"t": [B + H]})]), st)
+    )
+    assert len(out) == 1
+    rows = {tuple(r) for r in out[0].itertuples(index=False)}
+    assert rows == {(7, 1, B + H, B + H)}
+    assert st.get == (B + 3 * H, B + 3 * H, 1)
+
+    # (c) a late event extending the session START backward within the gap
+    st = _FakeGroupState(value=(B, B + H // 2, 2), watermark_ms=0)
+    out = list(
+        _sessionize_update(
+            (7,), iter([pd.DataFrame({"t": [B - H // 2]})]), st
+        )
+    )
+    assert out == []
+    assert st.get == (B - H // 2, B + H // 2, 3)
