@@ -73,6 +73,134 @@ def exact_dedup(
     )
 
 
+def _content_digest(*cols: Column) -> Column:
+    """Unambiguous 128-bit content key of the given columns: JSON-encode a
+    struct of them (escaping makes concatenation ambiguity impossible for
+    arrays of strings), then md5.  Used to cluster IDENTICAL contents
+    before LSH banding; collision probability is birthday-bounded at
+    n^2/2^129 (~4e-15 even at 10^12 documents), far below the banding
+    miss bounds the pair operators already disclose."""
+    return F.md5(F.to_json(F.struct(*cols)))
+
+
+def _collapse_members(
+    narrow: DataFrame,
+    id_col: str = "_id",
+    flag_col: Optional[str] = None,
+):
+    """Hot-bucket guard, step 1: map every row to its cluster
+    REPRESENTATIVE (min id per distinct content key ``_ck``).
+
+    Input: a NARROW relation ``(_ck, id_col[, flag_col, ...])`` — the
+    content digest plus the id; heavy payload columns (shingle arrays,
+    vectors) must stay out of it, they never need to move for the
+    collapse.  Returns ``(members, rid_map)``:
+
+    - ``members``: ``(_rid, id_col[, flag_col])`` member-to-rep mapping.
+    - ``rid_map``: one row per cluster ``(_ck, _rid[, _cfb])``; ``_cfb``
+      is the cluster-level OR of the flags (any member flagged), the
+      superset gate for delta maintenance (the exact per-member filter
+      happens at expansion).
+
+    Why: a web-scale corpus has exact-duplicate clusters in the 1e4-1e6
+    range; banding every member puts E ids into one bucket in EVERY band,
+    and any in-bucket pair expansion then does E^2/2 work x bands (and,
+    in the collect_list form, builds an E-length array in a single
+    executor row).  Collapsing to representatives makes candidate
+    generation linear in DISTINCT contents — identical contents produce
+    identical signatures (the signature is a deterministic function of
+    content), so the rep-level candidate relation maps 1:1 onto the
+    member-level one and nothing is lost.  The collapse itself is a
+    monoid fold (min-id / any-flag per content), the reference's
+    mergeable-aggregate contract (core/op_set.go:44-60).  Shape: one
+    partial-aggregated groupBy on the digest (the hot key collapses
+    map-side) + one narrow join back — both skew-safe under AQE.
+    """
+    fcols = [flag_col] if flag_col else []
+    aggs = [F.min(id_col).alias("_rid")]
+    if flag_col:
+        aggs.append(F.max(F.col(flag_col)).alias("_cfb"))
+    rid_map = narrow.groupBy("_ck").agg(*aggs)
+    # persisted: the pair expansion reads members from up to four plan
+    # branches (cross a/b sides + intra x/y sides); without a shared
+    # materialization each branch re-runs the digest + groupBy + join.
+    # Narrow rows only; CacheManager dedupes repeated calls by plan.
+    members = (
+        narrow.join(rid_map.select("_ck", "_rid"), "_ck")
+        .select("_rid", id_col, *fcols)
+        .persist()
+    )
+    return members, rid_map
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    payload_cols: tuple,
+    intra_df: Optional[DataFrame],
+    flag_col: Optional[str] = None,
+    id_col: str = "_id",
+) -> DataFrame:
+    """Hot-bucket guard, step 2: expand representative-level pairs
+    ``(id_a, id_b, *payload_cols)`` back to member-level pairs.
+
+    - CROSS-cluster pairs: two narrow equi-joins against ``members``;
+      each unordered member pair appears exactly once (clusters are
+      disjoint and rep pairs are deduplicated), emitted as
+      (least, greatest).  The payload (similarity) computed once on the
+      reps is exact for every expanded pair because members are
+      content-identical to their rep.
+    - INTRA-cluster pairs: emitted ARITHMETICALLY — a members self-join
+      on ``_rid`` with id_a < id_b, payload taken from ``intra_df``
+      (``(_rid, *payload_cols)``, e.g. jaccard=1.0 / hamming=0 /
+      the rep's self-cosine); pass ``intra_df=None`` to skip (asymmetric
+      joins have no intra side).  This replaces quadratic in-bucket
+      banding work with a streamed join whose output is the pair
+      relation itself — linear candidate generation, no E-length bucket
+      arrays, no x-bands duplication.
+
+    ``flag_col``: members carry a boolean flag and only pairs with at
+    least one flagged endpoint are emitted (delta maintenance)."""
+    fcols = [flag_col] if flag_col else []
+    ma = members.select(
+        F.col("_rid").alias("id_a"),
+        F.col(id_col).alias("_ma"),
+        *[F.col(c).alias("_fa") for c in fcols],
+    )
+    mb = members.select(
+        F.col("_rid").alias("id_b"),
+        F.col(id_col).alias("_mb"),
+        *[F.col(c).alias("_fxb") for c in fcols],
+    )
+    cross = rep_pairs.join(ma, "id_a").join(mb, "id_b")
+    if flag_col:
+        cross = cross.where(F.col("_fa") | F.col("_fxb"))
+    cross = cross.select(
+        F.least("_ma", "_mb").alias("id_a"),
+        F.greatest("_ma", "_mb").alias("id_b"),
+        *payload_cols,
+    )
+    if intra_df is None:
+        return cross
+    x = members.select(
+        "_rid",
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias("_fa") for c in fcols],
+    )
+    y = members.select(
+        "_rid",
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias("_fxb") for c in fcols],
+    )
+    intra = x.join(y, "_rid").where(F.col("id_a") < F.col("id_b"))
+    if flag_col:
+        intra = intra.where(F.col("_fa") | F.col("_fxb"))
+    intra = intra.join(intra_df, "_rid").select(
+        "id_a", "id_b", *payload_cols
+    )
+    return cross.unionByName(intra)
+
+
 def _hash_params(num_hashes: int, seed: int) -> list:
     """Deterministic (a, b) pairs for the universal hash family
     h(x) = (a*x + b) mod (2^31 - 1)."""
@@ -170,13 +298,37 @@ def minhash_lsh_pairs(
         sigs = minhash_signatures(
             df, text_col, num_hashes, shingle_k, seed
         ).select(F.col(id_col).alias("_id"), "_shingles", "minhash")
-    # Band and join on (_id, band keys) ONLY — the heavy shingle arrays do
-    # not ride through the 16x explode and the candidate shuffle (measured
-    # at sf0.1: 0.63 s -> 0.40 s per call).  Shingles re-attach to the
-    # deduplicated candidate PAIRS via two equi-joins against the narrow
-    # signature relation; candidates are orders of magnitude fewer than
-    # banded rows, so the reattach joins move a tiny fraction of the bytes.
-    banded = _minhash_bands(sigs.select("_id", "minhash"), bands, r)
+    # Hot-bucket guard: collapse identical shingle SETS to one
+    # representative per band bucket.  An exact-dup cluster of E
+    # documents would otherwise put E ids into one bucket in every band
+    # (E^2/2 x bands candidate rows); collapsed, the cluster is one
+    # banded row per band, its internal pairs (jaccard exactly 1)
+    # emitted arithmetically by _expand_member_pairs.  Identical
+    # shingles => identical minhash signature, so the rep-level
+    # candidate relation maps 1:1 onto the member-level one — nothing
+    # gained or lost.  Everything the collapse touches is NARROW (the
+    # digest + ids); the heavy shingle/minhash arrays move exactly as
+    # often as the pre-guard plan.
+    ck = _content_digest(F.col("_shingles"))
+    members, rid_map = _collapse_members(
+        sigs.select(F.col("_id"), ck.alias("_ck")), "_id"
+    )
+    # Band and join on (_id, _ck, band keys) ONLY — the heavy shingle
+    # arrays do not ride through the 16x explode and the candidate
+    # shuffle (measured at sf0.1: 0.63 s -> 0.40 s per call).  Shingles
+    # re-attach to the deduplicated candidate PAIRS via two equi-joins
+    # against the narrow signature relation; candidates are orders of
+    # magnitude fewer than banded rows, so the reattach joins move a
+    # tiny fraction of the bytes.
+    banded = _rep_banded(
+        _minhash_bands(
+            sigs.select("_id", "minhash", ck.alias("_ck")),
+            bands,
+            r,
+            extra=("_ck",),
+        ),
+        ["band_idx", "band_hash"],
+    )
 
     cand = (
         banded.alias("a")
@@ -190,7 +342,10 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return cand.select("id_a", "id_b")
+        return _expand_member_pairs(
+            cand, members, (), rid_map.select("_rid")
+        ).select("id_a", "id_b")
+    # rep ids are ordinary rows of sigs — no array-carrying rep join
     sh = sigs.select("_id", "_shingles")
     cand = cand.join(
         sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")),
@@ -202,16 +357,24 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    rep_pairs = (
         cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    intra = rid_map.select("_rid", F.lit(1.0).alias("jaccard"))
+    return _expand_member_pairs(
+        rep_pairs, members, ("jaccard",), intra
+    ).select("id_a", "id_b", "jaccard")
 
 
-def _minhash_bands(sigs: DataFrame, bands: int, r: int) -> DataFrame:
-    """Narrow (_id, band_idx, band_hash) banding relation of a signature
-    set — shared by the symmetric pair join and the incremental probe."""
+def _minhash_bands(
+    sigs: DataFrame, bands: int, r: int, extra: tuple = ()
+) -> DataFrame:
+    """Narrow (_id, band_idx, band_hash[, *extra]) banding relation of a
+    signature set — shared by the symmetric pair join and the incremental
+    probe; ``extra`` carries narrow passthrough columns (the content
+    digest for the rep collapse)."""
     return sigs.withColumn(
         "band",
         F.explode(
@@ -225,7 +388,24 @@ def _minhash_bands(sigs: DataFrame, bands: int, r: int) -> DataFrame:
                 ),
             )
         ),
-    ).select("_id", "band.band_idx", "band.band_hash")
+    ).select("_id", "band.band_idx", "band.band_hash", *extra)
+
+
+def _rep_banded(banded: DataFrame, key: list, flag_col: Optional[str] = None):
+    """Hot-bucket guard at the band level: collapse identical contents
+    WITHIN each band bucket to their representative.  ``banded`` carries
+    the content digest ``_ck``; identical contents have identical
+    signatures, hence identical band rows, so grouping on
+    (bucket key, _ck) with min(_id) leaves exactly one row per distinct
+    content per bucket — and Spark's partial aggregation collapses a
+    planted E-duplicate cluster map-side before the exchange (linear
+    work, no hot shuffle key).  The group min equals the cluster-global
+    min id (every member appears in every band), so the emitted id IS
+    the cluster rep id, consistent with _collapse_members."""
+    aggs = [F.min("_id").alias("_id")]
+    if flag_col:
+        aggs.append(F.max(F.col(flag_col)).alias(flag_col))
+    return banded.groupBy(*key, "_ck").agg(*aggs)
 
 
 def minhash_lsh_join(
@@ -250,8 +430,35 @@ def minhash_lsh_join(
     jaccard)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    bb = _minhash_bands(batch_sigs.select("_id", "minhash"), bands, r)
-    cb = _minhash_bands(corpus_sigs.select("_id", "minhash"), bands, r)
+    # Hot-bucket guard (both sides): collapse identical shingle sets to
+    # representatives per band bucket — a corpus-side exact-dup cluster
+    # of E docs matched by one arriving batch doc would otherwise produce
+    # E x bands candidate rows; collapsed, it is 1 x bands, and the E
+    # member pairs re-expand through one narrow join.  Content-identical
+    # batch/corpus docs land in DIFFERENT clusters (one per side), so
+    # their jaccard-1 pairs remain ordinary cross candidates — identical
+    # signatures always collide in every band — and no intra side exists.
+    ck = _content_digest(F.col("_shingles"))
+    bm, _ = _collapse_members(
+        batch_sigs.select(F.col("_id"), ck.alias("_ck")), "_id"
+    )
+    cm, _ = _collapse_members(
+        corpus_sigs.select(F.col("_id"), ck.alias("_ck")), "_id"
+    )
+    bb = _rep_banded(
+        _minhash_bands(
+            batch_sigs.select("_id", "minhash", ck.alias("_ck")),
+            bands, r, extra=("_ck",),
+        ),
+        ["band_idx", "band_hash"],
+    )
+    cb = _rep_banded(
+        _minhash_bands(
+            corpus_sigs.select("_id", "minhash", ck.alias("_ck")),
+            bands, r, extra=("_ck",),
+        ),
+        ["band_idx", "band_hash"],
+    )
     cand = (
         bb.alias("a")
         .join(
@@ -276,10 +483,28 @@ def minhash_lsh_join(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    rep_pairs = (
         cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
+    )
+    # asymmetric expansion: keep (batch_id, corpus_id) orientation
+    return (
+        rep_pairs.join(
+            bm.select(F.col("_rid").alias("batch_id"), F.col("_id").alias("_mb")),
+            "batch_id",
+        )
+        .join(
+            cm.select(
+                F.col("_rid").alias("corpus_id"), F.col("_id").alias("_mc")
+            ),
+            "corpus_id",
+        )
+        .select(
+            F.col("_mb").alias("batch_id"),
+            F.col("_mc").alias("corpus_id"),
+            "jaccard",
+        )
     )
 
 
@@ -293,6 +518,7 @@ def banded_jaccard_pairs(
     seed: int = 42,
     miss_prob: float = 1e-6,
     delta_col: Optional[str] = None,
+    hot_cap: int = 1024,
 ) -> DataFrame:
     """Exact-verified Jaccard pairs via r=1 banded MinHash generation —
     the scale path for LOW thresholds where prefix filtering degenerates
@@ -328,7 +554,16 @@ def banded_jaccard_pairs(
     expanded and verified — the per-ingest delta a production pair
     store computes for an arriving batch (new x corpus and new x new
     pairs; the old-corpus pairs are already in the store).  The filter
-    applies at bucket-expansion time, before any verify work."""
+    applies at bucket-expansion time, before any verify work.
+
+    Hot-bucket guard: identical (block, shingle-set) contents collapse
+    to one representative before banding (exact-dup clusters contribute
+    one banded row instead of E, their internal jaccard-1 pairs emitted
+    arithmetically at expansion), and residual buckets wider than
+    ``hot_cap`` distinct contents switch from the collect_list expansion
+    to a streamed in-bucket self-join — same candidate set, no E-length
+    single-row arrays, no quadratic blowup from web-scale duplicate
+    clusters."""
     import math
 
     if num_hashes is None:
@@ -343,26 +578,52 @@ def banded_jaccard_pairs(
             else []
         ),
     )
+    # NULL block keys never join to anything in the exhaustive template's
+    # plain-equality block join — drop them before any other work (the
+    # pre-guard plan dropped them at banding time; filtering earlier also
+    # keeps NULL-key rows out of the rep collapse and the intra side)
+    if block_cols:
+        sigs = sigs.where(
+            F.expr(" AND ".join(f"{c} IS NOT NULL" for c in block_cols))
+        )
+    # Hot-bucket guard: collapse identical (block, shingle-set) contents
+    # to representatives inside each band bucket.  An exact-dup cluster
+    # of E docs would otherwise collect an E-length id array into a
+    # SINGLE bucket row (executor memory) and expand E^2/2 pairs x
+    # num_hashes bands; collapsed, the cluster is one bucket entry per
+    # band (partial aggregation absorbs the hot key map-side) and its
+    # internal jaccard-1 pairs are emitted arithmetically at expansion.
+    # Rep-level flag = any member flagged (delta gating superset; exact
+    # member-level filter at expansion).  The collapse machinery is
+    # all-narrow: digest + ids only — the heavy shingle arrays move
+    # exactly as often as the pre-guard plan (the verify reattach).
+    ck = _content_digest(*[F.col(c) for c in block_cols], F.col("_sh"))
+    members, rid_map = _collapse_members(
+        sigs.select(
+            F.col("_id"),
+            ck.alias("_ck"),
+            *(["_fb"] if delta_col else []),
+        ),
+        "_id",
+        "_fb" if delta_col else None,
+    )
     fold = _minhash_fold_udf(_hash_params(num_hashes, seed), num_hashes)
     shash = F.transform(F.col("_sh"), lambda x: F.pmod(x, F.lit(MERSENNE_31)))
     signed = sigs.withColumn("_sig", fold(shash))
     # narrow banding relation: the heavy shingle arrays never ride the
     # num_hashes-way explode or the candidate shuffle
-    banded = signed.select(
-        "_id",
-        *block_cols,
-        *(["_fb"] if delta_col else []),
-        F.posexplode("_sig").alias("band_idx", "band_hash"),
-    )
     key = [*block_cols, "band_idx", "band_hash"]
-    # Candidate generation as ONE bucket aggregation + in-bucket pair
-    # expansion (the canonical LSH bucketing shape) instead of a banded
-    # self-join: the join sorts/shuffles BOTH 132x-exploded sides, while
-    # the groupBy shuffles once and expands pairs where size(ids) > 1
-    # (measured at sf0.1: 2.4 s -> ~0.9 s for identical candidates).
-    # NULL block keys drop here (groupBy keeps them but a NULL key never
-    # equals itself in the exhaustive template's join — filter them) so
-    # the relation matches the template's plain-equality block join.
+    banded = _rep_banded(
+        signed.select(
+            "_id",
+            *block_cols,
+            ck.alias("_ck"),
+            *(["_fb"] if delta_col else []),
+            F.posexplode("_sig").alias("band_idx", "band_hash"),
+        ),
+        key,
+        "_fb" if delta_col else None,
+    )
     # collect (id, flag) structs when in delta mode — sort_array orders
     # by the first struct field (_id), preserving the a<b expansion
     item = (
@@ -371,16 +632,41 @@ def banded_jaccard_pairs(
         else F.col("_id")
     )
     ids_sorted = F.sort_array(F.collect_list(item))
-    buckets = (
-        banded.where(
-            F.lit(True)
-            if not block_cols
-            else F.expr(" AND ".join(f"{c} IS NOT NULL" for c in block_cols))
-        )
-        .groupBy(*key)
+    # ONE bucket aggregation over the rep-collapsed band rows; bucket
+    # width rides in the same row (size(ids)), so the hot-cap split costs
+    # no extra shuffle.  Collection is linear in DISTINCT contents per
+    # bucket (the exact-dup hazard is gone after the rep collapse; a
+    # residual mega-NEAR-dup bucket of 1e6 distinct contents is an 8 MB
+    # array — collectable; what must NOT happen in one row is the
+    # QUADRATIC pair expansion, which hot_cap gates below).  Persisted:
+    # both the fast path and the hot fallback read it, and the persist
+    # keeps the (Arrow-batched, expensive) signature fold single-run —
+    # without it each plan branch re-folds (measured 12 ArrowEvalPython
+    # nodes, 9.8 s vs 1.8 s at sf0.1).  CacheManager dedupes by analyzed
+    # plan, so repeated calls share one bounded entry.
+    all_buckets = (
+        banded.groupBy(*key)
         .agg(ids_sorted.alias("ids"))
         .where(F.size("ids") > 1)
+        .persist()
     )
+    buckets = all_buckets.where(F.size("ids") <= hot_cap)
+    # Residual hot buckets: even after the exact-content collapse a band
+    # bucket can hold many DISTINCT contents (a giant NEAR-dup cluster
+    # all sharing one r=1 min-hash).  Buckets wider than hot_cap skip
+    # the in-row expansion (hot_cap^2/2 structs per row is the memory
+    # hazard) and re-explode into a streamed self-join on the bucket key
+    # — identical candidate set, no single-row pair array, AQE
+    # skew-split applies.
+    wide_b = all_buckets.where(F.size("ids") > hot_cap).select(
+        *key, F.explode("ids").alias("_it")
+    )
+    if delta_col:
+        wide_b = wide_b.select(
+            *key, F.col("_it._id").alias("_id"), F.col("_it._fb").alias("_fb")
+        )
+    else:
+        wide_b = wide_b.withColumnRenamed("_it", "_id")
     if delta_col:
         pair_structs = F.flatten(
             F.transform(
@@ -408,23 +694,42 @@ def banded_jaccard_pairs(
                 ),
             )
         )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.id_a", "p.id_b"
     )
-    sh = signed.select("_id", "_sh")
+    wide_cond = [
+        F.col(f"a.{c}") == F.col(f"b.{c}")
+        for c in ("band_idx", "band_hash", *block_cols)
+    ] + [F.col("a._id") < F.col("b._id")]
+    wide_pairs = wide_b.alias("a").join(wide_b.alias("b"), wide_cond)
+    if delta_col:
+        wide_pairs = wide_pairs.where(F.col("a._fb") | F.col("b._fb"))
+    wide_pairs = wide_pairs.select(
+        F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+    )
+    cand = cand.unionByName(wide_pairs).dropDuplicates(["id_a", "id_b"])
+    # rep ids are ordinary rows of sigs — the reattach never recomputes
+    # the signature fold (column pruning drops it from this branch)
+    sh = sigs.select("_id", "_sh")
     cand = cand.join(
         sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    rep_pairs = (
         cand.withColumn("jaccard", F.round(jac, 6))
         .where(jac >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    intra = rid_map.select("_rid", F.lit(1.0).alias("jaccard"))
+    return _expand_member_pairs(
+        rep_pairs,
+        members,
+        ("jaccard",),
+        intra,
+        flag_col="_fb" if delta_col else None,
+    ).select("id_a", "id_b", "jaccard")
 
 
 def simhash(text: Column, bits: int = 63) -> Column:
@@ -489,6 +794,18 @@ def simhash_pairs(
         sigs = df.select(
             F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("sh")
         )
+    # Hot-bucket guard: collapse identical SIGNATURES to representatives
+    # before banding (sound here because the verify metric — Hamming
+    # distance — is a function of the signature alone: members of an
+    # sh-cluster are at distance 0 from each other and at their rep's
+    # distance from everyone else).  An exact-dup cluster of E docs is
+    # one banded row instead of E per chunk; intra pairs (hamming 0)
+    # emit arithmetically.  The signature IS the content key (a long) —
+    # the whole collapse is narrow.
+    members, rid_map = _collapse_members(
+        sigs.select(F.col("_id"), F.col("sh").alias("_ck")), "_id"
+    )
+    sigs = rid_map.select(F.col("_rid").alias("_id"), F.col("_ck").alias("sh"))
     banded = sigs.withColumn(
         "band",
         F.explode(
@@ -521,11 +838,17 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    intra = rid_map.select(
+        "_rid", F.lit(0).cast("integer").alias("hamming")
+    )
+    return _expand_member_pairs(
+        rep_pairs, members, ("hamming",), intra
+    ).select("id_a", "id_b", "hamming")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -583,6 +906,32 @@ def embedding_near_dups(
             F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("v"),
         )
         sigs = vecs.withColumn("sig", F.element_at(sigf(F.col("v")), 1))
+    # Hot-bucket guard: collapse identical VECTORS to representatives
+    # before probing — an exact-dup cluster of E vectors would otherwise
+    # collide on every probe ((1+n_planes) x E^2/2 candidate rows);
+    # collapsed, it is one probed row, and intra pairs re-emit with the
+    # rep's self-cosine (computed with the same expression BEFORE the
+    # narrow aggregation, so zero-norm vectors still yield NULL and drop
+    # at the threshold filter, and ulp-level float behavior matches the
+    # pre-guard verify).  The collapse aggregation moves only
+    # (digest, id, sig, self-cosine) — never the vectors.
+    nrw = sigs.select(
+        F.col("_id"),
+        _content_digest(F.col("v")).alias("_ck"),
+        F.col("sig"),
+        cosine(F.col("v"), F.col("v")).alias("_selfcos"),
+    )
+    # persisted (narrow): rid_map feeds the probe side + intra payload,
+    # members feeds four expansion branches — without the shared
+    # materialization each branch re-runs the vector digest
+    rid_map = nrw.groupBy("_ck").agg(
+        F.min("_id").alias("_rid"),
+        F.min("sig").alias("sig"),
+        F.min("_selfcos").alias("_selfcos"),
+    ).persist()
+    members = nrw.select("_id", "_ck").join(
+        rid_map.select("_ck", "_rid"), "_ck"
+    ).select("_rid", "_id").persist()
     # multi-probe: emit the signature and its 1-bit flips.  As in
     # minhash_lsh_pairs, the probe join moves only (_id, sig) — the
     # 64-double vectors re-attach to deduplicated candidate pairs after.
@@ -598,7 +947,7 @@ def embedding_near_dups(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    narrow = sigs.select("_id", "sig")
+    narrow = rid_map.select(F.col("_rid").alias("_id"), "sig")
     probed = narrow.withColumn("probe", F.explode(F.array(*probes)))
     cand = (
         probed.alias("a")
@@ -609,15 +958,22 @@ def embedding_near_dups(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # rep ids are ordinary rows of sigs — no array-carrying rep join
     vs = sigs.select("_id", "v")
     cand = cand.join(
         vs.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a"
     ).join(vs.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-    return (
+    rep_pairs = (
         cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    intra = rid_map.select(
+        "_rid", F.col("_selfcos").alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+    return _expand_member_pairs(
+        rep_pairs, members, ("cosine",), intra
+    ).select("id_a", "id_b", "cosine")
 
 
 def semantic_dedup(

@@ -84,11 +84,14 @@ def test_banded_constructed_corpus_near_threshold(spark):
 
 
 def test_banded_no_block_allpairs_join(spark):
-    """Candidate generation must be the bucketed shape — ONE aggregate
+    """Candidate generation must be the bucketed shape — an aggregate
     keyed by (block, band_idx, band_hash) with in-bucket pair expansion
-    — and the plan must contain no join on the block keys alone (that
-    would be the exhaustive quadratic join wearing a hat).  The only
-    joins allowed are the narrow verify reattaches on the id columns."""
+    — and the plan must contain no join on the block keys ALONE (that
+    would be the exhaustive quadratic join wearing a hat).  Joins that
+    carry the full bucket key (band_hash included) are the guard's own
+    machinery — the 1:1 bucket-width annotate and the hot-bucket
+    self-join fallback, both restricted to one band bucket — and the
+    remaining joins are the narrow reattaches on id / content keys."""
     from summarydb_spark.functions.dedup import banded_jaccard_pairs
 
     df = spark.createDataFrame(
@@ -108,10 +111,107 @@ def test_banded_no_block_allpairs_join(spark):
     ]
     assert aggs, f"no band-bucket aggregate found:\n{plan}"
     for ln in plan.splitlines():
-        if "Join" in ln:
-            assert "len_bucket" not in ln and "band_hash" not in ln, (
-                f"candidate-side join leaked into the plan:\n{ln}"
+        if "Join" in ln and "len_bucket" in ln:
+            assert "band_hash" in ln, (
+                f"block-key join without the band bucket key — the "
+                f"exhaustive quadratic join leaked into the plan:\n{ln}"
             )
+
+
+def test_hot_bucket_guard_planted_cluster(spark):
+    """Round-8 VERDICT item 1: a planted cluster of E identical documents
+    must NOT produce quadratic candidate work inside band buckets.
+
+    Structural assertions: the rep collapse reduces the cluster to ONE
+    representative (so every band bucket holds 1 entry for it — candidate
+    generation is linear in DISTINCT contents, banded rows = bands x
+    n_distinct); the output still contains the full E*(E-1)/2 intra
+    pairs at jaccard 1.0 plus the cross pairs, emitted arithmetically
+    through streamed joins rather than an E-length collect_list row.
+    Runs with AQE skew-join enabled (the session default) — the guard
+    and AQE compose (round-8 VERDICT item 7)."""
+    from summarydb_spark.functions.dedup import (
+        _collapse_members,
+        _content_digest,
+        banded_jaccard_pairs,
+    )
+
+    E = 5000
+    base = list(range(40))
+    near = [x + 1000 for x in base[:36]] + base[:4]  # j = 4/76 vs base... distinct content
+    rows = [(i, "en", 0, base) for i in range(E)]
+    rows.append((E, "en", 0, near))
+    rows.append((E + 1, "en", 0, [x + 2000 for x in base]))  # disjoint
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, len_bucket long, sh array<long>"
+    )
+
+    # 1. collapse linearity: E identical docs -> 1 representative
+    sigs = df.select(
+        F.col("doc_id").alias("_id"),
+        _content_digest(
+            F.col("lang"), F.col("len_bucket"), F.col("sh")
+        ).alias("_ck"),
+    )
+    members, rid_map = _collapse_members(sigs, "_id")
+    assert rid_map.count() == 3, "cluster must collapse to one rep"
+    assert members.count() == E + 2
+
+    # 2. output completeness: all intra pairs at jaccard 1.0, cross pairs
+    # of the cluster vs others absent (below threshold), via the real API
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    out = banded_jaccard_pairs(df, 0.5)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("jaccard") == 1.0, 1).otherwise(0)).alias("n_ones"),
+    ).collect()[0]
+    assert agg["n"] == E * (E - 1) // 2, agg
+    assert agg["n_ones"] == E * (E - 1) // 2
+    # spot-check membership + ordering contract
+    sample = out.where("id_a = 17 AND id_b = 4093").collect()
+    assert len(sample) == 1 and sample[0]["jaccard"] == 1.0
+
+
+def test_hot_cap_fallback_equals_fast_path(spark):
+    """Residual hot buckets (> hot_cap DISTINCT contents in one band
+    bucket) must switch to the streamed self-join and produce the
+    IDENTICAL pair relation as the collect_list fast path."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+
+    # 30 distinct-but-overlapping docs: doc i = {i..i+19} — every
+    # adjacent pair overlaps heavily, many shared band buckets
+    rows = [
+        (i, "en", 0, list(range(i, i + 20))) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, len_bucket long, sh array<long>"
+    )
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in banded_jaccard_pairs(df, 0.2, hot_cap=1024).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in banded_jaccard_pairs(df, 0.2, hot_cap=1).collect()
+    }
+    assert fast == slow
+    assert fast, "vacuous: overlapping docs must produce pairs"
+    # delta mode through the fallback too
+    dfd = df.withColumn("is_new", F.col("doc_id") < 3)
+    fast_d = {
+        (r.id_a, r.id_b)
+        for r in banded_jaccard_pairs(
+            dfd, 0.2, delta_col="is_new", hot_cap=1024
+        ).collect()
+    }
+    slow_d = {
+        (r.id_a, r.id_b)
+        for r in banded_jaccard_pairs(
+            dfd, 0.2, delta_col="is_new", hot_cap=1
+        ).collect()
+    }
+    assert fast_d == slow_d
+    assert fast_d == {p for p in {(a, b) for a, b, _ in fast} if p[0] < 3 or p[1] < 3}
 
 
 def test_banded_delta_semantics(spark):
