@@ -2852,7 +2852,10 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as chained materialized CTEs, so a hash-match proves the
     loop's early-exit produces exactly the fixed-round semantics.
     Convergence within the budget is pinned by tests at both gate scales
-    (measured: 3 rounds at sf0.01, 5 at sf0.1)."""
+    (measured: 3 rounds at sf0.01, 5 at sf0.1) — and since round 8 the
+    budget is a RAISING safety valve (kcore errors rather than silently
+    returning a superset), so the fixed-round oracle is valid precisely
+    because a non-converged run can never return."""
     from summarydb_spark.functions.dedup import kcore
 
     core = kcore(

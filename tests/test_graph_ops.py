@@ -281,3 +281,21 @@ def test_kcore_round_budget_converges_at_gate_scales(spark):
     assert at_budget == beyond
     # and the result is a genuine 2-core: every survivor has deg >= 2
     assert all(d >= 2 for _, d in at_budget)
+
+
+def test_kcore_long_path_converges_or_raises(spark):
+    """Round-8 VERDICT item 3: a path graph needs O(diameter) peel
+    rounds; the old 12-round truncation silently returned a superset.
+    The default budget now converges (full peel -> empty 2-core), and
+    an insufficient budget RAISES instead of returning a wrong answer."""
+    import pytest
+
+    from summarydb_spark.functions.dedup import kcore
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    # 41-node path: ~20 rounds to fully peel at k=2, > the old 12 budget
+    assert kcore(edges, k=2).count() == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, k=2, max_rounds=5)
