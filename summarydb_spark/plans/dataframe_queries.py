@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from summarydb_spark.functions import dedup, similarity
+from summarydb_spark.streaming.state import use_state_store
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,13 +831,14 @@ def q_streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "streaming_sessionize_gate_sink"
     spark.catalog.dropTempView(name)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with use_state_store(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(name).select("user_id", "n_events", "t_start", "t_end")
 
@@ -868,13 +870,14 @@ def q_streaming_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "streaming_watermark_gate_sink"
     spark.catalog.dropTempView(name)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with use_state_store(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(name).select(
         F.expr("unix_micros(w.start)").alias("w_start_us"),
@@ -1214,13 +1217,14 @@ def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "streaming_dedup_gate_sink"
     spark.catalog.dropTempView(name)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with use_state_store(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(name).select(
         "event_type", F.col("n").cast("long").alias("n")
@@ -3217,13 +3221,14 @@ def q_streaming_session_timeout_gate(spark: SparkSession, sf_dir: str) -> DataFr
     out = sessionize_with_timeout(stream)
     name = "streaming_session_timeout_gate_sink"
     spark.catalog.dropTempView(name)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with use_state_store(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(name).select("user_id", "n_events", "t_start", "t_end")
 
@@ -3280,7 +3285,8 @@ DF_QUERIES["streaming_session_timeout_gate"] = (
 
 
 def _run_stream_to_memory(df, name: str, spark: SparkSession,
-                          state_partitions: int = 8) -> DataFrame:
+                          state_partitions: int = 8,
+                          state_store: str | None = None) -> DataFrame:
     """Start ``df`` as an availableNow append stream into a memory sink
     and return the sink table.  Stateful streaming operators allocate
     one state store PER shuffle partition per side; a fresh 2-source
@@ -3289,18 +3295,24 @@ def _run_stream_to_memory(df, name: str, spark: SparkSession,
     sizes ``spark.sql.shuffle.partitions`` to the stream for the
     duration of the run (the standard deployment practice: state
     partition count is fixed at a checkpoint's first run) and restores
-    the session default afterwards."""
+    the session default afterwards.  ``state_store`` (or the
+    SPARK_GRAFT_STATE_STORE env var) selects the state-store provider
+    for this query — "rocksdb" = off-heap, disk-bounded state, the
+    100 TB deployment default (streaming/state.py)."""
+    from summarydb_spark.streaming.state import use_state_store
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.catalog.dropTempView(name)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with use_state_store(spark, state_store):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)

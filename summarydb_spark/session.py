@@ -15,6 +15,7 @@ def get_spark(
     app_name: str = "summarydb-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession tuned for the engine.
 
@@ -23,11 +24,23 @@ def get_spark(
       timestamps as naive-UTC).
     - AQE on: runtime coalescing + skew-join handling at scale.
     - Arrow on: vectorized exchange for the few pandas-UDF code paths.
+    - ``state_store="rocksdb"`` (or SPARK_GRAFT_STATE_STORE=rocksdb):
+      run every stateful streaming query on the off-heap RocksDB
+      provider — state capacity bounded by local disk, not executor
+      heap; the 100 TB deployment default (streaming/state.py).
     """
+    from summarydb_spark.streaming.state import PROVIDER_CONF, provider_class
+
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+    provider = provider_class(
+        state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    )
+    builder = SparkSession.builder
+    if provider:
+        builder = builder.config(PROVIDER_CONF, provider)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle))
