@@ -48,18 +48,61 @@ def main() -> None:
     # best-of-N per query: single runs are noisy (GC, AQE re-planning);
     # the minimum is the engine's steady-state cost
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    times: dict[str, float] = {}
-    suite_t0 = time.time()
-    for name, fn in qs.items():
+
+    def measure(name):
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            df = fn(spark, sf_dir)
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+        return round(best, 3)
+
+    # VM-drift canary (round-8 VERDICT item 8): this machine's absolute
+    # wall for 32-thread JVM work moves 20-30% between sessions, so raw
+    # suite walls are not comparable across rounds.  A FIXED 3-query
+    # canary set (frozen in CANARY_REF.json the round it was anchored;
+    # never re-baselined) runs under the same best-of-reps protocol at
+    # the suite's START and again at its END — the end leg captures
+    # within-run contention (cache/GC buildup over 227 queries) that a
+    # start-only canary misses (measured round 8: cheap queries run
+    # ~1.8x faster at suite start than a cold session, heavy queries
+    # ~1.3-1.6x slower mid-suite).  drift = today's mean canary wall /
+    # reference mean; the suite wall is reported normalized alongside
+    # raw.
+    CANARY = ("dow_histogram_events", "sessionize_events", "approx_count_range")
+    canary_start = {n: measure(n) for n in CANARY if n in qs}
+
+    times: dict[str, float] = {}
+    suite_t0 = time.time()
+    for name in qs:
+        times[name] = measure(name)
+    suite_wall = round(time.time() - suite_t0, 3)
+
+    canary_end = {n: measure(n) for n in CANARY if n in qs}
+    canary_mean = round(
+        (sum(canary_start.values()) + sum(canary_end.values())) / 2, 3
+    )
+    canary = {
+        "start": canary_start,
+        "end": canary_end,
+        "mean_total": canary_mean,
+    }
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "CANARY_REF.json"
+    )
+    if os.path.isfile(ref_path) and abs(sf - 0.1) < 1e-9:
+        with open(ref_path) as f:
+            ref = json.load(f)
+        ref_mean = ref.get("mean_total")
+        if ref_mean:
+            canary["ref_mean_total"] = ref_mean
+            canary["drift"] = round(canary_mean / ref_mean, 4)
 
     total = round(sum(times.values()), 3)
+    total_normalized = (
+        round(total / canary["drift"], 3) if "drift" in canary else None
+    )
 
     # Suite mode (secondary metric): the per-query numbers above pay one
     # driver round-trip + scheduling floor PER query — the dominant cost
@@ -103,8 +146,10 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "n_queries": len(times),
-        "suite_wall_incl_reps": round(time.time() - suite_t0, 3),
+        "suite_wall_incl_reps": suite_wall,
         "suite_mode": suite_mode,
+        "canary": canary,
+        "value_normalized": total_normalized,
     }
     # The full per-query map goes to BENCH_LATEST.json — the durable record
     # covering every query.  The driver keeps only the LAST 2000 chars of

@@ -28,7 +28,15 @@ driver data (measured empirically from sf0.1):
 Small TPC-H tables are copied from sf0.1 unchanged (they are not what
 the measured families scale on).
 
-Usage: python tools/gen_sf1.py [out_dir]     (default /tmp/sf1_synth)
+Usage: python tools/gen_sf1.py [out_dir] [mult] [planted_cluster]
+  out_dir          default /tmp/sf1_synth
+  mult             scale multiplier vs sf0.1 (default 10 = "sf1";
+                   100 = "sf10": 500k docs / 200k vectors / 10M events /
+                   60M lineitem — the second measured decade, round-8
+                   VERDICT item 6)
+  planted_cluster  append this many EXACT-duplicate copies of doc 0 as
+                   one cluster (hot-bucket-guard measurement corpus,
+                   round-8 VERDICT item 1; default 0)
 Deterministic: numpy seed 42.
 """
 
@@ -51,15 +59,17 @@ VOCAB = (
 ).split()
 LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
-N_DOCS = 50_000
-N_EMB = 20_000
+N_DOCS = 50_000   # at mult=10; scaled linearly with mult
+N_EMB = 20_000    # at mult=10; scaled linearly with mult
 EMB_DIM = 64
 N_CLUSTERS = 10
 
 
-def gen_documents(out_dir: str, rng: np.random.RandomState) -> None:
+def gen_documents(out_dir: str, rng: np.random.RandomState,
+                  mult: int = 10, planted: int = 0) -> None:
+    n_docs = N_DOCS * mult // 10
     texts: list[str] = []
-    for i in range(N_DOCS):
+    for i in range(n_docs):
         r = rng.rand()
         if i > 100 and r < 0.05:  # near-dup: earlier doc + marker token
             texts.append(texts[rng.randint(0, i)] + " dup")
@@ -68,11 +78,18 @@ def gen_documents(out_dir: str, rng: np.random.RandomState) -> None:
         else:
             n = rng.randint(10, 101)
             texts.append(" ".join(VOCAB[k] for k in rng.randint(0, len(VOCAB), n)))
-    langs = np.array(LANGS)[rng.choice(len(LANGS), N_DOCS, p=LANG_P)]
-    sources = np.array([f"src{k}" for k in rng.randint(0, 20, N_DOCS)])
+    # planted exact-duplicate cluster: `planted` verbatim copies of doc 0
+    # appended at the tail — the web-scale duplicate regime the
+    # hot-bucket guard exists for (one cluster, E members)
+    texts.extend(texts[0] for _ in range(planted))
+    n_docs += planted
+    langs = np.array(LANGS)[rng.choice(len(LANGS), n_docs, p=LANG_P)]
+    if planted:
+        langs[-planted:] = langs[0]  # same block as the cluster seed
+    sources = np.array([f"src{k}" for k in rng.randint(0, 20, n_docs)])
     tbl = pa.table(
         {
-            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "doc_id": pa.array(range(n_docs), pa.int64()),
             "text": pa.array(texts),
             "lang": pa.array(langs),
             "source": pa.array(sources),
@@ -82,22 +99,24 @@ def gen_documents(out_dir: str, rng: np.random.RandomState) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
 
 
-def gen_embeddings(out_dir: str, rng: np.random.RandomState) -> None:
-    labels = rng.randint(0, N_CLUSTERS, N_EMB)
-    vecs = rng.randn(N_EMB, EMB_DIM)
+def gen_embeddings(out_dir: str, rng: np.random.RandomState,
+                   mult: int = 10) -> None:
+    n_emb = N_EMB * mult // 10
+    labels = rng.randint(0, N_CLUSTERS, n_emb)
+    vecs = rng.randn(n_emb, EMB_DIM)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     # inject ~2% near-duplicates: perturbed copies of earlier vectors
     # (cos ~ 0.99), mirroring the driver data's small injected dup set
-    n_dup = N_EMB // 50
-    src = rng.randint(0, N_EMB - n_dup, n_dup)
-    dst = np.arange(N_EMB - n_dup, N_EMB)
+    n_dup = n_emb // 50
+    src = rng.randint(0, n_emb - n_dup, n_dup)
+    dst = np.arange(n_emb - n_dup, n_emb)
     noise = 0.15 * rng.randn(n_dup, EMB_DIM)
     vecs[dst] = vecs[src] + noise
     vecs[dst] /= np.linalg.norm(vecs[dst], axis=1, keepdims=True)
     vecs = vecs.astype(np.float32)
     tbl = pa.table(
         {
-            "vec_id": pa.array(range(N_EMB), pa.int64()),
+            "vec_id": pa.array(range(n_emb), pa.int64()),
             "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
             "label": pa.array(labels, pa.int32()),
         }
@@ -105,13 +124,13 @@ def gen_embeddings(out_dir: str, rng: np.random.RandomState) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
 
 
-def gen_events(out_dir: str) -> None:
+def gen_events(out_dir: str, mult: int = 10) -> None:
     con = duckdb.connect()
     copies = " UNION ALL ".join(
         f"""SELECT event_id + {k} * 1000000 AS event_id, ts,
                user_id + {k} * 100000 AS user_id, event_type, value, props
         FROM '{SRC}/events.parquet'"""
-        for k in range(10)
+        for k in range(mult)
     )
     con.execute(
         f"COPY ({copies}) TO '{os.path.join(out_dir, 'events.parquet')}'"
@@ -119,7 +138,7 @@ def gen_events(out_dir: str) -> None:
     )
 
 
-def gen_sales(out_dir: str) -> None:
+def gen_sales(out_dir: str, mult: int = 10) -> None:
     """10 key-shifted replicas of customer/orders/lineitem: every key
     (cust, order, part, supp) shifts by k * 2^22 per replica, so the
     relational-graph families (co-purchase k-core / item-item CF /
@@ -132,7 +151,7 @@ def gen_sales(out_dir: str) -> None:
     cust = " UNION ALL ".join(
         f"""SELECT c_custkey + {k * S} AS c_custkey, c_name, c_nationkey,
                c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet'"""
-        for k in range(10)
+        for k in range(mult)
     )
     con.execute(
         f"COPY ({cust}) TO '{os.path.join(out_dir, 'customer.parquet')}'"
@@ -143,7 +162,7 @@ def gen_sales(out_dir: str) -> None:
                o_custkey + {k * S} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{SRC}/orders.parquet'"""
-        for k in range(10)
+        for k in range(mult)
     )
     con.execute(
         f"COPY ({orders}) TO '{os.path.join(out_dir, 'orders.parquet')}'"
@@ -162,7 +181,7 @@ def gen_sales(out_dir: str) -> None:
                l_partkey + {k * S} AS l_partkey,
                l_suppkey + {k * S} AS l_suppkey, {keep}
         FROM '{SRC}/lineitem.parquet'"""
-        for k in range(10)
+        for k in range(mult)
     )
     con.execute(
         f"COPY ({li}) TO '{os.path.join(out_dir, 'lineitem.parquet')}'"
@@ -175,7 +194,7 @@ def gen_sales(out_dir: str) -> None:
     part = " UNION ALL ".join(
         f"""SELECT p_partkey + {k * S} AS p_partkey, p_name, p_brand,
                p_type, p_size, p_retailprice FROM '{SRC}/part.parquet'"""
-        for k in range(10)
+        for k in range(mult)
     )
     con.execute(
         f"COPY ({part}) TO '{os.path.join(out_dir, 'part.parquet')}'"
@@ -184,7 +203,7 @@ def gen_sales(out_dir: str) -> None:
     supp = " UNION ALL ".join(
         f"""SELECT s_suppkey + {k * S} AS s_suppkey, s_name, s_nationkey,
                s_acctbal FROM '{SRC}/supplier.parquet'"""
-        for k in range(10)
+        for k in range(mult)
     )
     con.execute(
         f"COPY ({supp}) TO '{os.path.join(out_dir, 'supplier.parquet')}'"
@@ -194,12 +213,14 @@ def gen_sales(out_dir: str) -> None:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    planted = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(42)
-    gen_documents(out_dir, rng)
-    gen_embeddings(out_dir, rng)
-    gen_events(out_dir)
-    gen_sales(out_dir)
+    gen_documents(out_dir, rng, mult, planted)
+    gen_embeddings(out_dir, rng, mult)
+    gen_events(out_dir, mult)
+    gen_sales(out_dir, mult)
     for t in ("region", "nation"):
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"),
