@@ -2445,7 +2445,15 @@ def q_dedup_pairs_banded_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the set of rows a store rebuild would add — the
     append-only maintenance contract of a production pair store (the
     reference's mergeable-aggregate shape, core/op_set.go:44-60,
-    applied to the pair relation itself)."""
+    applied to the pair relation itself).
+
+    The doc_id%7 batch is PROPORTIONAL to the corpus (chosen so the
+    DuckDB oracle stays cheap to hash-match), so this gate's scaling
+    ratio partly measures batch growth.  The production shape — a
+    CONSTANT-size arriving batch — is measured separately:
+    tools/measure_delta_const.py, recorded in BASELINE.md round 8
+    (500-doc batch: 4.28 s at sf0.1 -> 4.39 s at sf1, ~flat at 10x
+    corpus)."""
     from summarydb_spark.functions.dedup import banded_jaccard_pairs
     from summarydb_spark.plans.llm_sql import ngram_blocks_sql
     from summarydb_spark.sources.tables import register_tables
