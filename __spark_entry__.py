@@ -107,6 +107,7 @@ def _all_queries() -> dict:
     from summarydb_spark.plans.coverage_ext import COVERAGE_EXT_QUERIES
     from summarydb_spark.plans.dq_sql import DQ_QUERIES
     from summarydb_spark.plans.llm_sql import LLM_QUERIES
+    from summarydb_spark.plans.mining_ext import MINING_EXT_QUERIES
     from summarydb_spark.plans.monitoring_ext import MONITORING_EXT_QUERIES
     from summarydb_spark.plans.pipeline_ext import PIPELINE_EXT_QUERIES
     from summarydb_spark.plans.portable_dedup import PORTABLE_DEDUP_QUERIES
@@ -132,6 +133,7 @@ def _all_queries() -> dict:
         **MONITORING_EXT_QUERIES,
         **WAREHOUSE_EXT_QUERIES,
         **TEXTSIM_EXT_QUERIES,
+        **MINING_EXT_QUERIES,
     }
 
 

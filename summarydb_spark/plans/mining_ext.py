@@ -1,0 +1,159 @@
+"""Pattern-mining extensions: association rules over order baskets,
+resource-allocation link prediction on the co-purchase graph, and
+token-window document chunking for retrieval pipelines.
+
+Same one-template-two-dialects scheme as portable_sql (the DuckDB
+rendering is the oracle).  All exact integer arithmetic where a value
+ranks or compares (ppm/ppb scaling with integer division — a double on
+a rounding boundary diverges per engine); ties broken by total key
+order so LIMIT is deterministic.
+
+Scale notes (100 TB discipline):
+- the basket self-join is bounded by per-order fan-out (same shape as
+  copurchase_similarity_topk); support pruning happens in the first
+  aggregate, before any scoring;
+- the two-hop link-prediction enumeration costs sum(deg^2) over the
+  support-pruned edge set — at web scale you would cap hub degrees
+  first (the standard practice); the shape itself is two co-partitioned
+  equi-joins + one aggregate, no cross join;
+- chunking is pure per-row arithmetic + a sequence explode: chunk
+  count, not text, rides the explode, and the aggregate is one
+  hash-agg on lang.
+"""
+
+from __future__ import annotations
+
+
+def q_association_rules(dialect: str) -> str:
+    """Directed association rules A -> B over order baskets (distinct
+    parts per order), support >= 2 co-occurrences (the same pruning
+    copurchase_similarity_topk uses — the part keyspace grows with the
+    order count at larger SFs, so absolute counts dilute): confidence =
+    n_ab / n_a and lift = n_ab * N / (n_a * n_b), both in exact ppm
+    (integer division), top-20 by lift.  The classic market-basket
+    mining surface one level above copurchase_similarity_topk's
+    symmetric cosine: rules are DIRECTED (conf(A->B) != conf(B->A)) and
+    lift normalizes by both marginals.  Beyond-reference operator
+    (SURVEY.md §2.6; the reference has no relational surface)."""
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS nb FROM b),
+item AS (SELECT p, count(*) AS np FROM b GROUP BY p),
+pair AS (
+  SELECT x.p AS pa, y.p AS pb, count(*) AS nab
+  FROM b x JOIN b y ON x.o = y.o AND x.p <> y.p
+  GROUP BY x.p, y.p
+  HAVING count(*) >= 2
+)
+SELECT pair.pa AS ante_part, pair.pb AS cons_part,
+       CAST(pair.nab AS BIGINT) AS n_ab,
+       CAST(pair.nab * 1000000 {idiv} ia.np AS BIGINT) AS conf_ppm,
+       CAST(pair.nab * n.nb * 1000000 {idiv} (ia.np * ib.np) AS BIGINT)
+         AS lift_ppm
+FROM pair
+JOIN item ia ON ia.p = pair.pa
+JOIN item ib ON ib.p = pair.pb
+CROSS JOIN n
+ORDER BY lift_ppm DESC, ante_part, cons_part
+LIMIT 20"""
+
+
+def q_link_prediction_ra(dialect: str) -> str:
+    """Resource-allocation link prediction (Zhou/Lu/Zhang 2009) on the
+    support>=2 co-purchase graph: for NON-adjacent part pairs reachable
+    in two hops, RA(x,y) = sum over common neighbors z of 1/deg(z) —
+    here in exact parts-per-billion (1e9 integer-divided by the degree,
+    summed), so ranking is engine-portable.  Top-20 predicted links by RA
+    score (>= 1 common neighbor; the score itself already weights
+    neighbor count).  The existing-edge exclusion is an
+    anti-join BEFORE scoring; two-hop enumeration costs sum(deg^2) over
+    the pruned edge set (hub-cap first at web scale)."""
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+u AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS nd, count(*) AS d FROM u GROUP BY a),
+hop2 AS (
+  SELECT e1.a AS x, e2.b AS y, e1.b AS z
+  FROM u e1 JOIN u e2 ON e1.b = e2.a AND e1.a < e2.b
+),
+cand AS (
+  SELECT h.x, h.y, h.z
+  FROM hop2 h LEFT JOIN e ON e.a = h.x AND e.b = h.y
+  WHERE e.a IS NULL
+)
+SELECT c.x AS part_a, c.y AS part_b,
+       CAST(count(*) AS BIGINT) AS common_neighbors,
+       CAST(sum(1000000000 {idiv} d.d) AS BIGINT) AS ra_ppb
+FROM cand c JOIN deg d ON d.nd = c.z
+GROUP BY c.x, c.y
+ORDER BY ra_ppb DESC, part_a, part_b
+LIMIT 20""".replace("{idiv}", "div" if dialect == "spark" else "//")
+
+
+def q_chunk_overlap_windows(dialect: str) -> str:
+    """Token-window document chunking (window 32, stride 24 — the RAG
+    ingestion shape): every document becomes ceil((n-32)/24)+1 chunks
+    (1 if n <= 32); chunk i spans tokens [24i, 24i + 32).  Per-lang
+    rollup: documents, chunks, chunk-token sum, and the duplicated
+    (overlap) token count = chunk-token sum - document-token sum — the
+    storage-amplification number a chunking config implies.  Chunk
+    indices ride a sequence explode (arithmetic only, never text); the
+    per-chunk length is closed-form least(32, n - 24i)."""
+    if dialect == "spark":
+        ntok = "size(split(text, ' '))"
+        explode = (
+            "SELECT lang, n, ci FROM c "
+            "LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS ci"
+        )
+    else:
+        ntok = "len(string_split(text, ' '))"
+        explode = (
+            "SELECT lang, n, u.ci FROM c, "
+            "unnest(range(0, n_chunks)) AS u(ci)"
+        )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST({ntok} AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, lang, n,
+         CASE WHEN n <= 32 THEN CAST(1 AS BIGINT)
+              ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+  FROM d
+),
+x AS ({explode}),
+per_chunk AS (
+  SELECT lang,
+         CASE WHEN n - ci * 24 < 32 THEN n - ci * 24 ELSE 32 END AS chunk_tokens
+  FROM x
+),
+doc_tokens AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS sum_doc_tokens
+  FROM c GROUP BY lang
+),
+chunk_tokens AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+  FROM per_chunk GROUP BY lang
+)
+SELECT dt.lang, dt.n_docs, ct.n_chunks, ct.sum_chunk_tokens,
+       ct.sum_chunk_tokens - dt.sum_doc_tokens AS overlap_tokens
+FROM doc_tokens dt JOIN chunk_tokens ct ON ct.lang = dt.lang
+ORDER BY dt.lang"""
+
+
+MINING_EXT_QUERIES = {
+    "association_rules_lift": q_association_rules,
+    "link_prediction_ra": q_link_prediction_ra,
+    "chunk_overlap_windows": q_chunk_overlap_windows,
+}
