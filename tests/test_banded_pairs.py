@@ -214,6 +214,68 @@ def test_hot_cap_fallback_equals_fast_path(spark):
     assert fast_d == {p for p in {(a, b) for a, b, _ in fast} if p[0] < 3 or p[1] < 3}
 
 
+def test_randomized_corpora_match_bruteforce(spark):
+    """Seeded randomized parity net for the guarded builder: corpora
+    mixing exact-duplicate clusters, near-dups, and distinct docs
+    across blocks must produce EXACTLY the brute-force same-block
+    Jaccard pair relation (deterministic: signatures are a pure
+    function of (corpus, seed), so a pass is reproducible; the per-pair
+    banding miss bound is 1e-6)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    for trial in range(3):
+        rows = []
+        doc_id = 0
+        for _ in range(rng.randint(8, 14)):
+            block = ("en" if rng.rand() < 0.7 else "de", int(rng.randint(0, 2)))
+            base = sorted(
+                rng.choice(200, size=rng.randint(4, 25), replace=False).tolist()
+            )
+            kind = rng.rand()
+            if kind < 0.4:  # exact-dup cluster
+                for _ in range(rng.randint(2, 30)):
+                    rows.append((doc_id, *block, list(base)))
+                    doc_id += 1
+            elif kind < 0.7:  # near-dup pair/triple
+                for _ in range(rng.randint(2, 4)):
+                    mutated = sorted(
+                        set(base)
+                        ^ set(
+                            rng.choice(200, size=rng.randint(0, 3), replace=False).tolist()
+                        )
+                    ) or [int(base[0])]
+                    rows.append((doc_id, *block, [int(x) for x in mutated]))
+                    doc_id += 1
+            else:
+                rows.append((doc_id, *block, list(base)))
+                doc_id += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, len_bucket long, sh array<long>"
+        )
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in banded_jaccard_pairs_import()(df, 0.25).collect()
+        }
+        want = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if (a[1], a[2]) != (b[1], b[2]):
+                    continue
+                sa, sb = set(a[3]), set(b[3])
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= 0.25:
+                    want.add((a[0], b[0], round(jac, 6)))
+        assert got == want, f"trial {trial}: {len(got)} vs {len(want)}"
+
+
+def banded_jaccard_pairs_import():
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+
+    return banded_jaccard_pairs
+
+
 def test_banded_delta_semantics(spark):
     """delta_col mode: exactly the pairs with >= 1 flagged endpoint —
     new x corpus and new x new survive, old x old pairs are never
