@@ -87,6 +87,7 @@ def _collapse_members(
     narrow: DataFrame,
     id_col: str = "_id",
     flag_col: Optional[str] = None,
+    persist: bool = True,
 ):
     """Hot-bucket guard, step 1: map every row to its cluster
     REPRESENTATIVE (min id per distinct content key ``_ck``).
@@ -121,15 +122,17 @@ def _collapse_members(
     if flag_col:
         aggs.append(F.max(F.col(flag_col)).alias("_cfb"))
     rid_map = narrow.groupBy("_ck").agg(*aggs)
-    # persisted: the pair expansion reads members from up to four plan
-    # branches (cross a/b sides + intra x/y sides); without a shared
-    # materialization each branch re-runs the digest + groupBy + join.
-    # Narrow rows only; CacheManager dedupes repeated calls by plan.
-    members = (
-        narrow.join(rid_map.select("_ck", "_rid"), "_ck")
-        .select("_rid", id_col, *fcols)
-        .persist()
+    # persisted by default: the pair expansion reads members from up to
+    # four plan branches (cross a/b sides + intra x/y sides); without a
+    # shared materialization each branch re-runs the digest + groupBy +
+    # join.  Narrow rows only; CacheManager dedupes repeated calls by
+    # plan.  Single-consumer callers (the asymmetric probe) pass
+    # persist=False.
+    members = narrow.join(rid_map.select("_ck", "_rid"), "_ck").select(
+        "_rid", id_col, *fcols
     )
+    if persist:
+        members = members.persist()
     return members, rid_map
 
 
@@ -440,10 +443,10 @@ def minhash_lsh_join(
     # signatures always collide in every band — and no intra side exists.
     ck = _content_digest(F.col("_shingles"))
     bm, _ = _collapse_members(
-        batch_sigs.select(F.col("_id"), ck.alias("_ck")), "_id"
+        batch_sigs.select(F.col("_id"), ck.alias("_ck")), "_id", persist=False
     )
     cm, _ = _collapse_members(
-        corpus_sigs.select(F.col("_id"), ck.alias("_ck")), "_id"
+        corpus_sigs.select(F.col("_id"), ck.alias("_ck")), "_id", persist=False
     )
     bb = _rep_banded(
         _minhash_bands(
