@@ -3211,6 +3211,14 @@ def q_streaming_session_timeout_gate(spark: SparkSession, sf_dir: str) -> DataFr
     oracle replays that split in batch SQL: every non-final session per
     user, plus final sessions whose (ms-floored) end + gap clears the
     final watermark."""
+    return _session_timeout_stream(
+        spark, sf_dir, "streaming_session_timeout_gate_sink", None
+    )
+
+
+def _session_timeout_stream(
+    spark: SparkSession, sf_dir: str, name: str, state_store: str | None
+) -> DataFrame:
     from summarydb_spark.streaming.stateful import sessionize_with_timeout
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -3227,9 +3235,8 @@ def q_streaming_session_timeout_gate(spark: SparkSession, sf_dir: str) -> DataFr
         .withWatermark("tstamp", "1 hour")
     )
     out = sessionize_with_timeout(stream)
-    name = "streaming_session_timeout_gate_sink"
     spark.catalog.dropTempView(name)
-    with use_state_store(spark):
+    with use_state_store(spark, state_store):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -3239,6 +3246,20 @@ def q_streaming_session_timeout_gate(spark: SparkSession, sf_dir: str) -> DataFr
         )
     q.awaitTermination()
     return spark.table(name).select("user_id", "n_events", "t_start", "t_end")
+
+
+def q_streaming_session_rocksdb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful sessionizer PINNED to the off-heap RocksDB
+    state-store provider (streaming/state.py) — the 100 TB deployment
+    configuration, where state is bounded by local disk instead of
+    executor heap.  Same machinery and same oracle as
+    streaming_session_timeout_gate: a green row here is the per-round
+    driver-verified proof that the engine's stateful semantics are
+    provider-independent (sf1 soak: 909,400 rows identical, RocksDB
+    faster than heap — BASELINE.md round 8)."""
+    return _session_timeout_stream(
+        spark, sf_dir, "streaming_session_rocksdb_gate_sink", "rocksdb"
+    )
 
 
 # Sessions from the canonical lag+running-sum replay; EMITTED = every
@@ -3288,6 +3309,10 @@ WHERE NOT is_last
 
 DF_QUERIES["streaming_session_timeout_gate"] = (
     q_streaming_session_timeout_gate,
+    ORACLE_SESSION_TIMEOUT,
+)
+DF_QUERIES["streaming_session_rocksdb_gate"] = (
+    q_streaming_session_rocksdb_gate,
     ORACLE_SESSION_TIMEOUT,
 )
 

@@ -593,8 +593,68 @@ SELECT o.src_a, o.src_b,
 FROM ov o JOIN tot t ON t.source = o.src_a"""
 
 
+def q_knn_label_noise(dialect: str) -> str:
+    """Label-noise detection by kNN disagreement (Confident-Learning
+    family, Northcutt et al. 2021, reduced to its nearest-neighbor
+    vote): a sampled probe is FLAGGED when a strict majority (>= 3) of
+    its 5 nearest other vectors (cosine) carry one common label that
+    differs from its own — the candidate mislabels a training-data
+    curator reviews first.  Emits (vec_id, label, suspect_label, votes)
+    ordered by vec_id.  Cosines round to 6 before ranking and vote ties
+    break on the smaller label (the knn_classification_accuracy
+    conventions), so the flag set is engine-portable.  Scale: exact
+    probe x corpus scoring at gate scale; at 100 TB the candidate set
+    comes from the persisted ANN index and only the vote/flag tail
+    remains."""
+    if dialect == "spark":
+        dot = ("aggregate(zip_with(q.embedding, c.embedding, (x, y) -> x * y),"
+               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        nrm = (
+            "sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v)) * "
+            "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v))"
+        )
+        cos = f"({dot}) / nullif({nrm}, 0.0)"
+        emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    else:
+        cos = "list_cosine_similarity(q.embedding, c.embedding)"
+        emb = "CAST(embedding AS DOUBLE[])"
+    return f"""
+WITH e AS (SELECT vec_id, label, {emb} AS embedding FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS own_label,
+         c.label AS cand_label,
+         round({cos}, 6) AS cosine, c.vec_id AS cand_id
+  FROM q JOIN e c ON c.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, own_label, cand_label, count(*) AS v
+  FROM rk WHERE rnk <= 5
+  GROUP BY query_id, own_label, cand_label
+),
+best AS (
+  SELECT query_id, own_label, cand_label AS suspect_label, v,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY v DESC, cand_label) AS r
+  FROM votes
+)
+SELECT query_id AS vec_id, own_label AS label, suspect_label,
+       CAST(v AS BIGINT) AS votes
+FROM best
+WHERE r = 1 AND v >= 3 AND suspect_label <> own_label
+ORDER BY vec_id"""
+
+
 PIPELINE_EXT_QUERIES = {
     "knn_classification_accuracy": q_knn_classification_accuracy,
+    "knn_label_noise": q_knn_label_noise,
     "ngram_novelty_score": q_ngram_novelty_score,
     "dup_graph_degree_stats": q_dup_graph_degree_stats,
     "dataset_card_summary": q_dataset_card_summary,
