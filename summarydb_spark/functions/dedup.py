@@ -311,8 +311,14 @@ def minhash_lsh_pairs(
     # candidate relation maps 1:1 onto the member-level one — nothing
     # gained or lost.  Everything the collapse touches is NARROW (the
     # digest + ids); the heavy shingle/minhash arrays move exactly as
-    # often as the pre-guard plan.
-    ck = _content_digest(F.col("_shingles"))
+    # often as the pre-guard plan.  A persisted signature store that
+    # already carries a ``_ck`` content-digest column (computed once at
+    # store build) short-circuits the per-call digest.
+    ck = (
+        F.col("_ck")
+        if "_ck" in sigs.columns
+        else _content_digest(F.col("_shingles"))
+    )
     members, rid_map = _collapse_members(
         sigs.select(F.col("_id"), ck.alias("_ck")), "_id"
     )
@@ -441,23 +447,32 @@ def minhash_lsh_join(
     # batch/corpus docs land in DIFFERENT clusters (one per side), so
     # their jaccard-1 pairs remain ordinary cross candidates — identical
     # signatures always collide in every band — and no intra side exists.
-    ck = _content_digest(F.col("_shingles"))
+    def _ck_of(sigs_df: DataFrame) -> Column:
+        # a signature store carrying a precomputed _ck skips the digest
+        return (
+            F.col("_ck")
+            if "_ck" in sigs_df.columns
+            else _content_digest(F.col("_shingles"))
+        )
+
     bm, _ = _collapse_members(
-        batch_sigs.select(F.col("_id"), ck.alias("_ck")), "_id", persist=False
+        batch_sigs.select(F.col("_id"), _ck_of(batch_sigs).alias("_ck")),
+        "_id", persist=False,
     )
     cm, _ = _collapse_members(
-        corpus_sigs.select(F.col("_id"), ck.alias("_ck")), "_id", persist=False
+        corpus_sigs.select(F.col("_id"), _ck_of(corpus_sigs).alias("_ck")),
+        "_id", persist=False,
     )
     bb = _rep_banded(
         _minhash_bands(
-            batch_sigs.select("_id", "minhash", ck.alias("_ck")),
+            batch_sigs.select("_id", "minhash", _ck_of(batch_sigs).alias("_ck")),
             bands, r, extra=("_ck",),
         ),
         ["band_idx", "band_hash"],
     )
     cb = _rep_banded(
         _minhash_bands(
-            corpus_sigs.select("_id", "minhash", ck.alias("_ck")),
+            corpus_sigs.select("_id", "minhash", _ck_of(corpus_sigs).alias("_ck")),
             bands, r, extra=("_ck",),
         ),
         ["band_idx", "band_hash"],

@@ -65,9 +65,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from summarydb_spark.sources.tables import ensure_store
 
     def build(s):
+        # the content digest (_ck, hot-bucket-guard collapse key) is
+        # computed ONCE here and rides the store — probes and pair
+        # builds read it instead of re-digesting the shingle arrays
         sigs = dedup.minhash_signatures(
             _docs(s, sf_dir), "text", num_hashes=64, shingle_k=3, seed=42
-        ).select(F.col("doc_id").alias("_id"), "_shingles", "minhash")
+        ).select(
+            F.col("doc_id").alias("_id"),
+            "_shingles",
+            "minhash",
+            dedup._content_digest(F.col("_shingles")).alias("_ck"),
+        )
         return sigs, None
 
     path = ensure_store(spark, sf_dir, "dedup_minhash_sigs", build, coalesce=0)
@@ -593,7 +601,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(s):
         sigs = dedup.minhash_signatures(
             _docs(s, sf_dir), "text", num_hashes=64, shingle_k=3, seed=42
-        ).select(F.col("doc_id").alias("_id"), "_shingles", "minhash")
+        ).select(
+            F.col("doc_id").alias("_id"),
+            "_shingles",
+            "minhash",
+            dedup._content_digest(F.col("_shingles")).alias("_ck"),
+        )
         return sigs, None
 
     path = ensure_store(spark, sf_dir, "dedup_minhash_sigs", build, coalesce=0)
