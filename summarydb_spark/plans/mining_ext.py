@@ -34,7 +34,12 @@ def q_association_rules(dialect: str) -> str:
     mining surface one level above copurchase_similarity_topk's
     symmetric cosine: rules are DIRECTED (conf(A->B) != conf(B->A)) and
     lift normalizes by both marginals.  Beyond-reference operator
-    (SURVEY.md §2.6; the reference has no relational surface)."""
+    (SURVEY.md §2.6; the reference has no relational surface).
+
+    Overflow bound: lift's numerator nab*nb*1e6 stays in int64 while
+    nab*nb < 9.2e12 — safe through ~15M baskets unless one pair
+    co-occurs in > 0.6M of them; past that, cast the product to
+    DECIMAL(38,0) (both engines) before the division."""
     idiv = "div" if dialect == "spark" else "//"
     return f"""
 WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
