@@ -163,8 +163,70 @@ FROM doc_tokens dt JOIN chunk_tokens ct ON ct.lang = dt.lang
 ORDER BY dt.lang"""
 
 
+def q_stl_lite_decomposition(dialect: str) -> str:
+    """STL-lite seasonal decomposition of daily per-type event counts,
+    in EXACT integer arithmetic: trend = centered 7-row moving sum
+    (x7-scaled, full windows only), detrended_x7 = 7n - trend_x7,
+    weekly seasonal component per (type, day-of-week) as the rational
+    (seas_num / seas_den) over detrended days, and the residual
+    magnitude sum |detrended_x7 * seas_den - seas_num| (x7*seas_den
+    scaled) — every division deferred so both engines produce identical
+    integers.  The trend window is POSITION-based (7 consecutive
+    observed days per type), which is the documented convention under
+    calendar gaps.  This is the decomposition a forecaster runs before
+    choosing a model: seasonal strength vs residual noise per series.
+
+    Scale: daily pre-aggregation bounds everything to #days x #types
+    rows; one partitioned window pass + two hash aggregates."""
+    t = (
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+        if dialect == "spark"
+        else "epoch_us(ts)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(({t}) / 86400000000.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(floor(({t}) / 86400000000.0) AS BIGINT)
+),
+t7 AS (
+  SELECT event_type, d, n,
+         sum(n) OVER w AS trend_x7,
+         count(*) OVER w AS wn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT event_type, d, 7 * n - trend_x7 AS det_x7, d % 7 AS dow
+  FROM t7 WHERE wn = 7
+),
+seas AS (
+  SELECT event_type, dow,
+         CAST(sum(det_x7) AS BIGINT) AS seas_num,
+         CAST(count(*) AS BIGINT) AS seas_den
+  FROM det GROUP BY event_type, dow
+),
+resid AS (
+  SELECT det.event_type, det.dow,
+         CAST(sum(abs(det.det_x7 * seas.seas_den - seas.seas_num)) AS BIGINT)
+           AS abs_resid_scaled,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM det JOIN seas
+    ON seas.event_type = det.event_type AND seas.dow = det.dow
+  GROUP BY det.event_type, det.dow
+)
+SELECT s.event_type, CAST(s.dow AS BIGINT) AS dow, s.seas_num, s.seas_den,
+       r.abs_resid_scaled, r.n_days
+FROM seas s JOIN resid r
+  ON r.event_type = s.event_type AND r.dow = s.dow
+ORDER BY s.event_type, dow"""
+
+
 MINING_EXT_QUERIES = {
     "association_rules_lift": q_association_rules,
     "link_prediction_ra": q_link_prediction_ra,
     "chunk_overlap_windows": q_chunk_overlap_windows,
+    "stl_lite_decomposition": q_stl_lite_decomposition,
 }
