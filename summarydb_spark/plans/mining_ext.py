@@ -224,9 +224,54 @@ FROM seas s JOIN resid r
 ORDER BY s.event_type, dow"""
 
 
+def q_conformal_interval_width(dialect: str) -> str:
+    """Split-conformal prediction intervals for the seasonal-naive
+    forecaster (Vovk et al.; the distribution-free guarantee every
+    production forecaster should ship): per event type, the 90%
+    conformal half-width is the ceil(0.9*(n+1))-th order statistic of
+    the absolute calibration errors |actual - prediction| where the
+    prediction is the count 7 days earlier (the same day-INDEX lag as
+    seasonal_naive_backtest).  Errors are exact integers (daily counts)
+    and the quantile is exact order-statistic SELECTION, not
+    interpolation — engine-identical by construction; ranking ties on
+    equal errors cannot change the selected value.
+
+    Scale: daily pre-aggregation bounds the calibration set to
+    #days x #types rows; the selection is one partitioned window pass."""
+    t = (
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+        if dialect == "spark"
+        else "epoch_us(ts)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(({t}) / 86400000000.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(floor(({t}) / 86400000000.0) AS BIGINT)
+),
+fc AS (
+  SELECT a.event_type, abs(a.n - b.n) AS e
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d = a.d - 7
+),
+rk AS (
+  SELECT event_type, e,
+         row_number() OVER (PARTITION BY event_type ORDER BY e) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM fc
+)
+SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+       CAST(e AS BIGINT) AS q90_abs_err
+FROM rk
+WHERE r = least(n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))
+ORDER BY event_type"""
+
+
 MINING_EXT_QUERIES = {
     "association_rules_lift": q_association_rules,
     "link_prediction_ra": q_link_prediction_ra,
     "chunk_overlap_windows": q_chunk_overlap_windows,
     "stl_lite_decomposition": q_stl_lite_decomposition,
+    "conformal_interval_width": q_conformal_interval_width,
 }
