@@ -70,8 +70,16 @@ def main() -> None:
     # ~1.3-1.6x slower mid-suite).  drift = today's mean canary wall /
     # reference mean; the suite wall is reported normalized alongside
     # raw.
+    # Two strata (round-9 VERDICT item 2): within-run contention makes
+    # CHEAP queries faster near the suite edges and HEAVY queries 1.3-1.6x
+    # slower mid-suite, so a cheap-only canary is anti-correlated with the
+    # drift it must measure (the round-8 canary said 0.94 while the same
+    # code ran 40% slower).  Each stratum gets its own drift and
+    # normalizes its own cost share.
     CANARY = ("dow_histogram_events", "sessionize_events", "approx_count_range")
+    CANARY_HEAVY = ("kcore_copurchase", "dedup_pairs_banded")
     canary_start = {n: measure(n) for n in CANARY if n in qs}
+    canary_heavy_start = {n: measure(n) for n in CANARY_HEAVY if n in qs}
 
     times: dict[str, float] = {}
     suite_t0 = time.time()
@@ -80,13 +88,22 @@ def main() -> None:
     suite_wall = round(time.time() - suite_t0, 3)
 
     canary_end = {n: measure(n) for n in CANARY if n in qs}
+    canary_heavy_end = {n: measure(n) for n in CANARY_HEAVY if n in qs}
     canary_mean = round(
         (sum(canary_start.values()) + sum(canary_end.values())) / 2, 3
+    )
+    canary_heavy_mean = round(
+        (sum(canary_heavy_start.values()) + sum(canary_heavy_end.values()))
+        / 2,
+        3,
     )
     canary = {
         "start": canary_start,
         "end": canary_end,
         "mean_total": canary_mean,
+        "heavy_start": canary_heavy_start,
+        "heavy_end": canary_heavy_end,
+        "heavy_mean_total": canary_heavy_mean,
     }
     ref_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "CANARY_REF.json"
@@ -98,11 +115,29 @@ def main() -> None:
         if ref_mean:
             canary["ref_mean_total"] = ref_mean
             canary["drift"] = round(canary_mean / ref_mean, 4)
+        ref_heavy = ref.get("heavy_mean_total")
+        if ref_heavy and canary_heavy_mean:
+            canary["ref_heavy_mean_total"] = ref_heavy
+            canary["heavy_drift"] = round(canary_heavy_mean / ref_heavy, 4)
 
     total = round(sum(times.values()), 3)
     total_normalized = (
         round(total / canary["drift"], 3) if "drift" in canary else None
     )
+    # Stratified normalization: queries split at the 1 s wall (the
+    # suite-mode threshold) — sub-second walls are scheduling-floor
+    # dominated (cheap-canary regime), the rest compute-dominated
+    # (heavy-canary regime); each share is divided by ITS stratum's
+    # drift.  This is the cross-round-comparable number.
+    total_normalized_stratified = None
+    if "drift" in canary and "heavy_drift" in canary:
+        cheap_share = sum(t for t in times.values() if t < 1.0)
+        heavy_share = total - cheap_share
+        total_normalized_stratified = round(
+            cheap_share / canary["drift"]
+            + heavy_share / canary["heavy_drift"],
+            3,
+        )
 
     # Suite mode (secondary metric): the per-query numbers above pay one
     # driver round-trip + scheduling floor PER query — the dominant cost
@@ -150,6 +185,7 @@ def main() -> None:
         "suite_mode": suite_mode,
         "canary": canary,
         "value_normalized": total_normalized,
+        "value_normalized_stratified": total_normalized_stratified,
     }
     # The full per-query map goes to BENCH_LATEST.json — the durable record
     # covering every query.  The driver keeps only the LAST 2000 chars of
@@ -162,9 +198,42 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         f.write(json.dumps(full) + "\n")
+    # Durable cross-round record (round-9 VERDICT item 3): every run
+    # appends its FULL per-query map here, stamped with wall-clock and
+    # git HEAD, so any two rounds can be diffed query-by-query from the
+    # committed artifacts alone (BENCH_r{N}.json is stdout-capped at
+    # ~2000 chars by the driver and BENCH_LATEST.json is overwritten).
+    import datetime
+    import subprocess
+
+    try:
+        rev = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        rev = None
+    hist = dict(full)
+    hist["ts"] = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"
+    )
+    hist["git"] = rev
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+        ),
+        "a",
+    ) as f:
+        f.write(json.dumps(hist) + "\n")
 
     compact = dict(full)
-    compact["queries_full"] = "BENCH_LATEST.json"
+    compact["queries_full"] = "BENCH_LATEST.json + BENCH_HISTORY.jsonl"
     by_cost = sorted(times.items(), key=lambda kv: -kv[1])
     k = len(by_cost)
     while k > 0:

@@ -83,6 +83,37 @@ def _content_digest(*cols: Column) -> Column:
     return F.md5(F.to_json(F.struct(*cols)))
 
 
+#: Guard-internal persisted relations (narrow member/bucket maps).  A
+#: long-lived session that runs the guard over many DISTINCT corpora
+#: accumulates one cached plan per distinct input (CacheManager dedupes
+#: only identical plans); `release_guard_caches()` unpersists them all —
+#: call it between corpora in a dedup service loop.  Within one corpus
+#: the cache is load-bearing (the expansion reads members from up to
+#: four plan branches), so nothing is unpersisted eagerly.
+_GUARD_PERSISTED: list = []
+
+
+def _guard_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _GUARD_PERSISTED.append(df)
+    return df
+
+
+def release_guard_caches() -> int:
+    """Unpersist every guard-internal cached relation created so far and
+    return how many were released.  Safe to call at any time (Spark's
+    unpersist is idempotent); subsequent guard calls re-cache."""
+    n = 0
+    while _GUARD_PERSISTED:
+        df = _GUARD_PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _collapse_members(
     narrow: DataFrame,
     id_col: str = "_id",
@@ -132,7 +163,7 @@ def _collapse_members(
         "_rid", id_col, *fcols
     )
     if persist:
-        members = members.persist()
+        members = _guard_persist(members)
     return members, rid_map
 
 
@@ -301,6 +332,12 @@ def minhash_lsh_pairs(
         sigs = minhash_signatures(
             df, text_col, num_hashes, shingle_k, seed
         ).select(F.col(id_col).alias("_id"), "_shingles", "minhash")
+    # Empty/NULL shingle sets never pair (jaccard 0/0 -> NULL fails the
+    # threshold filter pre-guard); drop them before the rep collapse so
+    # the intra jaccard-1.0 path cannot mint them as duplicates, and so
+    # the all-identical init signature of empty sets cannot form a
+    # quadratic band bucket.
+    sigs = sigs.where(F.size("_shingles") > 0)
     # Hot-bucket guard: collapse identical shingle SETS to one
     # representative per band bucket.  An exact-dup cluster of E
     # documents would otherwise put E ids into one bucket in every band
@@ -439,6 +476,10 @@ def minhash_lsh_join(
     jaccard)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
+    # empty shingle sets never verify (jaccard 0/0 -> NULL); drop both
+    # sides pre-collapse (see minhash_lsh_pairs)
+    batch_sigs = batch_sigs.where(F.size("_shingles") > 0)
+    corpus_sigs = corpus_sigs.where(F.size("_shingles") > 0)
     # Hot-bucket guard (both sides): collapse identical shingle sets to
     # representatives per band bucket — a corpus-side exact-dup cluster
     # of E docs matched by one arriving batch doc would otherwise produce
@@ -604,6 +645,12 @@ def banded_jaccard_pairs(
         sigs = sigs.where(
             F.expr(" AND ".join(f"{c} IS NOT NULL" for c in block_cols))
         )
+    # Empty/NULL shingle sets can never form a pair (jaccard = 0/0 is
+    # NULL, which fails every threshold), but identical empty sets would
+    # collapse to one cluster and the intra path would mint them as
+    # jaccard-1.0 duplicates — pre-guard semantics emitted NO pair for
+    # them, so they are dropped before the collapse (round-9 ADVICE).
+    sigs = sigs.where(F.size("_sh") > 0)
     # Hot-bucket guard: collapse identical (block, shingle-set) contents
     # to representatives inside each band bucket.  An exact-dup cluster
     # of E docs would otherwise collect an E-length id array into a
@@ -662,11 +709,10 @@ def banded_jaccard_pairs(
     # without it each plan branch re-folds (measured 12 ArrowEvalPython
     # nodes, 9.8 s vs 1.8 s at sf0.1).  CacheManager dedupes by analyzed
     # plan, so repeated calls share one bounded entry.
-    all_buckets = (
+    all_buckets = _guard_persist(
         banded.groupBy(*key)
         .agg(ids_sorted.alias("ids"))
         .where(F.size("ids") > 1)
-        .persist()
     )
     buckets = all_buckets.where(F.size("ids") <= hot_cap)
     # Residual hot buckets: even after the exact-content collapse a band
@@ -942,14 +988,18 @@ def embedding_near_dups(
     # persisted (narrow): rid_map feeds the probe side + intra payload,
     # members feeds four expansion branches — without the shared
     # materialization each branch re-runs the vector digest
-    rid_map = nrw.groupBy("_ck").agg(
-        F.min("_id").alias("_rid"),
-        F.min("sig").alias("sig"),
-        F.min("_selfcos").alias("_selfcos"),
-    ).persist()
-    members = nrw.select("_id", "_ck").join(
-        rid_map.select("_ck", "_rid"), "_ck"
-    ).select("_rid", "_id").persist()
+    rid_map = _guard_persist(
+        nrw.groupBy("_ck").agg(
+            F.min("_id").alias("_rid"),
+            F.min("sig").alias("sig"),
+            F.min("_selfcos").alias("_selfcos"),
+        )
+    )
+    members = _guard_persist(
+        nrw.select("_id", "_ck")
+        .join(rid_map.select("_ck", "_rid"), "_ck")
+        .select("_rid", "_id")
+    )
     # multi-probe: emit the signature and its 1-bit flips.  As in
     # minhash_lsh_pairs, the probe join moves only (_id, sig) — the
     # 64-double vectors re-attach to deduplicated candidate pairs after.

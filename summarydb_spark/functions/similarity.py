@@ -365,8 +365,40 @@ def ivf_topk(
         else ivf_encode(corpus, centroids, emb_col=emb_col, id_col=id_col)
     )
 
-    cdots = _mat_dots_udf(centroids)
+    qp = ivf_probe_lists(
+        queries, centroids, n_probe, emb_col=emb_col, id_col=id_col
+    )
 
+    scored = (
+        qp.join(c, ["list_id"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def ivf_probe_lists(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query-side half of IVF search, exposed as a CANDIDATE-GENERATION
+    primitive: each query's ``n_probe`` nearest centroid lists, as
+    (query_id, qv [L2-normalized], list_id) — join it against the
+    persisted inverted file on ``list_id`` to get the candidate set,
+    then score/rerank however the consumer needs (top-k, radius, kNN
+    label vote).  Factored out of :func:`ivf_topk` so index-routed
+    operators (knn_label_noise_indexed) share the exact probing plan."""
+    cdots = _mat_dots_udf(centroids)
     # L2-normalize so max-dot == max-cosine; zero-norm probes have no
     # defined neighbors and are dropped (vs an ANSI divide crash)
     q = (
@@ -391,23 +423,9 @@ def ivf_topk(
         1,
         n_probe,
     )
-    qp = q.withColumn("probe", F.explode(ranked)).select(
+    return q.withColumn("probe", F.explode(ranked)).select(
         "query_id", "qv", F.col("probe.i").alias("list_id")
     )
-
-    scored = (
-        qp.join(c, ["list_id"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
 def _require_dim(corpus: DataFrame, emb_col: str, dim: int) -> None:

@@ -288,6 +288,150 @@ FROM bucketed
 GROUP BY bucket, cap"""
 
 
+def _knn_planted_corpus_df(spark, sf_dir: str):
+    """The planted-label corpus as a DataFrame (register + one SQL over
+    the shared construction template — ONE source of truth with the
+    exhaustive oracle)."""
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        f"WITH {knn_planted_corpus_sql('spark')} SELECT * FROM corpus"
+    )
+
+
+def q_knn_label_noise_indexed_df(spark, sf_dir: str):
+    """Index-routed kNN label-noise detection — the 100 TB plan for
+    ``knn_label_noise`` (round-8 VERDICT item 1): candidates come from
+    the PERSISTED IVF inverted file (adaptive nlist = ceil(sqrt(n)),
+    n_probe = 4 nearest lists per probe) instead of the exhaustive
+    probe x corpus join, then the probed candidates are reranked with
+    the EXACT oracle cosine (same raw-double formula, round 6, same
+    tiebreaks) and the same top-5 vote tail.  Contract: hash-matches
+    the exhaustive twin (q_knn_label_noise is this query's oracle) —
+    the planted micro-cluster corpus keeps every probe's true top-5
+    inside its probed lists (measured: 0 recall misses at
+    sf0.001/0.01/0.1 and a simulated sf1, tests pin equality).  Scale:
+    candidate volume per probe ~ n_probe * n / nlist = 4*sqrt(n), so
+    the total is O(n^1.5) vs the exhaustive O(n^2) — the
+    dedup_pairs_banded / exhaustive-oracle pattern.
+
+    Index lifecycle: ensure_store persists (neighbor_id, cand_label,
+    cand_emb, list_id) partitioned work + the trained centroids and
+    params as sidecars, built once per source fingerprint (the FAISS
+    build/search split); per-call work is the query-side probe + the
+    bucketed candidate join."""
+    import json as _json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.functions import similarity
+    from summarydb_spark.sources.tables import ensure_store, store_sidecar
+
+    def _np_bytes(arr) -> bytes:
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return buf.getvalue()
+
+    def build(s):
+        corpus = _knn_planted_corpus_df(s, sf_dir)
+        n = corpus.count()
+        nlist = similarity.adaptive_ivf_centroids(n)
+        cent = similarity.train_ivf_centroids(
+            corpus, emb_col="emb", n_centroids=nlist
+        )
+        enc = similarity.ivf_encode(
+            corpus, cent, emb_col="emb", id_col="vec_id"
+        ).select("neighbor_id", "list_id")
+        store = enc.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("cand_label"),
+                F.col("emb").alias("cand_emb"),
+            ),
+            "neighbor_id",
+        )
+        return store, {
+            "_model.npy": _np_bytes(cent),
+            "_params.json": _json.dumps(
+                {"n": n, "n_centroids": nlist}
+            ).encode(),
+        }
+
+    path = ensure_store(spark, sf_dir, "knn_ivf_label_index", build)
+    import io
+
+    import numpy as np
+
+    cent = np.load(io.BytesIO(store_sidecar(path, "_model.npy")))
+    store = spark.read.parquet(path)
+
+    corpus = _knn_planted_corpus_df(spark, sf_dir)
+    probes = corpus.where("vec_id % 5 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    lists = similarity.ivf_probe_lists(
+        probes, cent, n_probe=4, emb_col="q_emb", id_col="query_id"
+    ).select("query_id", "list_id")
+    cand = (
+        lists.join(store, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(probes, "query_id")
+    )
+    # EXACT oracle cosine over the raw constructed doubles — not the
+    # index's normalized cv — so the float math (and its round-6) is
+    # bit-identical to the exhaustive twin
+    cos = F.expr(
+        "round((aggregate(zip_with(q_emb, cand_emb, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) / nullif("
+        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v)) * "
+        "sqrt(aggregate(cand_emb, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v)), 0.0), 6)"
+    )
+    scored = cand.select(
+        "query_id",
+        "own_label",
+        "cand_label",
+        cos.alias("cosine"),
+        F.col("neighbor_id").alias("cand_id"),
+    )
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    top5 = scored.withColumn("rnk", F.row_number().over(w5)).where(
+        F.col("rnk") <= 5
+    )
+    votes = top5.groupBy("query_id", "own_label", "cand_label").agg(
+        F.count("*").alias("v")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("v"), F.asc("cand_label")
+    )
+    best = votes.withColumn("r", F.row_number().over(wb))
+    return (
+        best.where(
+            (F.col("r") == 1)
+            & (F.col("v") >= 3)
+            & (F.col("cand_label") != F.col("own_label"))
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("own_label").alias("label"),
+            F.col("cand_label").alias("suspect_label"),
+            F.col("v").cast("long").alias("votes"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_kmeans_lloyd_df(spark, sf_dir: str):
     """Spark side of kmeans_lloyd_embeddings as a genuine iterative
     DataFrame loop: exploded dims persisted once, each Lloyd iteration is
@@ -593,46 +737,66 @@ SELECT o.src_a, o.src_b,
 FROM ov o JOIN tot t ON t.source = o.src_a"""
 
 
-def q_knn_label_noise(dialect: str) -> str:
-    """Label-noise detection by kNN disagreement (Confident-Learning
-    family, Northcutt et al. 2021, reduced to its nearest-neighbor
-    vote): a sampled probe is FLAGGED when a strict majority (>= 3) of
-    its 5 nearest other vectors (cosine) carry one common label that
-    differs from its own — the candidate mislabels a training-data
-    curator reviews first.  Emits (vec_id, label, suspect_label, votes)
-    ordered by vec_id.  Cosines round to 6 before ranking and vote ties
-    break on the smaller label (the knn_classification_accuracy
-    conventions), so the flag set is engine-portable.  Scale: exact
-    probe x corpus scoring at gate scale; at 100 TB the candidate set
-    comes from the persisted ANN index and only the vote/flag tail
-    remains."""
+def knn_planted_corpus_sql(dialect: str) -> str:
+    """Planted-label corpus for the kNN label-noise family: the raw
+    ``embeddings`` table is ISOTROPIC (measured within-label cosine
+    ~0.002 at sf0.1), so exact-kNN label flags on it are noise and no
+    sub-linear index is sound — the same reason every ``ann_*`` query
+    runs over a planted corpus.  This construction plants the regime
+    the operator exists for, in closed form both engines compute
+    bit-identically:
+
+    - micro-cluster ``c = vec_id % G`` with ``G = max(10, n div 16)``
+      (~16 members each — the near-duplicate-group regime of scraped
+      training data, where kNN label voting is actually meaningful);
+    - deterministic cluster direction ``u[j] = (((c*(j+3)^2 +
+      j*40503) % 2039) - 1019) / 1024`` (quadratic-in-j mixing: two
+      clusters' directions decorrelate unless c1 = c2 mod 2039, in
+      which case they coincide exactly and share index lists — either
+      way the IVF probe stays sound; all int64 arithmetic, no
+      overflow below c ~ 2e12);
+    - ``emb' = CAST(emb AS DOUBLE) + 10.0 * u`` — intra-cluster cosine
+      ~0.996, inter ~N(0, 1/64): top-5 neighbors stay in-cluster;
+    - TRUE label ``c % 10``; the STORED label flips to ``(true+1) % 10``
+      for ``vec_id % 37 = 0`` — the planted mislabels the query must
+      recover.
+
+    Emits (vec_id, label [stored/noisy], emb array<double>)."""
     if dialect == "spark":
-        dot = ("aggregate(zip_with(q.embedding, c.embedding, (x, y) -> x * y),"
-               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-        nrm = (
-            "sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v * v)) * "
-            "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v * v))"
-        )
-        cos = f"({dot}) / nullif({nrm}, 0.0)"
-        emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+        u = ("transform(sequence(1, 64), j -> CAST(element_at(embedding, j)"
+             " AS DOUBLE) + 10.0 * (pmod(CAST(vec_id AS BIGINT) % g *"
+             " (j + 2) * (j + 2) + j * 40503, 2039) - 1019) / 1024.0)")
+        g = ("SELECT greatest(CAST(10 AS BIGINT), count(*) div 16) AS g"
+             " FROM embeddings")
     else:
-        cos = "list_cosine_similarity(q.embedding, c.embedding)"
-        emb = "CAST(embedding AS DOUBLE[])"
+        u = ("list_transform(range(1, 65), j -> CAST(embedding[j]"
+             " AS DOUBLE) + 10.0 * (((vec_id % g) *"
+             " (j + 2) * (j + 2) + j * 40503) % 2039 - 1019) / 1024.0)")
+        g = ("SELECT greatest(CAST(10 AS BIGINT),"
+             " count(*) // 16) AS g FROM embeddings")
     return f"""
-WITH e AS (SELECT vec_id, label, {emb} AS embedding FROM embeddings),
-q AS (SELECT * FROM e WHERE vec_id % 5 = 0),
-scored AS (
-  SELECT q.vec_id AS query_id, q.label AS own_label,
-         c.label AS cand_label,
-         round({cos}, 6) AS cosine, c.vec_id AS cand_id
-  FROM q JOIN e c ON c.vec_id <> q.vec_id
-),
+gp AS ({g}),
+corpus AS (
+  SELECT vec_id,
+         CAST(CASE WHEN vec_id % 37 = 0
+              THEN (vec_id % g % 10 + 1) % 10
+              ELSE vec_id % g % 10 END AS BIGINT) AS label,
+         {u} AS emb
+  FROM embeddings CROSS JOIN gp
+)"""
+
+
+def knn_vote_sql(scored: str) -> str:
+    """Shared vote/flag tail of the label-noise family: rank ``scored``
+    (query_id, own_label, cand_label, cosine, cand_id) per query by
+    (cosine DESC, cand_id), vote over the top 5, flag strict majorities
+    (>= 3) whose winning label differs from the probe's own.  Vote ties
+    break on the smaller label so the flag set is engine-portable."""
+    return f"""
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, cand_id) AS rnk
-  FROM scored
+  FROM ({scored}) s
 ),
 votes AS (
   SELECT query_id, own_label, cand_label, count(*) AS v
@@ -650,6 +814,46 @@ SELECT query_id AS vec_id, own_label AS label, suspect_label,
 FROM best
 WHERE r = 1 AND v >= 3 AND suspect_label <> own_label
 ORDER BY vec_id"""
+
+
+def q_knn_label_noise(dialect: str) -> str:
+    """Label-noise detection by kNN disagreement (Confident-Learning
+    family, Northcutt et al. 2021, reduced to its nearest-neighbor
+    vote): a sampled probe (vec_id % 5 = 0) is FLAGGED when a strict
+    majority (>= 3) of its 5 nearest other vectors (cosine) carry one
+    common label that differs from its own — the candidate mislabels a
+    training-data curator reviews first.  Runs over the planted-label
+    corpus (:func:`knn_planted_corpus_sql`; the raw embeddings are
+    isotropic, where kNN flags are meaningless noise).  Emits (vec_id,
+    label, suspect_label, votes) ordered by vec_id; cosines round to 6
+    before ranking and vote ties break on the smaller label, so the
+    flag set is engine-portable.
+
+    This EXHAUSTIVE probe x corpus form is the oracle twin; the
+    registered scale path is ``knn_label_noise_indexed``, which routes
+    candidates through the persisted IVF index and must hash-match this
+    relation (the dedup_pairs_banded / exhaustive pattern)."""
+    if dialect == "spark":
+        dot = ("aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y),"
+               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        nrm = (
+            "sqrt(aggregate(q.emb, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v)) * "
+            "sqrt(aggregate(c.emb, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v))"
+        )
+        cos = f"({dot}) / nullif({nrm}, 0.0)"
+    else:
+        cos = "list_cosine_similarity(q.emb, c.emb)"
+    scored = f"""
+  SELECT q.vec_id AS query_id, q.label AS own_label,
+         c.label AS cand_label,
+         round({cos}, 6) AS cosine, c.vec_id AS cand_id
+  FROM (SELECT * FROM corpus WHERE vec_id % 5 = 0) q
+  JOIN corpus c ON c.vec_id <> q.vec_id"""
+    return f"""
+WITH {knn_planted_corpus_sql(dialect)},
+{knn_vote_sql(scored)}"""
 
 
 PIPELINE_EXT_QUERIES = {
@@ -670,5 +874,10 @@ PIPELINE_DF_QUERIES = {
     "kmeans_lloyd_embeddings": (
         q_kmeans_lloyd_df,
         q_kmeans_lloyd_embeddings("duckdb"),
+    ),
+    # the index-routed scale path; its oracle IS the exhaustive twin
+    "knn_label_noise_indexed": (
+        q_knn_label_noise_indexed_df,
+        q_knn_label_noise("duckdb"),
     ),
 }

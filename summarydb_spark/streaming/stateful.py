@@ -190,18 +190,32 @@ def _sessionize_update(
         n = 0
 
     closed = []
+    # Pre-session LATE run: within-watermark late events that precede the
+    # open session by more than the gap form already-expired sessions.
+    # They must gap-merge with EACH OTHER (two late events within the gap
+    # are ONE session under batch semantics), so they accumulate in a
+    # separate (l_start, l_end, l_n) run and close when the next event
+    # breaks the gap or the batch ends — never merging across the held
+    # boundary into the open session (the branch condition guarantees
+    # l_end < t_start - gap strictly).  Because the scan is sorted and
+    # t_start only ever decreases (min-merge), late events are a prefix
+    # of the batch; a run can still split across MICRO-batches, the
+    # disclosed residual of bounded state (unreachable when watermark
+    # delay <= gap, the gate config).
+    l_start = l_end = None
+    l_n = 0
     for t in ts:
         if t_start is None:
             t_start, t_end, n = t, t, 1
         elif t < t_start - SESSION_GAP_US:
-            # within-watermark late event that precedes the open session by
-            # more than the gap: its own, already-expired session — emit it
-            # immediately rather than moving the open session backward.
-            # (No retroactive merging across the held boundary; bounded
-            # lateness <= gap makes chains through this case impossible
-            # unless a later in-batch event bridges, which the sorted scan
-            # below would then merge into the open session anyway.)
-            closed.append((uid, 1, t, t))
+            if l_start is None:
+                l_start, l_end, l_n = t, t, 1
+            elif t - l_end <= SESSION_GAP_US:
+                l_end = t
+                l_n += 1
+            else:
+                closed.append((uid, l_n, l_start, l_end))
+                l_start, l_end, l_n = t, t, 1
         elif t - t_end <= SESSION_GAP_US:
             # min/max merge so a within-watermark LATE event (t < t_end,
             # arriving in a later micro-batch) extends the session's span
@@ -213,6 +227,8 @@ def _sessionize_update(
         else:
             closed.append((uid, n, t_start, t_end))
             t_start, t_end, n = t, t, 1
+    if l_start is not None:
+        closed.append((uid, l_n, l_start, l_end))
 
     state.update((t_start, t_end, n))
     # event-time timeout at session end + gap; never behind the current

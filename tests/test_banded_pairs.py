@@ -306,3 +306,86 @@ def test_banded_delta_semantics(spark):
     assert (1, 2) in full, "old-old pair must exist in the full relation"
     assert delta == {(0, 1), (0, 2)}, delta
     assert delta == {p for p in full if 0 in p}
+
+def test_empty_shingle_sets_never_pair(spark):
+    """Round-9 ADVICE (low): identical EMPTY (or NULL) shingle sets must
+    NOT be reported as jaccard-1.0 duplicates — pre-guard semantics gave
+    them 0/0 -> NULL jaccard, i.e. no pair.  Non-empty docs in the same
+    corpus still pair normally."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+
+    rows = [
+        (0, "en", 0, list(range(11))),
+        (1, "en", 0, list(range(1, 12))),
+        (2, "en", 0, []),
+        (3, "en", 0, []),
+        (4, "en", 0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, len_bucket long, sh array<long>"
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in banded_jaccard_pairs(df, 0.1).collect()
+    }
+    assert got == {(0, 1, round(10 / 12, 6))}
+
+
+def test_minhash_empty_shingles_never_pair(spark):
+    """Same contract for the minhash-LSH path: empty shingle sets (all of
+    which share the init signature, hence collide in every band) must
+    produce no pairs."""
+    from summarydb_spark.functions.dedup import minhash_lsh_pairs
+
+    sigs_rows = [
+        (0, [1, 2, 3, 4], None),
+        (1, [1, 2, 3, 4], None),
+        (2, [], None),
+        (3, [], None),
+    ]
+    base = spark.createDataFrame(
+        sigs_rows, "doc_id long, shing array<long>, minhash array<long>"
+    )
+    from summarydb_spark.functions.dedup import (
+        MERSENNE_31,
+        _hash_params,
+        _minhash_fold_udf,
+    )
+    from pyspark.sql import functions as F
+
+    fold = _minhash_fold_udf(_hash_params(16, 42), 16)
+    sigs = base.select(
+        F.col("doc_id").alias("_id"),
+        F.col("shing").alias("_shingles"),
+        fold(
+            F.transform(F.col("shing"), lambda x: F.pmod(x, F.lit(MERSENNE_31)))
+        ).alias("minhash"),
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            None, num_hashes=16, bands=4, threshold=0.5, sigs=sigs
+        ).collect()
+    }
+    assert got == {(0, 1, 1.0)}
+
+
+def test_release_guard_caches(spark):
+    """The guard's persisted member/bucket relations are registered and
+    released by the public hook (round-9 ADVICE: distinct corpora in one
+    session otherwise accumulate cached plans for the session lifetime)."""
+    from summarydb_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        [(0, "en", 0, [1, 2, 3]), (1, "en", 0, [1, 2, 3])],
+        "doc_id long, lang string, len_bucket long, sh array<long>",
+    )
+    D.release_guard_caches()  # drain anything earlier tests left
+    D.banded_jaccard_pairs(df, 0.1).collect()
+    assert len(D._GUARD_PERSISTED) >= 2  # members + all_buckets
+    released = D.release_guard_caches()
+    assert released >= 2
+    assert D._GUARD_PERSISTED == []
+    # idempotent + guard still works after release
+    assert D.release_guard_caches() == 0
+    assert D.banded_jaccard_pairs(df, 0.1).count() == 1

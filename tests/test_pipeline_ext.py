@@ -383,3 +383,27 @@ def test_cross_source_overlap_diagonal_exact(spark):
         assert r.overlap_ppm == 1_000_000  # ...completely
     for r in rows:
         assert 0 < r.shared_grams <= r.total_grams_a
+
+
+def test_knn_label_noise_indexed_equals_exhaustive(spark):
+    """Round-9 VERDICT item 1: the IVF-index-routed label-noise query
+    must produce the IDENTICAL relation to the exhaustive probe x corpus
+    twin (its oracle) — exact candidate recall over the planted
+    micro-cluster corpus, exact-rerank cosine, same tiebreaks."""
+    exact = {tuple(r) for r in run(spark, "knn_label_noise").collect()}
+    routed = {
+        tuple(r) for r in run(spark, "knn_label_noise_indexed").collect()
+    }
+    assert routed == exact
+    assert exact, "vacuous: planted mislabels must be flagged"
+    # planted flags: vec_id % 5 = 0 (probe) and % 37 = 0 (flip) => % 185
+    assert all(vid % 185 == 0 for vid, *_ in exact)
+
+
+def test_knn_label_noise_indexed_plan_shape(spark):
+    """The routed plan must read the persisted inverted file (parquet
+    store scan) and must NOT contain the exhaustive theta-join on
+    vec_id <> vec_id (the quadratic shape the index replaces)."""
+    run(spark, "knn_label_noise_indexed").collect()  # ensure store built
+    plan = plan_of(spark, "knn_label_noise_indexed")
+    assert "knn_ivf_label_index" in plan

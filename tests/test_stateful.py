@@ -253,3 +253,45 @@ def test_sessionize_update_late_event_semantics():
     )
     assert out == []
     assert st.get == (B - H // 2, B + H // 2, 3)
+
+
+def test_sessionize_update_late_run_gap_merge():
+    """Round-9 ADVICE (medium): pre-session late events within the gap of
+    EACH OTHER gap-merge into one already-expired session (batch semantics),
+    instead of emitting per-event singletons; runs separated by more than
+    the gap split; the open session is untouched throughout."""
+    import pandas as pd
+
+    from summarydb_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        _sessionize_update,
+    )
+
+    H = SESSION_GAP_US
+    B = 100 * H
+
+    # open session far ahead at [B+10H, B+10H]; late events form two runs:
+    #   run 1: B, B+H/2, B+H (each within gap of the previous) -> ONE session
+    #   run 2: B+3H, B+3.5H                                    -> ONE session
+    # plus an in-batch event at B+10H+H/4 merging into the open session.
+    st = _FakeGroupState(value=(B + 10 * H, B + 10 * H, 1), watermark_ms=0)
+    ts = [B, B + H // 2, B + H, B + 3 * H, B + 3 * H + H // 2,
+          B + 10 * H + H // 4]
+    out = list(_sessionize_update((9,), iter([pd.DataFrame({"t": ts})]), st))
+    rows = {tuple(r) for df in out for r in df.itertuples(index=False)}
+    assert rows == {
+        (9, 3, B, B + H),
+        (9, 2, B + 3 * H, B + 3 * H + H // 2),
+    }
+    assert st.get == (B + 10 * H, B + 10 * H + H // 4, 2)
+
+    # trailing late run (batch ends while a late run is open) still emits
+    st = _FakeGroupState(value=(B + 10 * H, B + 10 * H, 1), watermark_ms=0)
+    out = list(
+        _sessionize_update(
+            (9,), iter([pd.DataFrame({"t": [B, B + H // 2]})]), st
+        )
+    )
+    rows = {tuple(r) for df in out for r in df.itertuples(index=False)}
+    assert rows == {(9, 2, B, B + H // 2)}
+    assert st.get == (B + 10 * H, B + 10 * H, 1)
