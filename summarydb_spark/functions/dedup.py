@@ -1185,6 +1185,57 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected pair graph, ``rounds`` fixed iterations -> (node, label):
+    every node starts labeled with its own id; each round it adopts the
+    label most frequent among its NEIGHBORS' current labels, ties broken
+    by the smaller label (exact integer rule, so a fixed round count is
+    engine-portable and oracle-checkable — the same fixed-round contract
+    as the kmeans/PageRank twins).  Community detection one rung above
+    connected_components on the dup-graph ladder: CC merges everything
+    touching, LPA splits chained boilerplate into densely-linked groups.
+
+    Scale shape: the label relation is one row per node; each round is
+    one equi-join (edges x labels, shuffle keyed on the node id) + one
+    (node, label) hash aggregate with map-side partial counts + one
+    struct-min argmax — no quadratic term, lineage truncated per round
+    with localCheckpoint like connected_components/kcore."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("lab", F.col("v"))
+    )
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels.withColumnRenamed("v", "b"), "b")
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # majority with min-label tiebreak == min over (-count, label)
+        labels = (
+            counts.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+                ).alias("m")
+            )
+            .select(F.col("a").alias("v"), F.col("m.lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("v").alias("node"), F.col("lab").alias("label"))
+
+
 def kcore(
     edges: DataFrame,
     k: int = 2,

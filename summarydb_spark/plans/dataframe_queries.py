@@ -2926,6 +2926,78 @@ ORDER BY part_id"""
 DF_QUERIES["kcore_copurchase"] = (q_kcore_copurchase, _oracle_kcore())
 
 
+_LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    support>=2 part co-purchase graph — 3 fixed rounds, majority label
+    among neighbors, ties to the smaller label (exact integer rule;
+    functions.dedup.label_propagation).  Emits the top-20 communities
+    with >= 2 members as (community, n_members), ordered (size DESC,
+    community).  One rung above connected_components on the dup-graph
+    ladder: CC merges everything touching, LPA splits chained
+    boilerplate into densely-linked groups.  The oracle unrolls the
+    SAME 3 rounds as chained CTEs, so a hash-match proves the loop's
+    per-round majority/tiebreak semantics end-to-end."""
+    from summarydb_spark.functions.dedup import label_propagation
+
+    labels = label_propagation(
+        _copurchase_edges(spark, sf_dir), rounds=_LPA_ROUNDS
+    )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )
+
+
+def _oracle_lpa() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT u.a AS v, l.lab, count(*) AS c
+  FROM u JOIN {prev} l ON l.v = u.b
+  GROUP BY u.a, l.lab
+),
+l{i} AS MATERIALIZED (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS r
+    FROM c{i}
+  ) t WHERE r = 1
+)"""
+        )
+        prev = f"l{i}"
+    body = "".join(rounds)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+u AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT a AS v, a AS lab FROM u){body}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM {prev}
+GROUP BY lab HAVING count(*) >= 2
+ORDER BY n_members DESC, community
+LIMIT 20"""
+
+
+DF_QUERIES["label_propagation_communities"] = (
+    q_label_propagation,
+    _oracle_lpa(),
+)
+
+
 # -- item-item collaborative filtering ---------------------------------------
 
 

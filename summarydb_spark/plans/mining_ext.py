@@ -64,20 +64,20 @@ ORDER BY lift_ppm DESC, ante_part, cons_part
 LIMIT 20"""
 
 
-def q_link_prediction_ra(dialect: str) -> str:
-    """Resource-allocation link prediction (Zhou/Lu/Zhang 2009) on the
-    support>=2 co-purchase graph: for NON-adjacent part pairs reachable
-    in two hops, RA(x,y) = sum over common neighbors z of 1/deg(z) —
-    here in exact parts-per-billion (1e9 integer-divided by the degree,
-    summed), so ranking is engine-portable.  Top-20 predicted links by RA
-    score (>= 1 common neighbor; the score itself already weights
-    neighbor count).  The existing-edge exclusion is an
-    anti-join BEFORE scoring; two-hop enumeration routes ONLY through
-    middles with degree <= 100000 (the standard hub cap — it bounds
-    hop2 at cap x |V| instead of sum(deg^2), and a 1e5-degree hub
-    contributes <= 10 ppb to any score anyway; no gate-scale node comes
-    near the cap, so gate results are the uncapped relation)."""
-    return """
+#: Two-hop enumeration routes only through middles with degree <= this
+#: cap.  It bounds hop2 at cap x |V| instead of sum(deg^2), and an
+#: excluded middle of degree d > cap contributes <= 1e9/d < 10^4 ppb
+#: (= 10 ppm) per common neighbor to any score — negligible against the
+#: >= 1e9/cap scores that survive.  tests/test_mining_ext.py plants a
+#: super-cap hub and pins both bounds.
+RA_HUB_CAP = 100_000
+
+
+def _ra_cte(dialect: str, hub_cap: int) -> str:
+    """Shared CTE prefix of the RA link-prediction family: support>=2
+    co-purchase edges, symmetric adjacency, degrees, cap-filtered
+    middles, two-hop paths, and the existing-edge anti-join."""
+    return f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
   SELECT a.l_partkey AS a, b.l_partkey AS b
@@ -88,7 +88,7 @@ e AS (
 ),
 u AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
 deg AS (SELECT a AS nd, count(*) AS d FROM u GROUP BY a),
-mid AS (SELECT nd FROM deg WHERE d <= 100000),
+mid AS (SELECT nd FROM deg WHERE d <= {hub_cap}),
 hop2 AS (
   SELECT e1.a AS x, e2.b AS y, e1.b AS z
   FROM u e1
@@ -99,14 +99,40 @@ cand AS (
   SELECT h.x, h.y, h.z
   FROM hop2 h LEFT JOIN e ON e.a = h.x AND e.b = h.y
   WHERE e.a IS NULL
-)
+)"""
+
+
+def q_link_prediction_ra(
+    dialect: str, hub_cap: int = RA_HUB_CAP, limit: int = 20
+) -> str:
+    """Resource-allocation link prediction (Zhou/Lu/Zhang 2009) on the
+    support>=2 co-purchase graph: for NON-adjacent part pairs reachable
+    in two hops, RA(x,y) = sum over common neighbors z of 1/deg(z) —
+    here in exact parts-per-billion (1e9 integer-divided by the degree,
+    summed), so ranking is engine-portable.  Top-20 predicted links by RA
+    score (>= 1 common neighbor; the score itself already weights
+    neighbor count).  The existing-edge exclusion is an
+    anti-join BEFORE scoring; two-hop enumeration routes ONLY through
+    middles with degree <= RA_HUB_CAP (the standard hub cap — it bounds
+    hop2 at cap x |V| instead of sum(deg^2), and an excluded middle of
+    degree d > 1e5 contributes <= 1e9/d < 10^4 ppb = 10 ppm per common
+    neighbor; no gate-scale node comes near the cap, so gate results
+    are the uncapped relation — tests plant a super-cap hub and pin
+    both the hop2 bound and the score-error bound)."""
+    return f"""{_ra_cte(dialect, hub_cap)}
 SELECT c.x AS part_a, c.y AS part_b,
        CAST(count(*) AS BIGINT) AS common_neighbors,
-       CAST(sum(1000000000 {idiv} d.d) AS BIGINT) AS ra_ppb
+       CAST(sum(1000000000 {{idiv}} d.d) AS BIGINT) AS ra_ppb
 FROM cand c JOIN deg d ON d.nd = c.z
 GROUP BY c.x, c.y
 ORDER BY ra_ppb DESC, part_a, part_b
-LIMIT 20""".replace("{idiv}", "div" if dialect == "spark" else "//")
+LIMIT {limit}""".replace("{idiv}", "div" if dialect == "spark" else "//")
+
+
+def ra_hop2_count_sql(dialect: str, hub_cap: int = RA_HUB_CAP) -> str:
+    """Diagnostic: the two-hop path count the cap actually enumerates
+    (the quantity bounded by cap x |V|)."""
+    return f"{_ra_cte(dialect, hub_cap)}\nSELECT count(*) AS n FROM hop2"
 
 
 def q_chunk_overlap_windows(dialect: str) -> str:

@@ -299,3 +299,45 @@ def test_kcore_long_path_converges_or_raises(spark):
     assert kcore(edges, k=2).count() == 0
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(edges, k=2, max_rounds=5)
+
+
+def test_label_propagation_two_communities(spark):
+    """Two 4-cliques joined by a single bridge edge: 3 synchronous LPA
+    rounds with min-label tiebreak label every clique member with its
+    clique's minimum id — the bridge is outvoted by intra-clique
+    majorities on both sides."""
+    from summarydb_spark.functions.dedup import label_propagation
+
+    cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(
+        cl1 + cl2 + [(3, 10)], "a long, b long"
+    )
+    got = {
+        (r.node, r.label)
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {(n, 0) for n in range(4)} | {
+        (n, 10) for n in range(10, 14)
+    }
+
+
+def test_label_propagation_tiebreak_smaller_label(spark):
+    """A 2-node graph: each node's only neighbor label wins; a 4-cycle
+    alternates under synchronous updates, pinning that ties (equal
+    counts) go to the SMALLER label deterministically."""
+    from summarydb_spark.functions.dedup import label_propagation
+
+    # square 0-1-2-3-0: each node has two neighbors with distinct labels;
+    # round 1 -> everyone adopts min(neighbor labels):
+    #   0 <- min(1,3)=1, 1 <- min(0,2)=0, 2 <- min(1,3)=1, 3 <- min(0,2)=0
+    # round 2 -> neighbors of 0 are {1:0, 3:0} -> 0; of 1 are {0:1, 2:1} -> 1
+    # round 3 -> back to round-1 labels (period-2 oscillation, exact)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "a long, b long"
+    )
+    got = {
+        (r.node, r.label)
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {(0, 1), (1, 0), (2, 1), (3, 0)}
