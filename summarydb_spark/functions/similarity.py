@@ -428,6 +428,70 @@ def ivf_probe_lists(
     )
 
 
+def ivf_cogroup_scores(
+    probe_lists: DataFrame,
+    encoded: DataFrame,
+    m: int = 16,
+    emb_col: str = "cv",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Candidate SCORING half of IVF search as a cogrouped Arrow matmul:
+    join-free — probes (query_id, qv, list_id from
+    :func:`ivf_probe_lists`) and inverted-file members cogroup on
+    ``list_id``, and each group computes the full probe x member dot
+    matrix with ONE numpy matmul, emitting only each probe's top-``m``
+    (query_id, neighbor_id, score) per list.
+
+    Why not a join + per-row expression: the candidate relation is
+    |probes| x list_width rows, and a 64-dim dot as a higher-order SQL
+    expression is INTERPRETED per element (never codegen'd) — measured
+    123x wall at 10x data on the knn rerank.  Cogrouping moves each
+    member and each probe over Arrow exactly ONCE (no pair
+    materialization), and the per-group matmul is BLAS.  Scores are
+    selection-only (float-order differs from a sequential SQL fold by
+    ulps): consumers needing oracle-exact values re-rank the survivors
+    with the exact expression — the top-m margin makes displacement of
+    a true top-k candidate require >= m-k ulp-ties, impossible in
+    practice and pinned by the oracle gates."""
+    member_cols = [c for c in encoded.columns if c != "list_id"]
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "score": "float64"})
+        Q = np.array(left["qv"].tolist(), dtype=np.float64)
+        M = np.array(right[emb_col].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        S = Q @ (M / nrm[:, None]).T  # qv is already L2-normalized
+        qids = left["query_id"].to_numpy()
+        nids = right[id_col].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        k = min(m + 1, S.shape[1])  # +1 headroom for self-exclusion
+        for i in range(S.shape[0]):
+            row = S[i]
+            # top-k by (score desc, neighbor asc): lexsort on (-score, id)
+            idx = np.lexsort((nids, -row))[:k]
+            keep = nids[idx] != qids[i]
+            out_q.extend([qids[i]] * int(keep.sum()))
+            out_n.extend(nids[idx][keep])
+            out_s.extend(row[idx][keep])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+        )
+
+    return (
+        probe_lists.groupBy("list_id")
+        .cogroup(encoded.groupBy("list_id"))
+        .applyInPandas(
+            lambda l, r: score(l, r),
+            schema="query_id long, neighbor_id long, score double",
+        )
+    )
+
+
 def _require_dim(corpus: DataFrame, emb_col: str, dim: int) -> None:
     """Fail fast (driver-side, one-row lookup) when the corpus vectors do
     not match the planes' dimensionality — a deep executor-side numpy

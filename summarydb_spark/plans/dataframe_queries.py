@@ -2510,6 +2510,93 @@ DF_QUERIES["dedup_ngram_jaccard"] = (
 )
 
 
+def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT dedup (doc-inside-doc detection): same-lang pairs
+    with |A∩B| / min(|A|,|B|) >= 0.9 over the 3-gram shingle sets —
+    the near-SUPERSET regime (quoted articles, page-in-page scrapes)
+    that Jaccard dedup structurally misses: a doc fully contained in
+    one 10x its size has jaccard ~0.1 but containment 1.0.
+
+    Candidate generation is EXACT prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. 2007): per doc, index only its p = n - ceil(0.9n) + 1
+    globally RAREST shingles (df ascending, shingle tiebreak) against
+    the full inverted index.  Lossless by the pigeonhole bound — a
+    contained doc has < p shingles outside its container, so at least
+    one prefix shingle hits — hence the exhaustive DuckDB block join is
+    this query's oracle and a hash-match proves zero false negatives.
+    All arithmetic integer: prefix length (9n+9) div 10 and the ppm
+    score (|∩| * 1e6 div min) agree exactly on the >= 0.9 boundary.
+
+    Scale shape: one (lang, shingle) df aggregate, one per-doc rank
+    window, and a prefix x postings equi-join whose volume is
+    sum_over_prefix_tokens(df) — linear in occurrences of RARE
+    shingles, never the block cross join; verify touches candidates
+    only.  Emits (doc_a, doc_b, containment_ppm)."""
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(containment_prefix_sql())
+
+
+def containment_prefix_sql() -> str:
+    """The prefix-filtered containment plan as spark-dialect SQL over the
+    registered ``documents`` view (factored out so tests can run it on a
+    synthetic corpus)."""
+    from summarydb_spark.plans.llm_sql import ngram_blocks_sql
+
+    return f"""
+WITH sh0 AS ({ngram_blocks_sql("spark")}),
+sh AS (SELECT doc_id, lang, sh, size(sh) AS n FROM sh0),
+tok AS (
+  SELECT doc_id, lang, n, s FROM sh LATERAL VIEW explode(sh) t AS s
+),
+dfg AS (SELECT lang, s, count(*) AS df FROM tok GROUP BY lang, s),
+rk AS (
+  SELECT t.doc_id, t.lang, t.s,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY g.df, t.s) AS r,
+         t.n - (9 * t.n + 9) div 10 + 1 AS p
+  FROM tok t JOIN dfg g ON g.lang = t.lang AND g.s = t.s
+),
+cand AS (
+  SELECT DISTINCT least(pf.doc_id, i.doc_id) AS doc_a,
+                  greatest(pf.doc_id, i.doc_id) AS doc_b
+  FROM (SELECT doc_id, lang, s FROM rk WHERE r <= p) pf
+  JOIN tok i ON i.lang = pf.lang AND i.s = pf.s
+            AND i.doc_id <> pf.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(size(array_intersect(x.sh, y.sh)) AS BIGINT) * 1000000
+         div CAST(least(x.n, y.n) AS BIGINT) AS containment_ppm
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE CAST(size(array_intersect(x.sh, y.sh)) AS BIGINT) * 1000000
+        div CAST(least(x.n, y.n) AS BIGINT) >= 900000
+ORDER BY doc_a, doc_b"""
+
+
+def _oracle_containment() -> str:
+    from summarydb_spark.plans.llm_sql import ngram_blocks_sql
+
+    return f"""
+WITH sh0 AS ({ngram_blocks_sql("duckdb")}),
+sh AS (SELECT doc_id, lang, sh, len(sh) AS n FROM sh0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+         // CAST(least(a.n, b.n) AS BIGINT) AS containment_ppm
+FROM sh a JOIN sh b ON b.lang = a.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+        // CAST(least(a.n, b.n) AS BIGINT) >= 900000
+ORDER BY doc_a, doc_b"""
+
+
+DF_QUERIES["dedup_containment_prefix"] = (
+    q_dedup_containment_prefix,
+    _oracle_containment(),
+)
+
+
 # -- Pareto frontier (skyline) ------------------------------------------------
 
 

@@ -311,10 +311,15 @@ def q_knn_label_noise_indexed_df(spark, sf_dir: str):
     the exhaustive twin (q_knn_label_noise is this query's oracle) —
     the planted micro-cluster corpus keeps every probe's true top-5
     inside its probed lists (measured: 0 recall misses at
-    sf0.001/0.01/0.1 and a simulated sf1, tests pin equality).  Scale:
+    sf0.001/0.01/0.1 and simulated sf1/sf10 = 200k vectors; full-value
+    MATCH vs the exhaustive twin at sf0.01/sf0.1/sf1).  Scale:
     candidate volume per probe ~ n_probe * n / nlist = 4*sqrt(n), so
     the total is O(n^1.5) vs the exhaustive O(n^2) — the
-    dedup_pairs_banded / exhaustive-oracle pattern.
+    dedup_pairs_banded / exhaustive-oracle pattern.  Measured decade
+    (BASELINE.md round 9): routed 5.8 s at sf1 vs exhaustive 138.6 s;
+    sf1 -> sf10 wall 14.7x at 10x data (below the plan's 32x candidate
+    growth) after the cogrouped-matmul scorer replaced the per-pair
+    interpreted fold.
 
     Index lifecycle: ensure_store persists (neighbor_id, cand_label,
     cand_emb, list_id) partitioned work + the trained centroids and
@@ -379,15 +384,35 @@ def q_knn_label_noise_indexed_df(spark, sf_dir: str):
     )
     lists = similarity.ivf_probe_lists(
         probes, cent, n_probe=4, emb_col="q_emb", id_col="query_id"
-    ).select("query_id", "list_id")
+    )
+    # Stage 1 — SELECTION: cogrouped Arrow matmul per inverted list
+    # (probes and members each cross Arrow once; no candidate-pair
+    # materialization — a per-pair interpreted SQL dot measured 123x
+    # wall at 10x data), approximate top-16 per (probe, list), then
+    # global top-16 per probe.  16 >> the 5 the vote needs, so ulp-order
+    # differences vs the exact fold cannot evict a true top-5 candidate.
+    approx = similarity.ivf_cogroup_scores(
+        lists, store.select("list_id", "neighbor_id", "cand_emb"),
+        m=16, emb_col="cand_emb",
+    )
+    w16 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    top16 = (
+        approx.withColumn("ar", F.row_number().over(w16))
+        .where(F.col("ar") <= 16)
+        .select("query_id", "neighbor_id")
+    )
     cand = (
-        lists.join(store, "list_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        top16.join(
+            store.select("neighbor_id", "cand_label", "cand_emb"),
+            "neighbor_id",
+        )
         .join(probes, "query_id")
     )
-    # EXACT oracle cosine over the raw constructed doubles — not the
-    # index's normalized cv — so the float math (and its round-6) is
-    # bit-identical to the exhaustive twin
+    # Stage 2 — EXACT oracle cosine over the raw constructed doubles (the
+    # identical sequential fold the exhaustive twin computes), round-6,
+    # on <= 16 survivors per probe
     cos = F.expr(
         "round((aggregate(zip_with(q_emb, cand_emb, (x, y) -> x * y),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) / nullif("

@@ -139,3 +139,45 @@ def test_registered_sql_unchanged_semantics(hub_lineitem):
     got = _rows(spark.sql(q_link_prediction_ra("spark")))
     want = [tuple(r) for r in con.sql(q_link_prediction_ra("duckdb")).fetchall()]
     assert got == want
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully contained in a 10x container: containment_ppm =
+    1e6 while jaccard ~0.25 — the pair the containment query exists to
+    catch (and jaccard-threshold dedup misses).  Cross-lang twins are
+    blocked out; unrelated docs stay below the 0.9 threshold.  The
+    prefix-filtered Spark plan must equal the exhaustive DuckDB oracle
+    on the same corpus (the filter is lossless by the pigeonhole
+    bound)."""
+    import duckdb as _duck
+
+    from summarydb_spark.plans.dataframe_queries import (
+        _oracle_containment,
+        containment_prefix_sql,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    inner = " ".join(f"tok{i}" for i in range(10, 20))
+    other = " ".join(f"zz{i}" for i in range(40))
+    rows = [
+        (0, "en", base, len(base)),
+        (1, "en", inner, len(inner)),
+        (2, "en", other, len(other)),
+        (3, "de", inner, len(inner)),  # cross-lang: blocked out
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {
+            (r.doc_a, r.doc_b, r.containment_ppm)
+            for r in spark.sql(containment_prefix_sql()).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got == {(0, 1, 1_000_000)}
+    con = _duck.connect()
+    con.register("documents", df.toPandas())
+    want = {tuple(r) for r in con.sql(_oracle_containment()).fetchall()}
+    assert want == {(0, 1, 1_000_000)}
