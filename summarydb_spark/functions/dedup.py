@@ -1191,30 +1191,36 @@ def label_propagation(
     src: str = "a",
     dst: str = "b",
 ) -> DataFrame:
-    """Synchronous label propagation (Raghavan et al. 2007) over an
-    undirected pair graph, ``rounds`` fixed iterations -> (node, label):
-    every node starts labeled with its own id; each round it adopts the
-    label most frequent among its NEIGHBORS' current labels, ties broken
-    by the smaller label (exact integer rule, so a fixed round count is
-    engine-portable and oracle-checkable — the same fixed-round contract
-    as the kmeans/PageRank twins).  Community detection one rung above
-    connected_components on the dup-graph ladder: CC merges everything
-    touching, LPA splits chained boilerplate into densely-linked groups.
+    """Synchronous SELF-INCLUSIVE label propagation (Raghavan et al.
+    2007) over an undirected pair graph, ``rounds`` fixed iterations ->
+    (node, label): every node starts labeled with its own id; each
+    round it adopts the most frequent label among its neighbors AND
+    itself, ties broken by the smaller label (exact integer rule, so a
+    fixed round count is engine-portable and oracle-checkable — the
+    same fixed-round contract as the kmeans/PageRank twins).  The
+    self-vote is load-bearing: pure-neighbor synchronous LPA oscillates
+    on bipartite structures — an isolated duplicate PAIR swaps labels
+    every round and never forms a community, which made the sparse
+    dedup-pair graph degenerate (measured: 0 communities at sf0.01).
+    Community detection one rung above connected_components on the
+    dup-graph ladder: CC merges everything touching, LPA splits chained
+    boilerplate into densely-linked groups.
 
     Scale shape: the label relation is one row per node; each round is
     one equi-join (edges x labels, shuffle keyed on the node id) + one
     (node, label) hash aggregate with map-side partial counts + one
     struct-min argmax — no quadratic term, lineage truncated per round
     with localCheckpoint like connected_components/kcore."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    labels = (
-        sym.select(F.col("a").alias("v"))
-        .distinct()
-        .withColumn("lab", F.col("v"))
+    nodes = und.select("a").distinct()
+    # self-loop per node implements the self-vote in the same join
+    sym = und.union(nodes.select("a", F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    labels = nodes.select(F.col("a").alias("v")).withColumn(
+        "lab", F.col("v")
     )
     for _ in range(rounds):
         counts = (

@@ -3017,10 +3017,11 @@ _LPA_ROUNDS = 3
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation on the
-    support>=2 part co-purchase graph — 3 fixed rounds, majority label
-    among neighbors, ties to the smaller label (exact integer rule;
-    functions.dedup.label_propagation).  Emits the top-20 communities
+    """Community detection by synchronous SELF-INCLUSIVE label
+    propagation on the support>=2 part co-purchase graph — 3 fixed
+    rounds, majority label among neighbors + self, ties to the smaller
+    label (exact integer rule; functions.dedup.label_propagation).
+    Emits the top-20 communities
     with >= 2 members as (community, n_members), ordered (size DESC,
     community).  One rung above connected_components on the dup-graph
     ladder: CC merges everything touching, LPA splits chained
@@ -3070,7 +3071,9 @@ e AS MATERIALIZED (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
-u AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+u0 AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+u AS MATERIALIZED (SELECT a, b FROM u0
+                   UNION ALL SELECT DISTINCT a, a FROM u0),
 l0 AS (SELECT DISTINCT a AS v, a AS lab FROM u){body}
 SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
 FROM {prev}
@@ -3082,6 +3085,76 @@ LIMIT 20"""
 DF_QUERIES["label_propagation_communities"] = (
     q_label_propagation,
     _oracle_lpa(),
+)
+
+
+def q_dedup_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator COMPOSITION: label-propagation communities over the
+    t=0.2 NEAR-DUP PAIR GRAPH (the persisted pair store that
+    dedup_ngram_jaccard reads) — the curation view one level above raw
+    pairs: which groups of documents form densely-linked duplicate
+    families (template farms, mirrored articles) vs mere chains.  Same
+    3-round synchronous LPA and the same size rollup as the co-purchase
+    twin; the oracle recomputes the pair relation EXHAUSTIVELY from raw
+    text and unrolls the same 3 rounds, so the store, the banded
+    generation behind it, and the community semantics are all gated by
+    one hash-match."""
+    from summarydb_spark.functions.dedup import label_propagation
+
+    pairs = _ngram_pairs(spark, sf_dir, 0.2).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = label_propagation(pairs, rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )
+
+
+def _oracle_dedup_lpa() -> str:
+    from summarydb_spark.plans.llm_sql import q_dedup_ngram_jaccard
+
+    pair_sql = q_dedup_ngram_jaccard("duckdb", threshold=0.2)
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT u.a AS v, l.lab, count(*) AS c
+  FROM u JOIN {prev} l ON l.v = u.b
+  GROUP BY u.a, l.lab
+),
+l{i} AS MATERIALIZED (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS r
+    FROM c{i}
+  ) t WHERE r = 1
+)"""
+        )
+        prev = f"l{i}"
+    body = "".join(rounds)
+    return f"""
+WITH p AS MATERIALIZED ({pair_sql}),
+u0 AS (SELECT doc_a AS a, doc_b AS b FROM p
+       UNION ALL SELECT doc_b, doc_a FROM p),
+u AS MATERIALIZED (SELECT a, b FROM u0
+                   UNION ALL SELECT DISTINCT a, a FROM u0),
+l0 AS (SELECT DISTINCT a AS v, a AS lab FROM u){body}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM {prev}
+GROUP BY lab HAVING count(*) >= 2
+ORDER BY n_members DESC, community
+LIMIT 20"""
+
+
+DF_QUERIES["dedup_communities_lpa"] = (
+    q_dedup_communities_lpa,
+    _oracle_dedup_lpa(),
 )
 
 

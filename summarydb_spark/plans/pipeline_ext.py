@@ -788,8 +788,12 @@ def knn_planted_corpus_sql(dialect: str) -> str:
 
     Emits (vec_id, label [stored/noisy], emb array<double>)."""
     if dialect == "spark":
-        u = ("transform(sequence(1, 64), j -> CAST(element_at(embedding, j)"
-             " AS DOUBLE) + 10.0 * (pmod(CAST(vec_id AS BIGINT) % g *"
+        # try_element_at: out-of-bounds -> NULL, matching DuckDB's lenient
+        # list indexing (identical to element_at at the full 64 dims; a
+        # degenerate shorter vector yields NULL components -> NULL cosine
+        # -> the row never ranks, same in both engines)
+        u = ("transform(sequence(1, 64), j -> CAST(try_element_at(embedding,"
+             " j) AS DOUBLE) + 10.0 * (pmod(CAST(vec_id AS BIGINT) % g *"
              " (j + 2) * (j + 2) + j * 40503, 2039) - 1019) / 1024.0)")
         g = ("SELECT greatest(CAST(10 AS BIGINT), count(*) div 16) AS g"
              " FROM embeddings")

@@ -322,17 +322,26 @@ def test_label_propagation_two_communities(spark):
     }
 
 
-def test_label_propagation_tiebreak_smaller_label(spark):
-    """A 2-node graph: each node's only neighbor label wins; a 4-cycle
-    alternates under synchronous updates, pinning that ties (equal
-    counts) go to the SMALLER label deterministically."""
+def test_label_propagation_self_vote_semantics(spark):
+    """The self-vote is load-bearing: (a) an ISOLATED PAIR — where
+    pure-neighbor synchronous LPA oscillates forever and never forms a
+    community — converges to the smaller id in one round; (b) a 4-cycle
+    (bipartite, the classic oscillator) converges to all-0 by round 2;
+    ties (equal counts) always go to the SMALLER label."""
     from summarydb_spark.functions.dedup import label_propagation
 
-    # square 0-1-2-3-0: each node has two neighbors with distinct labels;
-    # round 1 -> everyone adopts min(neighbor labels):
-    #   0 <- min(1,3)=1, 1 <- min(0,2)=0, 2 <- min(1,3)=1, 3 <- min(0,2)=0
-    # round 2 -> neighbors of 0 are {1:0, 3:0} -> 0; of 1 are {0:1, 2:1} -> 1
-    # round 3 -> back to round-1 labels (period-2 oscillation, exact)
+    pair = spark.createDataFrame([(7, 3)], "a long, b long")
+    got = {
+        (r.node, r.label) for r in label_propagation(pair, rounds=3).collect()
+    }
+    assert got == {(3, 3), (7, 3)}
+
+    # square 0-1-2-3-0 with self-votes:
+    # r1: n0 {1,3,self0} all count 1 -> min 0; n1 {0,2,self1} -> 0;
+    #     n2 {1,3,self2} -> 1; n3 {0,2,self3} -> 0
+    # r2: n0 {1:0,3:0,self:0} -> 0; n1 {0:0,2:1,self:0} -> 0;
+    #     n2 {1:0,3:0,self:1} -> 0; n3 {0:0,2:1,self:0} -> 0
+    # r3: fixed point, all 0
     edges = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (3, 0)], "a long, b long"
     )
@@ -340,4 +349,4 @@ def test_label_propagation_tiebreak_smaller_label(spark):
         (r.node, r.label)
         for r in label_propagation(edges, rounds=3).collect()
     }
-    assert got == {(0, 1), (1, 0), (2, 1), (3, 0)}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0)}
