@@ -2538,12 +2538,38 @@ def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(containment_prefix_sql())
 
 
-def containment_prefix_sql() -> str:
+def containment_prefix_sql(delta: bool = False) -> str:
     """The prefix-filtered containment plan as spark-dialect SQL over the
     registered ``documents`` view (factored out so tests can run it on a
-    synthetic corpus)."""
+    synthetic corpus).  ``delta=True`` computes the INCREMENTAL relation
+    for an arriving batch (doc_id % 7 = 0, the repo's deterministic
+    batch split): only pairs with >= 1 batch endpoint, generated
+    batch-proportionally — batch prefixes probe the full postings, full
+    prefixes probe batch postings — instead of re-verifying the whole
+    corpus (the per-ingest maintenance a production containment store
+    runs; recall is the same pigeonhole bound, applied to whichever
+    endpoint is smaller)."""
     from summarydb_spark.plans.llm_sql import ngram_blocks_sql
 
+    if delta:
+        cand = """
+cand AS (
+  SELECT DISTINCT least(pf.doc_id, i.doc_id) AS doc_a,
+                  greatest(pf.doc_id, i.doc_id) AS doc_b
+  FROM (SELECT doc_id, lang, s FROM rk WHERE r <= p) pf
+  JOIN tok i ON i.lang = pf.lang AND i.s = pf.s
+            AND i.doc_id <> pf.doc_id
+  WHERE pf.doc_id % 7 = 0 OR i.doc_id % 7 = 0
+)"""
+    else:
+        cand = """
+cand AS (
+  SELECT DISTINCT least(pf.doc_id, i.doc_id) AS doc_a,
+                  greatest(pf.doc_id, i.doc_id) AS doc_b
+  FROM (SELECT doc_id, lang, s FROM rk WHERE r <= p) pf
+  JOIN tok i ON i.lang = pf.lang AND i.s = pf.s
+            AND i.doc_id <> pf.doc_id
+)"""
     return f"""
 WITH sh0 AS ({ngram_blocks_sql("spark")}),
 sh AS (SELECT doc_id, lang, sh, size(sh) AS n FROM sh0),
@@ -2557,14 +2583,7 @@ rk AS (
                             ORDER BY g.df, t.s) AS r,
          t.n - (9 * t.n + 9) div 10 + 1 AS p
   FROM tok t JOIN dfg g ON g.lang = t.lang AND g.s = t.s
-),
-cand AS (
-  SELECT DISTINCT least(pf.doc_id, i.doc_id) AS doc_a,
-                  greatest(pf.doc_id, i.doc_id) AS doc_b
-  FROM (SELECT doc_id, lang, s FROM rk WHERE r <= p) pf
-  JOIN tok i ON i.lang = pf.lang AND i.s = pf.s
-            AND i.doc_id <> pf.doc_id
-)
+),{cand}
 SELECT c.doc_a, c.doc_b,
        CAST(size(array_intersect(x.sh, y.sh)) AS BIGINT) * 1000000
          div CAST(least(x.n, y.n) AS BIGINT) AS containment_ppm
@@ -2594,6 +2613,34 @@ ORDER BY doc_a, doc_b"""
 DF_QUERIES["dedup_containment_prefix"] = (
     q_dedup_containment_prefix,
     _oracle_containment(),
+)
+
+
+def q_dedup_containment_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental containment maintenance: the containment-pair DELTA
+    for an arriving batch (doc_id % 7 = 0) against the corpus —
+    batch-proportional candidate generation (see
+    containment_prefix_sql(delta=True)); the oracle filters the
+    exhaustive relation to batch-endpoint pairs, so a hash-match proves
+    the delta is exactly what a store rebuild would add (the same
+    append-only contract as dedup_pairs_banded_delta)."""
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(containment_prefix_sql(delta=True))
+
+
+def _oracle_containment_delta() -> str:
+    return f"""
+WITH full_rel AS ({_oracle_containment()})
+SELECT doc_a, doc_b, containment_ppm FROM full_rel
+WHERE doc_a % 7 = 0 OR doc_b % 7 = 0
+ORDER BY doc_a, doc_b"""
+
+
+DF_QUERIES["dedup_containment_delta"] = (
+    q_dedup_containment_delta,
+    _oracle_containment_delta(),
 )
 
 

@@ -201,8 +201,57 @@ SELECT 'events.ts in [2024-01-01, 2026-01-01)', count(*),
 FROM events"""
 
 
+def q_gini_impurity_profile(dialect: str) -> str:
+    """Categorical-column profiling by EXACT-integer Gini impurity:
+    gini_ppm = (n^2 - sum(c^2)) * 1e6 / n^2 for each profiled column
+    (events.event_type, documents.lang, documents.source) — 0 for a
+    constant column, -> 1e6 as mass spreads evenly; the split-quality /
+    skew-detection number a data-quality dashboard tracks per snapshot.
+    All arithmetic in DECIMAL(38,0) (sum(c^2) reaches 1e14 at 10M rows
+    and the *1e6 scaling overflows int64 past ~3M rows; decimal is
+    exact to 1e38 — the same overflow discipline as
+    connected_components' label sums).  The floor division is spelled
+    (num - num % den) / den because Spark's `div` and DuckDB's `//`
+    disagree by 1 ulp-of-floor on DECIMAL operands (measured 799987 vs
+    799988); the modulo form divides exactly, so the quotient is an
+    integer in both engines (< 1e6, double-exact even if an engine
+    routes decimal division through a double).  Entropy is deliberately
+    NOT used: ln() is transcendental and engines' libm disagree in the
+    last ulp; Gini is a polynomial in exact integers, hence
+    hash-stable."""
+    dec = "DECIMAL(38,0)"
+
+    def one(col: str, table: str) -> str:
+        return f"""
+SELECT column_name,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(k AS BIGINT) AS n_distinct,
+       CAST((num - num % den) / den AS BIGINT) AS gini_ppm
+FROM (
+  SELECT '{table}.{col}' AS column_name, n, k,
+         (CAST(n AS {dec}) * n - ss) * 1000000 AS num,
+         CAST(n AS {dec}) * n AS den
+  FROM (
+    SELECT sum(c) AS n, count(*) AS k,
+           sum(CAST(c AS {dec}) * c) AS ss
+    FROM (SELECT {col}, count(*) AS c FROM {table}
+          WHERE {col} IS NOT NULL GROUP BY {col}) g
+  ) t0
+) t"""
+
+    parts = [
+        one("event_type", "events"),
+        one("lang", "documents"),
+        one("source", "documents"),
+    ]
+    return (
+        "\nUNION ALL".join(parts) + "\nORDER BY column_name"
+    )
+
+
 DQ_QUERIES = {
     "dq_column_profile": q_dq_column_profile,
     "dq_referential_orphans": q_dq_referential_orphans,
     "dq_rule_violations": q_dq_rule_violations,
+    "gini_impurity_profile": q_gini_impurity_profile,
 }

@@ -776,8 +776,57 @@ FROM s CROSS JOIN leak
 GROUP BY lang, split, leak.n_leaky"""
 
 
+def q_vocab_oov_rate(dialect: str) -> str:
+    """Tokenizer-vocabulary coverage: build the top-1000 corpus vocabulary
+    (whitespace tokens of the normalized text, ranked by count DESC then
+    token ASC — a deterministic truncation of the unigram table a
+    tokenizer trainer would keep) and report, per lang, total token
+    occurrences, out-of-vocabulary occurrences, and oov_ppm = oov * 1e6
+    div total — the coverage number that decides whether a vocab size
+    is adequate per language before a training run.  Exact integers
+    throughout; the vocab CTE is a 1000-row broadcast-size relation.
+    Scale shape: one token explode -> one (lang, token) aggregate with
+    map-side partial counts, one global top-k, one broadcast anti-join."""
+    from summarydb_spark.plans.portable_dedup import _norm
+
+    norm = _norm(dialect)
+    if dialect == "spark":
+        tok = (
+            f"SELECT lang, t FROM (SELECT lang, split({norm}, ' ') AS ts"
+            " FROM documents) LATERAL VIEW explode(ts) x AS t"
+        )
+    else:
+        tok = (
+            f"SELECT lang, u.t FROM (SELECT lang, string_split({norm}, ' ')"
+            " AS ts FROM documents), unnest(ts) AS u(t)"
+        )
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH tok AS ({tok}),
+cnt AS (SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY c DESC, t) AS r FROM cnt
+  ) v WHERE r <= 1000
+),
+marked AS (
+  SELECT tok.lang,
+         CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok LEFT JOIN vocab v ON v.t = tok.t
+  WHERE tok.t <> ''
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(oov) * 1000000 {idiv} count(*) AS BIGINT) AS oov_ppm
+FROM marked
+GROUP BY lang
+ORDER BY lang"""
+
+
 LLM_QUERIES = {
     "stratified_split_leakage_safe": q_stratified_split,
+    "vocab_oov_rate": q_vocab_oov_rate,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
