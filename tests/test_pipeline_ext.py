@@ -407,3 +407,62 @@ def test_knn_label_noise_indexed_plan_shape(spark):
     run(spark, "knn_label_noise_indexed").collect()  # ensure store built
     plan = plan_of(spark, "knn_label_noise_indexed")
     assert "knn_ivf_label_index" in plan
+
+
+def test_ivf_cogroup_scores_matches_bruteforce(spark):
+    """The cogrouped-matmul candidate scorer must return, per probe, the
+    same top-m (by normalized dot, neighbor tiebreak) over its probed
+    lists as a driver-side numpy brute force — including self-exclusion
+    and the empty-side guard."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.functions import similarity
+
+    rng = np.random.RandomState(7)
+    M = rng.standard_normal((40, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]], int(i % 3)) for i in range(40)],
+        "neighbor_id long, cand_emb array<double>, list_id int",
+    )
+    probes = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(0, 40, 10)],
+        "query_id long, emb array<double>",
+    )
+    cent = np.vstack(
+        [M[assign].mean(0) / np.linalg.norm(M[assign].mean(0))
+         for assign in ([0, 3], [1, 4], [2, 5])]
+    )
+    lists = similarity.ivf_probe_lists(
+        probes, cent, n_probe=2, emb_col="emb", id_col="query_id"
+    )
+    got = (
+        similarity.ivf_cogroup_scores(lists, corpus, m=3, emb_col="cand_emb")
+        .orderBy("query_id", F.desc("score"), "neighbor_id")
+        .collect()
+    )
+    # replicate: for each probe, its 2 nearest centroid lists, then
+    # top-(3+1 minus self) members of those lists by normalized dot
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in (0, 10, 20, 30):
+        probe_lists = np.argsort(-(Mn[qid] @ cent.T))[:2]
+        for li in probe_lists:
+            members = np.array(
+                [i for i in range(40) if i % 3 == li and i != qid]
+            )
+            s = Mn[qid] @ Mn[members].T
+            order = np.lexsort((members, -s))[:3]
+            want = [
+                (qid, int(members[o]), float(s[o])) for o in order
+            ]
+            have = [
+                (r.query_id, r.neighbor_id, r.score)
+                for r in got
+                if r.query_id == qid
+                and (r.neighbor_id % 3) == li
+            ]
+            # got holds top-(m+1 minus self) per list; compare the top-3
+            have = sorted(have, key=lambda t: (-t[2], t[1]))[:3]
+            for (q1, n1, s1), (q2, n2, s2) in zip(want, have):
+                assert (q1, n1) == (q2, n2)
+                assert abs(s1 - s2) < 1e-12
