@@ -2398,6 +2398,142 @@ DF_QUERIES["pagerank_dup_graph"] = (
     _oracle_pagerank_dup_graph(),
 )
 
+
+_PPR_ITERS = 3
+_PPR_SEEDS = 5
+
+
+def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (damping 0.85, 3 iterations) from a fixed
+    seed set — the 5 smallest part ids in the support>=2 co-purchase
+    graph — emitting the top-20 related parts by PPR mass: the
+    random-walk-with-restart recommender primitive (seed basket ->
+    related assortment), the personalized complement of the global
+    pagerank_dup_graph.
+
+    Unlike the global twin, every quantity here is PURE int64: seed
+    mass 1e9 div 5 = 2e8 exactly, teleport 0.15 * 2e8 = 3e7 exactly,
+    per-edge flow (85 * r) div (100 * deg) — no float floor anywhere,
+    so iterations are exact-identical across engines, partitionings,
+    and retries.  Per iteration: one equi-join (edges x ranks, O(E))
+    + one long-sum hash aggregate; the oracle unrolls the same 3
+    iterations as CTEs.  No dangling mass: every node in the symmetric
+    edge relation has deg >= 1 by construction."""
+    from pyspark.sql import Window
+
+    pairs = _copurchase_edges(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w = Window.orderBy("src")
+    seeded = deg.withColumn(
+        "is_seed", F.row_number().over(w) <= _PPR_SEEDS
+    )
+    seed_mass = 1_000_000_000 // _PPR_SEEDS
+    teleport = (15 * seed_mass) // 100
+    ranks = seeded.select(
+        F.col("src").alias("part_id"),
+        "deg",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(seed_mass))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    ).persist()
+    for _ in range(_PPR_ITERS):
+        contrib = edges.join(
+            ranks.select(F.col("part_id").alias("src"), "deg", "r"), "src"
+        ).select(
+            F.col("dst").alias("part_id"),
+            F.expr("(85 * r) div (100 * deg)").alias("c"),
+        )
+        agg = contrib.groupBy("part_id").agg(F.sum("c").alias("inflow"))
+        new_ranks = (
+            ranks.select("part_id", "deg", "is_seed")
+            .join(agg, "part_id")
+            .select(
+                "part_id",
+                "deg",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(teleport))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.col("inflow")
+                ).alias("r"),
+            )
+            .persist()
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    out = (
+        ranks.select(
+            "part_id",
+            F.col("deg").cast("long").alias("degree"),
+            F.col("r").alias("ppr_nano"),
+        )
+        .orderBy(F.desc("ppr_nano"), "part_id")
+        .limit(20)
+    )
+    edges.unpersist()
+    return out
+
+
+def _oracle_ppr_copurchase() -> str:
+    seed_mass = 1_000_000_000 // _PPR_SEEDS
+    teleport = (15 * seed_mass) // 100
+    iters = []
+    prev = "r0"
+    for k in range(1, _PPR_ITERS + 1):
+        iters.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT d.part_id, d.deg, d.is_seed,
+         CASE WHEN d.is_seed THEN {teleport} ELSE 0 END
+           + sum((85 * CAST(r.r AS BIGINT)) // (100 * r.deg)) AS r
+  FROM edges e
+  JOIN {prev} r ON r.part_id = e.s
+  JOIN r0 d ON d.part_id = e.d
+  GROUP BY d.part_id, d.deg, d.is_seed
+)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+  SELECT a AS s, b AS d FROM p UNION ALL SELECT b AS s, a AS d FROM p
+),
+deg AS (SELECT s AS part_id, count(*) AS deg FROM edges GROUP BY s),
+r0 AS (
+  SELECT part_id, deg,
+         row_number() OVER (ORDER BY part_id) <= {_PPR_SEEDS} AS is_seed,
+         CASE WHEN row_number() OVER (ORDER BY part_id) <= {_PPR_SEEDS}
+              THEN CAST({seed_mass} AS BIGINT) ELSE 0 END AS r
+  FROM deg
+),
+{chain}
+SELECT part_id, CAST(deg AS BIGINT) AS degree, CAST(r AS BIGINT) AS ppr_nano
+FROM {prev}
+ORDER BY ppr_nano DESC, part_id
+LIMIT 20"""
+
+
+DF_QUERIES["ppr_copurchase_seeded"] = (
+    q_ppr_copurchase,
+    _oracle_ppr_copurchase(),
+)
+
 DF_QUERIES["heavy_hitters_misra_gries"] = (
     q_heavy_hitters_mg,
     ORACLE_HEAVY_HITTERS_MG,

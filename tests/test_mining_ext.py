@@ -181,3 +181,59 @@ def test_containment_catches_subset_jaccard_misses(spark):
     con.register("documents", df.toPandas())
     want = {tuple(r) for r in con.sql(_oracle_containment()).fetchall()}
     assert want == {(0, 1, 1_000_000)}
+
+
+def test_containment_prefix_lossless_on_random_corpus(spark):
+    """Pigeonhole losslessness of the prefix filter on a seeded random
+    corpus ENGINEERED for near-misses: planted subset pairs at exactly
+    0.9, just-below pairs at ~0.89, size-skewed containers, shared
+    boilerplate tokens (high df — the prefix ranking must look past
+    them).  The Spark prefix plan must equal the exhaustive DuckDB
+    block join exactly."""
+    import duckdb as _duck
+    import numpy as np
+
+    from summarydb_spark.plans.dataframe_queries import (
+        _oracle_containment,
+        containment_prefix_sql,
+    )
+
+    rng = np.random.RandomState(99)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    did = 0
+    for _ in range(12):
+        # container: 30-60 unique tokens; contained doc: a contiguous
+        # slice of ~k tokens with a few extras so containment straddles 0.9
+        n = int(rng.randint(30, 60))
+        toks = list(rng.choice(vocab, size=n, replace=False))
+        rows.append((did, "en", " ".join(toks))); did += 1
+        k = int(rng.randint(8, 15))
+        inner = toks[:k] + list(
+            rng.choice([w for w in vocab if w not in toks],
+                       size=int(rng.randint(0, 3)), replace=False)
+        )
+        rows.append((did, "en", " ".join(inner))); did += 1
+    # boilerplate-heavy docs: same 5-token prefix everywhere
+    for _ in range(6):
+        toks = ["b0", "b1", "b2", "b3", "b4"] + list(
+            rng.choice(vocab, size=int(rng.randint(10, 20)), replace=False)
+        )
+        rows.append((did, "en", " ".join(toks))); did += 1
+    df = spark.createDataFrame(
+        [(i, lg, tx, len(tx)) for i, lg, tx in rows],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {
+            tuple(r)
+            for r in spark.sql(containment_prefix_sql()).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    con = _duck.connect()
+    con.register("documents", df.toPandas())
+    want = {tuple(r) for r in con.sql(_oracle_containment()).fetchall()}
+    assert got == want
+    assert want, "vacuous: the planted subsets must produce pairs"
