@@ -453,7 +453,6 @@ def ivf_cogroup_scores(
     with the exact expression — the top-m margin makes displacement of
     a true top-k candidate require >= m-k ulp-ties, impossible in
     practice and pinned by the oracle gates."""
-    member_cols = [c for c in encoded.columns if c != "list_id"]
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
@@ -475,9 +474,12 @@ def ivf_cogroup_scores(
             # top-k by (score desc, neighbor asc): lexsort on (-score, id)
             idx = np.lexsort((nids, -row))[:k]
             keep = nids[idx] != qids[i]
-            out_q.extend([qids[i]] * int(keep.sum()))
-            out_n.extend(nids[idx][keep])
-            out_s.extend(row[idx][keep])
+            # trim back to m: the +1 headroom exists only so a probe whose
+            # own id sits in the top-(m+1) still yields m true neighbors
+            sel = idx[keep][:m]
+            out_q.extend([qids[i]] * len(sel))
+            out_n.extend(nids[sel])
+            out_s.extend(row[sel])
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
         )

@@ -2688,14 +2688,28 @@ def containment_prefix_sql(delta: bool = False) -> str:
     from summarydb_spark.plans.llm_sql import ngram_blocks_sql
 
     if delta:
+        # two one-sided joins, each with a SINGLE-SIDE batch predicate the
+        # optimizer can push below the join (a post-join OR over both sides
+        # is unpushable — candidate-generation cost would equal the full
+        # query).  Leg 1: batch prefixes x full postings; leg 2: non-batch
+        # prefixes x batch postings.  Union = (pf batch OR i batch), the
+        # same candidate set, but each join's probe side is batch-sized.
         cand = """
 cand AS (
-  SELECT DISTINCT least(pf.doc_id, i.doc_id) AS doc_a,
-                  greatest(pf.doc_id, i.doc_id) AS doc_b
-  FROM (SELECT doc_id, lang, s FROM rk WHERE r <= p) pf
-  JOIN tok i ON i.lang = pf.lang AND i.s = pf.s
-            AND i.doc_id <> pf.doc_id
-  WHERE pf.doc_id % 7 = 0 OR i.doc_id % 7 = 0
+  SELECT DISTINCT least(a0, b0) AS doc_a, greatest(a0, b0) AS doc_b
+  FROM (
+    SELECT pf.doc_id AS a0, i.doc_id AS b0
+    FROM (SELECT doc_id, lang, s FROM rk
+          WHERE r <= p AND doc_id % 7 = 0) pf
+    JOIN tok i ON i.lang = pf.lang AND i.s = pf.s
+              AND i.doc_id <> pf.doc_id
+    UNION ALL
+    SELECT pf.doc_id AS a0, i.doc_id AS b0
+    FROM (SELECT doc_id, lang, s FROM rk
+          WHERE r <= p AND doc_id % 7 <> 0) pf
+    JOIN (SELECT doc_id, lang, s FROM tok WHERE doc_id % 7 = 0) i
+      ON i.lang = pf.lang AND i.s = pf.s AND i.doc_id <> pf.doc_id
+  ) u
 )"""
     else:
         cand = """

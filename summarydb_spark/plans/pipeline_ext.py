@@ -774,7 +774,7 @@ def knn_planted_corpus_sql(dialect: str) -> str:
     - micro-cluster ``c = vec_id % G`` with ``G = max(10, n div 16)``
       (~16 members each — the near-duplicate-group regime of scraped
       training data, where kNN label voting is actually meaningful);
-    - deterministic cluster direction ``u[j] = (((c*(j+3)^2 +
+    - deterministic cluster direction ``u[j] = (((c*(j+2)^2 +
       j*40503) % 2039) - 1019) / 1024`` (quadratic-in-j mixing: two
       clusters' directions decorrelate unless c1 = c2 mod 2039, in
       which case they coincide exactly and share index lists — either

@@ -195,13 +195,17 @@ def _sessionize_update(
     # They must gap-merge with EACH OTHER (two late events within the gap
     # are ONE session under batch semantics), so they accumulate in a
     # separate (l_start, l_end, l_n) run and close when the next event
-    # breaks the gap or the batch ends — never merging across the held
-    # boundary into the open session (the branch condition guarantees
-    # l_end < t_start - gap strictly).  Because the scan is sorted and
-    # t_start only ever decreases (min-merge), late events are a prefix
-    # of the batch; a run can still split across MICRO-batches, the
-    # disclosed residual of bounded state (unreachable when watermark
-    # delay <= gap, the gate config).
+    # breaks the gap or the batch ends.  The run CAN end up within the
+    # gap of the open session after a later in-batch event min-merges
+    # and shrinks t_start (gap=10, open [100,120], batch [89, 91]: 89
+    # buffers, 91 min-merges t_start to 91, and 89 is now within gap) —
+    # batch semantics say one session, so the min-merge branch flushes
+    # the run INTO the open session whenever the new t_start lands
+    # within gap of l_end.  Because the scan is sorted and t_start only
+    # ever decreases, late events are a prefix of the batch; a run can
+    # still split across MICRO-batches, the disclosed residual of
+    # bounded state (unreachable when watermark delay <= gap, the gate
+    # config).
     l_start = l_end = None
     l_n = 0
     for t in ts:
@@ -224,6 +228,14 @@ def _sessionize_update(
             t_start = min(t_start, t)
             t_end = max(t_end, t)
             n += 1
+            if l_start is not None and t_start - l_end <= SESSION_GAP_US:
+                # min-merge pulled the open session within gap of the
+                # buffered late run: they are ONE session under batch
+                # semantics — absorb the run instead of emitting it
+                t_start = min(t_start, l_start)
+                n += l_n
+                l_start = l_end = None
+                l_n = 0
         else:
             closed.append((uid, n, t_start, t_end))
             t_start, t_end, n = t, t, 1

@@ -295,3 +295,37 @@ def test_sessionize_update_late_run_gap_merge():
     rows = {tuple(r) for df in out for r in df.itertuples(index=False)}
     assert rows == {(9, 2, B, B + H // 2)}
     assert st.get == (B + 10 * H, B + 10 * H, 1)
+
+
+def test_sessionize_update_late_run_absorbed_by_min_merge():
+    """Round-10 ADVICE (low): a buffered late run must flush INTO the open
+    session when a later in-batch event min-merges and shrinks t_start to
+    within the gap of the run's end (gap=10, open [100,120], batch
+    [89, 91]: 89 buffers as late, 91 min-merges t_start to 91, and 89 is
+    now within gap of 91 — batch semantics say ONE session)."""
+    import pandas as pd
+
+    from summarydb_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        _sessionize_update,
+    )
+
+    H = SESSION_GAP_US
+    B = 100 * H
+
+    # open [B+10H, B+12H]; batch: B+8.5H (late: < t_start - gap), then
+    # B+9.1H (min-merges, new t_start within gap of the buffered run)
+    st = _FakeGroupState(value=(B + 10 * H, B + 12 * H, 2), watermark_ms=0)
+    ts = [B + 8 * H + H // 2, B + 9 * H + H // 10]
+    out = list(_sessionize_update((9,), iter([pd.DataFrame({"t": ts})]), st))
+    assert out == []  # nothing closed: the run was absorbed
+    assert st.get == (B + 8 * H + H // 2, B + 12 * H, 4)
+
+    # a run separated by MORE than the gap from the shrunk t_start still
+    # emits on its own (the absorb condition is strict)
+    st = _FakeGroupState(value=(B + 10 * H, B + 12 * H, 2), watermark_ms=0)
+    ts = [B + 7 * H, B + 9 * H + H // 2]
+    out = list(_sessionize_update((9,), iter([pd.DataFrame({"t": ts})]), st))
+    rows = {tuple(r) for df in out for r in df.itertuples(index=False)}
+    assert rows == {(9, 1, B + 7 * H, B + 7 * H)}
+    assert st.get == (B + 9 * H + H // 2, B + 12 * H, 3)
