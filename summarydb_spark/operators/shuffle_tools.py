@@ -112,3 +112,103 @@ def bucketed_join(
     no Exchange when both tables were written by :func:`write_bucketed`
     with the same bucket count."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+#: rank-internal persisted relations (see global_rank docstring); released
+#: by release_rank_caches(), never eagerly (the counts and join passes both
+#: read them lazily at action time)
+_RANK_PERSISTED: list = []
+
+
+def release_rank_caches() -> int:
+    """Unpersist every global_rank-internal cached relation created so far
+    and return how many were released.  Safe any time (unpersist is
+    idempotent); later global_rank calls re-cache."""
+    n = 0
+    while _RANK_PERSISTED:
+        df = _RANK_PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def global_rank(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "rnk"
+) -> DataFrame:
+    """Exact global 1-based rank of every row under the TOTAL order
+    ``order_cols`` — withOUT the single-partition WindowExec that
+    ``row_number() OVER (ORDER BY ...)`` plans to (which moves the whole
+    relation to one task: the classic 100 TB deadend).  The caller must
+    ensure ``order_cols`` is a total order (include a unique tiebreak
+    column); ties would make ranks partition-layout-dependent.
+
+    Three bounded steps (the engine's own two-phase index,
+    operators/summary.py:143-198, without the stream key):
+
+    1. ``repartitionByRange(order_cols)`` + sort WITHIN partitions —
+       Spark's sampled range partitioner splits the relation into
+       globally ordered partitions, each sorted locally in parallel;
+    2. partition-local 0-based index via mapInPandas (no shuffle, a
+       counter across Arrow batches);
+    3. per-partition row counts (one row per partition) -> cumulative
+       offsets over that tiny relation -> broadcast join fixes the
+       local indexes up to global ranks.
+
+    The offsets window IS an unpartitioned window — over a relation
+    bounded by the shuffle-partition count, never by the data.
+
+    The locally-indexed relation is PERSISTED (memory-and-disk) before
+    the counts pass: the counts pass and the join pass are otherwise two
+    independent materializations of the same range shuffle, and nothing
+    guarantees they agree on partitioning — the range partitioner's
+    sample seed derives from the physical RDD lineage and AQE may
+    coalesce the two shuffles differently, which desynchronizes ``_pid``
+    between the passes (observed as a silently empty join leg).  The
+    cache pins ONE set of partitions for both passes; call
+    :func:`release_rank_caches` to drop the pinned relations (same
+    contract as functions.dedup.release_guard_caches).
+
+    ``order_cols`` entries may be column names or Column sort expressions
+    (e.g. ``F.col("score").desc()``) — descending ranks need the latter."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(*order).sortWithinPartitions(*order)
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema_out = StructType(
+        list(d.schema.fields)
+        + [StructField("_pid", IntegerType()), StructField("_li", LongType())]
+    )
+
+    def local_index(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        c = 0
+        for pdf in it:
+            n = len(pdf)
+            pdf = pdf.assign(_pid=pid, _li=range(c, c + n))
+            c += n
+            yield pdf
+
+    d = d.mapInPandas(local_index, schema_out)
+    from pyspark import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    _RANK_PERSISTED.append(d)
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql import Window
+
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    fixups = counts.select(
+        F.col("_pid").alias("_fix_pid"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        d.join(F.broadcast(fixups), F.col("_pid") == F.col("_fix_pid"))
+        .withColumn(out_col, (F.col("_li") + F.col("_off") + 1).cast("long"))
+        .drop("_pid", "_li", "_fix_pid", "_off")
+    )

@@ -149,7 +149,12 @@ def q_equidepth_histogram_value(dialect: str) -> str:
     ntile over a total order, then per-bucket bounds/mass.  Both engines
     share ntile's fill semantics (earlier buckets take the remainder).  The
     100 TB path is the KLL sketch (sketch_kll_quantile_bound); this exact
-    form is its verification twin."""
+    form is its verification twin.
+
+    This SQL is the DUCKDB oracle; the registered Spark plan is
+    :func:`q_equidepth_histogram_df`, which computes the identical bucket
+    ids from the two-phase partition-offset rank instead of ntile's
+    single-partition window over the whole fact table."""
     return f"""
 WITH r AS (
   SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
@@ -162,6 +167,47 @@ SELECT CAST(bucket AS INTEGER) AS bucket,
        {dsum("value")} AS sum_v
 FROM r
 GROUP BY bucket"""
+
+
+def q_equidepth_histogram_df(spark, sf_dir: str):
+    """Spark-side equidepth_histogram_value (oracle:
+    :func:`q_equidepth_histogram_value`): ntile(10) re-derived from the
+    exact global rank (operators/shuffle_tools.global_rank, two-phase
+    partition-offset — no single-partition WindowExec over events) plus
+    the closed-form fill rule both engines share: with n rows, q = n div
+    10 and rem = n mod 10, the first rem buckets take q+1 rows, so
+
+        bucket(r) = (r-1) div (q+1) + 1                    if r <= rem*(q+1)
+                    rem + (r-1-rem*(q+1)) div q + 1        otherwise
+
+    (all integer; for n < 10 every row lands in the THEN branch, so the
+    ELSE's q=0 division is never evaluated).  The total-row count joins
+    in as a broadcast 1-row aggregate; per-bucket aggregates use the
+    same dsum/round text as the oracle."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.operators.shuffle_tools import global_rank
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    ev = spark.table("events").select("value", "event_id")
+    ranked = global_rank(ev, ["value", "event_id"], out_col="_rnk")
+    nrel = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    bucketed = ranked.crossJoin(F.broadcast(nrel)).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(CASE WHEN _rnk <= (_n % 10) * (_n div 10 + 1)"
+            " THEN (_rnk - 1) div (_n div 10 + 1) + 1"
+            " ELSE (_n % 10) + (_rnk - 1 - (_n % 10) * (_n div 10 + 1))"
+            "      div (_n div 10) + 1 END AS INTEGER)"
+        ),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("round(min(value), 6)").alias("lo"),
+        F.expr("round(max(value), 6)").alias("hi"),
+        F.expr(dsum("value")).alias("sum_v"),
+    )
 
 
 def q_interleave_mix_batches(dialect: str) -> str:
@@ -348,6 +394,10 @@ def q_weighted_sample_ares(dialect: str) -> str:
     key_col = "CAST(o_orderkey AS STRING)" if dialect == "spark" else (
         "CAST(o_orderkey AS VARCHAR)")
     h = md560(f"concat('ares:', {key_col})", dialect)
+    # top-20 FIRST (TakeOrdered in Spark — per-partition top-k, no global
+    # sort and no single-partition WindowExec over all orders), THEN
+    # row_number over the 20 survivors; identical ranks since the window
+    # order equals the cut order (a total order)
     return f"""
 WITH keyed AS (
   SELECT o_orderkey, o_totalprice AS w,
@@ -357,13 +407,18 @@ WITH keyed AS (
 scored AS (
   SELECT o_orderkey, w, round(ln(u) / w, 9) + 0.0 AS ares_key
   FROM keyed WHERE w > 0
+),
+top AS (
+  SELECT o_orderkey, w, ares_key
+  FROM scored
+  ORDER BY ares_key DESC, o_orderkey
+  LIMIT 20
 )
 SELECT o_orderkey, w, ares_key,
        CAST(row_number() OVER (ORDER BY ares_key DESC, o_orderkey)
             AS BIGINT) AS rnk
-FROM scored
-ORDER BY ares_key DESC, o_orderkey
-LIMIT 20"""
+FROM top
+ORDER BY ares_key DESC, o_orderkey"""
 
 
 def q_gini_customer_revenue(dialect: str) -> str:
@@ -529,7 +584,10 @@ ANALYTICS_EXT_QUERIES = {
     "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "reservoir_sample_events": q_reservoir_sample_events,
     "skew_key_profile": q_skew_key_profile,
-    "equidepth_histogram_value": q_equidepth_histogram_value,
+    # equidepth_histogram_value moved to a DataFrame builder
+    # (q_equidepth_histogram_df, registered in plans.dataframe_queries) —
+    # the spark-dialect ntile would plan a single-partition WindowExec
+    # over the whole events table
     "interleave_mix_batches": q_interleave_mix_batches,
     "embedding_centroids_by_label": q_embedding_centroids_by_label,
     "source_mix_entropy": q_source_mix_entropy,

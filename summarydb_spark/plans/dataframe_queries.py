@@ -2418,9 +2418,13 @@ def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     and retries.  Per iteration: one equi-join (edges x ranks, O(E))
     + one long-sum hash aggregate; the oracle unrolls the same 3
     iterations as CTEs.  No dangling mass: every node in the symmetric
-    edge relation has deg >= 1 by construction."""
-    from pyspark.sql import Window
+    edge relation has deg >= 1 by construction.
 
+    Seed selection is ``orderBy(src).limit(k)`` — a TakeOrdered (per-
+    partition top-k then a k-row driver merge, no shuffle-to-one) —
+    broadcast-left-joined back onto the node relation; the previous
+    ``row_number() OVER (ORDER BY src)`` was a single-partition sort of
+    all |V| nodes (round-9 VERDICT What's-wrong #2)."""
     pairs = _copurchase_edges(spark, sf_dir)
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -2430,9 +2434,14 @@ def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    w = Window.orderBy("src")
-    seeded = deg.withColumn(
-        "is_seed", F.row_number().over(w) <= _PPR_SEEDS
+    seeds = (
+        deg.select("src")
+        .orderBy("src")
+        .limit(_PPR_SEEDS)
+        .withColumn("_seed", F.lit(True))
+    )
+    seeded = deg.join(F.broadcast(seeds), "src", "left").withColumn(
+        "is_seed", F.coalesce(F.col("_seed"), F.lit(False))
     )
     seed_mass = 1_000_000_000 // _PPR_SEEDS
     teleport = (15 * seed_mass) // 100
@@ -2533,6 +2542,42 @@ DF_QUERIES["ppr_copurchase_seeded"] = (
     q_ppr_copurchase,
     _oracle_ppr_copurchase(),
 )
+
+
+def _zorder_locality_entry():
+    from summarydb_spark.plans.retrieval_ext import (
+        q_zorder_locality,
+        q_zorder_locality_df,
+    )
+
+    return q_zorder_locality_df, q_zorder_locality("duckdb")
+
+
+DF_QUERIES["zorder_locality"] = _zorder_locality_entry()
+
+
+def _hybrid_rrf_entry():
+    from summarydb_spark.plans.retrieval_ext import (
+        q_hybrid_rrf_fusion,
+        q_hybrid_rrf_fusion_df,
+    )
+
+    return q_hybrid_rrf_fusion_df, q_hybrid_rrf_fusion("duckdb")
+
+
+DF_QUERIES["hybrid_rrf_fusion"] = _hybrid_rrf_entry()
+
+
+def _equidepth_entry():
+    from summarydb_spark.plans.analytics_ext import (
+        q_equidepth_histogram_df,
+        q_equidepth_histogram_value,
+    )
+
+    return q_equidepth_histogram_df, q_equidepth_histogram_value("duckdb")
+
+
+DF_QUERIES["equidepth_histogram_value"] = _equidepth_entry()
 
 DF_QUERIES["heavy_hitters_misra_gries"] = (
     q_heavy_hitters_mg,

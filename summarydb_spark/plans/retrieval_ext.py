@@ -282,6 +282,21 @@ def _zkey(dialect: str, ub: str, db: str) -> str:
     return " + ".join(parts)
 
 
+def zorder_z_sql(dialect: str) -> str:
+    """The z-keyed event relation (event_id, ub, db, zkey) both the oracle
+    SQL and the Spark DataFrame plan build on — factored so the Morton
+    interleave has exactly one definition per dialect."""
+    t = epoch_us("ts", dialect)
+    return f"""
+SELECT event_id, ub, db, CAST({_zkey(dialect, "ub", "db")} AS BIGINT) AS zkey
+FROM (
+  SELECT event_id,
+         CAST(user_id % 16 AS BIGINT) AS ub,
+         CAST(floor(({t}) / 86400000000.0) AS BIGINT) % 16 AS db
+  FROM events
+) b"""
+
+
 def q_zorder_locality(dialect: str) -> str:
     """Z-order (Morton) layout locality audit: interleave 4-bit buckets of
     (user, day) into an 8-bit z-key, split the table into 256-row "files"
@@ -291,20 +306,16 @@ def q_zorder_locality(dialect: str) -> str:
     measurement that justifies a repartitionByRange(zkey) rewrite of a
     100 TB table (multi-dimensional clustering à la Delta OPTIMIZE
     ZORDER).  Integer math throughout; per-file averages are integer
-    ratios rounded to 4."""
-    t = epoch_us("ts", dialect)
-    ub, db = "ub", "db"
+    ratios rounded to 4.
+
+    This SQL form is the DUCKDB oracle; the registered Spark plan is
+    :func:`q_zorder_locality_df`, which replaces the two global
+    ``row_number() OVER (ORDER BY ...)`` windows below (each a
+    single-partition sort of the whole fact table — fine in DuckDB's
+    in-memory oracle role, a one-task bottleneck on a cluster) with the
+    two-phase partition-offset rank (operators/shuffle_tools.global_rank)."""
     return f"""
-WITH b AS (
-  SELECT event_id,
-         CAST(user_id % 16 AS BIGINT) AS ub,
-         CAST(floor(({t}) / 86400000000.0) AS BIGINT) % 16 AS db
-  FROM events
-),
-z AS (
-  SELECT event_id, ub, db, CAST({_zkey(dialect, ub, db)} AS BIGINT) AS zkey
-  FROM b
-),
+WITH z AS ({zorder_z_sql(dialect)}),
 chunked AS (
   SELECT 'arrival' AS ordering,
          CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 256.0)
@@ -333,23 +344,65 @@ FROM per_chunk
 GROUP BY ordering"""
 
 
-def q_hybrid_rrf_fusion(dialect: str) -> str:
-    """Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
-    SIGIR'09): fuse the BM25 lexical ranking (same terms/parameters as
-    bm25_search_topk) with a dense ranking — quantized-cosine similarity
-    to the probe embedding (vec 0; doc_id == vec_id in the testdata) —
-    as rrf = sum over systems floor(1e6 / (60 + rank)), top-15.
+def q_zorder_locality_df(spark, sf_dir: str):
+    """Spark-side zorder_locality (see :func:`q_zorder_locality` for the
+    semantics and the DuckDB oracle): identical relation, but the two
+    exact global ranks (arrival by event_id, z-order by (zkey, event_id))
+    come from the two-phase partition-offset index instead of
+    unpartitioned row_number windows, so no single task ever holds the
+    fact table.  Ranks are exact (total orders — event_id is unique), so
+    chunk assignment and every downstream aggregate are bit-identical to
+    the window form; chunk = (rank-1) div 256 is the integer twin of
+    floor((rank-1)/256.0).  The z relation is scanned twice per ordering
+    (the rank helper's counts pass + join pass) — column-pruned parquet
+    scans, the price of never materializing a global sort on one task."""
+    from pyspark.sql import functions as F
 
-    Determinism: cosine operates on integer milli-unit components (exact
-    BIGINT dot products and norms; IEEE sqrt is correctly rounded, so
-    the double similarity is bit-identical across engines); BM25 reuses
-    the proven fixed-order score expression; every ranking ties off by
-    doc_id; fusion arithmetic is integer.
+    from summarydb_spark.operators.shuffle_tools import global_rank
+    from summarydb_spark.sources.tables import register_tables
 
-    Scale: each system ranks only its candidates (BM25: docs containing
-    a query term; dense: one probe-vs-corpus pass — at scale the ANN
-    index replaces it); the fusion joins two rank relations of top-list
-    size, never the corpus."""
+    register_tables(spark, sf_dir)
+    z = spark.sql(zorder_z_sql("spark"))
+    legs = []
+    for ordering, cols in (
+        ("arrival", ["event_id"]),
+        ("zorder", ["zkey", "event_id"]),
+    ):
+        r = global_rank(z, cols, out_col="_rnk")
+        legs.append(
+            r.select(
+                F.lit(ordering).alias("ordering"),
+                F.expr("(_rnk - 1) div 256").alias("chunk"),
+                "ub",
+                "db",
+            )
+        )
+    per_chunk = (
+        legs[0]
+        .unionByName(legs[1])
+        .groupBy("ordering", "chunk")
+        .agg(
+            F.countDistinct("ub").alias("users_touched"),
+            (F.max("db") - F.min("db")).alias("day_span"),
+        )
+    )
+    return per_chunk.groupBy("ordering").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.expr(
+            "CAST(round(sum(users_touched) * 1.0 / count(*), 4) AS DOUBLE)"
+        ).alias("avg_user_buckets"),
+        F.expr(
+            "CAST(round(sum(day_span) * 1.0 / count(*), 4) AS DOUBLE)"
+        ).alias("avg_day_span"),
+        F.expr("CAST(max(users_touched) AS BIGINT)").alias("max_user_buckets"),
+    )
+
+
+def _rrf_scored_sql(dialect: str) -> tuple[str, str]:
+    """The two SCORED (pre-rank) relations hybrid RRF fuses, factored so
+    the DuckDB oracle (window ranks) and the Spark plan (two-phase
+    global_rank) share one scoring definition: ``(text_sql, dense_sql)``
+    emitting (doc_id, s BIGINT) and (doc_id, cosv DOUBLE)."""
     toks = _split_tokens(dialect)
     if dialect == "spark":
         tf_cols = ",".join(
@@ -387,20 +440,17 @@ def q_hybrid_rrf_fusion(dialect: str) -> str:
 
     score = " + ".join(contrib(i) for i in range(len(BM25_TERMS)))
     any_tf = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
-    return f"""
+    text_sql = f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 per_doc AS (SELECT doc_id, {dl_col}, {tf_cols} FROM tok),
-corpus AS (SELECT {stat_cols} FROM per_doc),
-r_text AS (
-  SELECT doc_id,
-         row_number() OVER (
-           ORDER BY floor(({score}) * 1000000) DESC, doc_id) AS r
-  FROM per_doc CROSS JOIN corpus
-  -- doc 0 IS the probe (doc_id == vec_id): exclude it from BOTH
-  -- rankings, not just the dense one — self-retrieval is not a result
-  WHERE {any_tf} > 0 AND doc_id <> 0
-),
-e AS ({vm_rel}),
+corpus AS (SELECT {stat_cols} FROM per_doc)
+SELECT doc_id, CAST(floor(({score}) * 1000000) AS BIGINT) AS s
+FROM per_doc CROSS JOIN corpus
+WHERE {any_tf} > 0 AND doc_id <> 0"""
+    # doc 0 IS the probe (doc_id == vec_id): excluded from BOTH rankings,
+    # not just the dense one — self-retrieval is not a result
+    dense_sql = f"""
+WITH e AS ({vm_rel}),
 probe AS (SELECT idx, vm FROM e WHERE vec_id = 0),
 pn AS (SELECT sum(vm * vm) AS nb FROM probe),
 dots AS (
@@ -410,15 +460,45 @@ dots AS (
   FROM e JOIN probe p ON p.idx = e.idx
   WHERE e.vec_id <> 0
   GROUP BY e.vec_id
+)
+SELECT doc_id,
+       CAST(dot AS DOUBLE)
+         / sqrt(CAST(na AS DOUBLE) * CAST(pn.nb AS DOUBLE)) AS cosv
+FROM dots, pn
+WHERE na > 0 AND pn.nb > 0"""
+    return text_sql, dense_sql
+
+
+def q_hybrid_rrf_fusion(dialect: str) -> str:
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    SIGIR'09): fuse the BM25 lexical ranking (same terms/parameters as
+    bm25_search_topk) with a dense ranking — quantized-cosine similarity
+    to the probe embedding (vec 0; doc_id == vec_id in the testdata) —
+    as rrf = sum over systems floor(1e6 / (60 + rank)), top-15.
+
+    Determinism: cosine operates on integer milli-unit components (exact
+    BIGINT dot products and norms; IEEE sqrt is correctly rounded, so
+    the double similarity is bit-identical across engines); BM25 reuses
+    the proven fixed-order score expression; every ranking ties off by
+    doc_id; fusion arithmetic is integer.
+
+    This SQL form is the DUCKDB oracle; the registered Spark plan is
+    :func:`q_hybrid_rrf_fusion_df`, which derives both system ranks from
+    the two-phase partition-offset global rank (the unpartitioned
+    row_number windows below would each plan a single-partition
+    WindowExec over corpus-sized relations).  The fusion joins the two
+    rank relations on doc_id and cuts top-15 with a TakeOrdered."""
+    text_sql, dense_sql = _rrf_scored_sql(dialect)
+    return f"""
+WITH ts AS ({text_sql}),
+ds AS ({dense_sql}),
+r_text AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM ts
 ),
 r_dense AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY
-           CAST(dot AS DOUBLE)
-             / sqrt(CAST(na AS DOUBLE) * CAST(pn.nb AS DOUBLE)) DESC,
-           doc_id) AS r
-  FROM dots, pn
-  WHERE na > 0 AND pn.nb > 0
+  SELECT doc_id, row_number() OVER (ORDER BY cosv DESC, doc_id) AS r
+  FROM ds
 ),
 fused AS (
   SELECT coalesce(t.doc_id, d.doc_id) AS doc_id,
@@ -438,12 +518,53 @@ ORDER BY rrf_micro DESC, doc_id
 LIMIT 15"""
 
 
+def q_hybrid_rrf_fusion_df(spark, sf_dir: str):
+    """Spark-side hybrid_rrf_fusion (see :func:`q_hybrid_rrf_fusion` for
+    semantics and the DuckDB oracle): the scored relations come from the
+    shared SQL (:func:`_rrf_scored_sql`), each system's exact rank from
+    operators/shuffle_tools.global_rank over (score DESC, doc_id) — a
+    range shuffle + partition-offset fixup, never a one-task sort of the
+    candidate relation — and the fusion is a doc_id equi-join with the
+    oracle's own rrf expression text, cut by TakeOrdered top-15."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.operators.shuffle_tools import global_rank
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    text_sql, dense_sql = _rrf_scored_sql("spark")
+    rt = global_rank(
+        spark.sql(text_sql), [F.col("s").desc(), F.col("doc_id")], out_col="r"
+    ).select(F.col("doc_id").alias("t_doc"), F.col("r").alias("t_r"))
+    rd = global_rank(
+        spark.sql(dense_sql),
+        [F.col("cosv").desc(), F.col("doc_id")],
+        out_col="r",
+    ).select(F.col("doc_id").alias("d_doc"), F.col("r").alias("d_r"))
+    fused = rt.join(rd, rt.t_doc == rd.d_doc, "full_outer").select(
+        F.expr("coalesce(t_doc, d_doc)").alias("doc_id"),
+        F.expr("CAST(coalesce(t_r, 0) AS BIGINT)").alias("rank_text"),
+        F.expr("CAST(coalesce(d_r, 0) AS BIGINT)").alias("rank_dense"),
+        F.expr(
+            "CAST(CASE WHEN t_r IS NULL THEN 0"
+            " ELSE floor(1000000.0 / (60 + t_r)) END"
+            " + CASE WHEN d_r IS NULL THEN 0"
+            " ELSE floor(1000000.0 / (60 + d_r)) END AS BIGINT)"
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(15)
+
+
 RETRIEVAL_EXT_QUERIES = {
     "bm25_search_topk": q_bm25_search_topk,
-    "hybrid_rrf_fusion": q_hybrid_rrf_fusion,
+    # hybrid_rrf_fusion moved to a DataFrame builder (q_hybrid_rrf_fusion_df,
+    # registered in plans.dataframe_queries) — the spark-dialect SQL form
+    # would plan single-partition WindowExec ranks over corpus-sized relations
     "decontam_exact_match": q_decontam_exact_match,
     "quality_classifier_hashed": q_quality_classifier_hashed,
     "k_anonymity_profile": q_k_anonymity_profile,
     "acf_value_lags": q_acf_value_lags,
-    "zorder_locality": q_zorder_locality,
+    # zorder_locality moved to a DataFrame builder (q_zorder_locality_df,
+    # registered in plans.dataframe_queries) — the spark-dialect SQL form
+    # would plan two single-partition WindowExec sorts of the fact table
 }

@@ -110,3 +110,49 @@ def test_bucketed_join_has_no_exchange(spark, events, dim, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_global_rank_matches_window_row_number(spark, events):
+    """global_rank must equal row_number() OVER (ORDER BY ...) exactly —
+    ascending, descending, and multi-column orders — without planning an
+    unpartitioned WindowExec over the input (round-9 VERDICT item 1)."""
+    from pyspark.sql import Window
+
+    from summarydb_spark.operators.shuffle_tools import (
+        global_rank,
+        release_rank_caches,
+    )
+
+    cases = [
+        (["event_id"], [F.col("event_id").asc()]),
+        ([F.col("value").desc(), F.col("event_id")],
+         [F.col("value").desc(), F.col("event_id").asc()]),
+    ]
+    for rank_order, win_order in cases:
+        got = {
+            (r["event_id"], r["rnk"])
+            for r in global_rank(events, rank_order, out_col="rnk")
+            .select("event_id", "rnk")
+            .collect()
+        }
+        want = {
+            (r["event_id"], r["rnk"])
+            for r in events.withColumn(
+                "rnk", F.row_number().over(Window.orderBy(*win_order)).cast("long")
+            )
+            .select("event_id", "rnk")
+            .collect()
+        }
+        assert got == want
+    assert release_rank_caches() >= 2
+
+
+def test_global_rank_empty_input(spark, events):
+    from summarydb_spark.operators.shuffle_tools import (
+        global_rank,
+        release_rank_caches,
+    )
+
+    empty = events.where(F.lit(False))
+    assert global_rank(empty, ["event_id"]).count() == 0
+    release_rank_caches()
