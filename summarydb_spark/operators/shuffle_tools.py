@@ -212,3 +212,82 @@ def global_rank(
         .withColumn(out_col, (F.col("_li") + F.col("_off") + 1).cast("long"))
         .drop("_pid", "_li", "_fix_pid", "_off")
     )
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    val_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``val_col`` within each ``part_col`` group
+    under ``order_cols`` — the two-phase twin of
+    ``sum(v) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`` that does NOT put each group on a single task: a
+    window cumsum over a one-language-dominant corpus routes the dominant
+    shard's entire doc list through one task at 100 TB; here the range
+    partitioner splits every group across partitions and only the
+    per-(partition, group) TOTALS (a tiny relation) are globally combined.
+
+    Same machinery and caveats as :func:`global_rank`: range shuffle +
+    in-partition sort, mapInPandas local accumulation, broadcast offset
+    fixup, and a pinned cache (released by :func:`release_rank_caches`)
+    so both passes see one partitioning.  NULL values accumulate as 0,
+    matching SQL ``sum``'s null-skipping.  Integer inputs only (the
+    accumulator is exact int64); the emitted sum is NULL-free (0 for the
+    first row of each group, like ``coalesce(prev_cum, 0)``)."""
+    order = [F.col(part_col)] + [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
+    d = df.repartitionByRange(*order).sortWithinPartitions(*order)
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema_out = StructType(
+        list(d.schema.fields)
+        + [StructField("_pid", IntegerType()), StructField("_lx", LongType())]
+    )
+
+    def local_sums(it):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        sums: dict = {}
+        for pdf in it:
+            lx = []
+            for key, v in zip(pdf[part_col], pdf[val_col]):
+                c = sums.get(key, 0)
+                lx.append(c)
+                if not pd.isna(v):
+                    sums[key] = c + int(v)
+            yield pdf.assign(_pid=pid, _lx=lx)
+
+    d = d.mapInPandas(local_sums, schema_out)
+    from pyspark import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    _RANK_PERSISTED.append(d)
+    totals = d.groupBy("_pid", part_col).agg(F.sum(val_col).alias("_t"))
+    from pyspark.sql import Window
+
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fixups = totals.select(
+        F.col("_pid").alias("_fix_pid"),
+        F.col(part_col).alias("_fix_key"),
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        d.join(
+            F.broadcast(fixups),
+            (F.col("_pid") == F.col("_fix_pid"))
+            & (F.col(part_col) == F.col("_fix_key")),
+        )
+        .withColumn(out_col, (F.col("_lx") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lx", "_fix_pid", "_fix_key", "_off")
+    )

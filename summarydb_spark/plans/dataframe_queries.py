@@ -2579,6 +2579,18 @@ def _equidepth_entry():
 
 DF_QUERIES["equidepth_histogram_value"] = _equidepth_entry()
 
+
+def _seq_packing_entry():
+    from summarydb_spark.plans.coverage_ext import (
+        q_seq_packing,
+        q_seq_packing_df,
+    )
+
+    return q_seq_packing_df, q_seq_packing("duckdb")
+
+
+DF_QUERIES["seq_packing"] = _seq_packing_entry()
+
 DF_QUERIES["heavy_hitters_misra_gries"] = (
     q_heavy_hitters_mg,
     ORACLE_HEAVY_HITTERS_MG,

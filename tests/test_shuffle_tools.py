@@ -156,3 +156,39 @@ def test_global_rank_empty_input(spark, events):
     empty = events.where(F.lit(False))
     assert global_rank(empty, ["event_id"]).count() == 0
     release_rank_caches()
+
+
+def test_partitioned_prefix_sum_matches_window(spark):
+    """Two-phase per-group exclusive prefix sum == the window cumsum,
+    including on a 95%-one-group skewed input (the regime the helper
+    exists for) and with NULL values (accumulate as 0, like SQL sum)."""
+    from pyspark.sql import Window
+
+    from summarydb_spark.operators.shuffle_tools import (
+        partitioned_prefix_sum,
+        release_rank_caches,
+    )
+
+    rows = [(("big" if i % 20 != 0 else f"s{i % 3}"), i,
+             None if i % 97 == 0 else (i * 7) % 101) for i in range(5000)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tok int")
+
+    got = {
+        (r["lang"], r["doc_id"], r["pc"])
+        for r in partitioned_prefix_sum(
+            df, "lang", ["doc_id"], "n_tok", out_col="pc"
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["lang"], r["doc_id"], r["pc"])
+        for r in df.withColumn(
+            "pc", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    assert got == want
+    release_rank_caches()
