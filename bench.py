@@ -4,6 +4,19 @@ and prints ONE JSON line with total + per-query wall seconds.
 
 Timing includes full execution to a noop sink (no driver materialization
 cost), after a small warm-up query to exclude JVM/session startup.
+
+Canary interpretation rule (round-9 VERDICT item 7): ``value`` (raw) is
+the honest number for THIS window — compare raw only against a DuckDB
+baseline regenerated back-to-back in the same window.  The normalized
+values (``value_normalized``, ``value_normalized_stratified``) divide by
+drift against the FROZEN anchors in CANARY_REF.json and are only
+comparable CROSS-ROUND against runs normalized to the same anchor; they
+can legitimately exceed raw when the window is *faster* than the anchor
+era (r09 closing run: cheap drift 0.77 made normalized 196.0 > raw
+151.9 — not a regression, a fast window).  Never silently re-anchor
+CANARY_REF.json: re-anchor ONLY when the canary queries' own code paths
+change, and record the re-anchor in BASELINE.md (old vs new reference
+means) so decade comparisons can be spliced.
 """
 
 from __future__ import annotations

@@ -323,6 +323,41 @@ def ivf_encode(
     )
 
 
+def ivf_list_skew(
+    encoded: DataFrame, nlist: int
+) -> tuple[int, float, float]:
+    """Occupancy skew of an inverted file: ``(max_list_size, mean_size,
+    ratio)`` with mean = total/nlist (EMPTY lists count — a quantizer
+    whose lists have emptied out is as stale as one with a hot list).
+    One tiny hash aggregate + a single-row collect (bounded scalar).
+
+    This is the re-train TRIGGER for append-batch maintenance: assigning
+    new vectors to existing lists (:func:`ivf_encode` with the persisted
+    centroids) keeps the index valid for any data, but a drifted batch
+    piles into few lists and candidate volume per probe degrades toward
+    n_probe * max_list.  When ratio passes the caller's bound, re-train
+    the quantizer on the full corpus — the exact analogue of
+    dedup_pairs_banded_delta's append-only contract with its rebuild
+    boundary."""
+    row = (
+        encoded.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .head()
+    )
+    mx = int(row["mx"] or 0)
+    mean = float(row["tot"] or 0) / max(1, nlist)
+    return mx, mean, (mx / mean if mean > 0 else float("inf"))
+
+
+def ivf_needs_retrain(
+    encoded: DataFrame, nlist: int, bound: float = 8.0
+) -> bool:
+    """True when the inverted file's max/mean list-occupancy ratio passes
+    ``bound`` (see :func:`ivf_list_skew`)."""
+    return ivf_list_skew(encoded, nlist)[2] > bound
+
+
 def ivf_topk(
     corpus: Optional[DataFrame],
     queries: DataFrame,

@@ -375,6 +375,19 @@ def q_knn_label_noise_indexed_df(spark, sf_dir: str):
 
     cent = np.load(io.BytesIO(store_sidecar(path, "_model.npy")))
     store = spark.read.parquet(path)
+    return _route_ivf_label_flags(spark, sf_dir, cent, store)
+
+
+def _route_ivf_label_flags(spark, sf_dir: str, cent, store):
+    """The shared probe->route->rerank->vote tail of the IVF-indexed
+    label-noise family: given the quantizer ``cent`` and the inverted
+    file ``store`` (neighbor_id, cand_label, cand_emb, list_id), route
+    the vec_id % 5 probes and emit the flag relation (see
+    q_knn_label_noise_indexed_df for the staging rationale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.functions import similarity
 
     corpus = _knn_planted_corpus_df(spark, sf_dir)
     probes = corpus.where("vec_id % 5 = 0").select(
@@ -455,6 +468,117 @@ def q_knn_label_noise_indexed_df(spark, sf_dir: str):
         )
         .orderBy("vec_id")
     )
+
+
+#: max/mean list-occupancy ratio beyond which append-batch maintenance
+#: must fall back to a full quantizer re-train (see ivf_list_skew)
+IVF_SKEW_RETRAIN_BOUND = 8.0
+
+
+def q_knn_label_noise_ivf_delta_df(spark, sf_dir: str):
+    """Append-batch IVF index maintenance (round-9 VERDICT item 5): the
+    label-noise flags routed through an INCREMENTALLY MAINTAINED index —
+    base index built on the standing corpus (vec_id % 7 != 0: quantizer
+    trained there, inverted file persisted), then the arriving batch
+    (vec_id % 7 = 0, the repo's deterministic split) is assigned to the
+    EXISTING lists with the persisted centroids (one Arrow-batched
+    linear scan over the batch only — no re-train, no touch of the base
+    files) and persisted as an append-only DELTA store.  Search reads
+    base ∪ delta — exactly the files-added-to-the-index-directory shape
+    of production ANN ingestion, the analogue of
+    dedup_pairs_banded_delta's contract for the pair store.
+
+    Re-train trigger: if the maintained file's max/mean list occupancy
+    passes IVF_SKEW_RETRAIN_BOUND (a drifted batch piling into few
+    lists), fall back to the fully rebuilt index
+    (q_knn_label_noise_indexed_df) — deterministic either way.  The
+    planted corpus appends uniformly (ratio ~1), so the incremental path
+    is the one the gates measure; the trigger itself is pinned by
+    tests/test_pipeline_ext.py with a planted single-list batch.
+
+    Contract: hash-matches the EXHAUSTIVE twin (q_knn_label_noise is
+    the oracle) — same flags as the full-rebuild-indexed query, proving
+    the maintained index lost no recall vs a rebuild.  Scale: per-batch
+    maintenance cost is O(|batch| * nlist) assignment work, independent
+    of the standing corpus; the routed search is the same O(n^1.5)
+    plan as knn_label_noise_indexed."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.functions import similarity
+    from summarydb_spark.sources.tables import ensure_store, store_sidecar
+
+    def _np_bytes(arr) -> bytes:
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return buf.getvalue()
+
+    def build_base(s):
+        base = _knn_planted_corpus_df(s, sf_dir).where("vec_id % 7 != 0")
+        n = base.count()
+        nlist = similarity.adaptive_ivf_centroids(n)
+        cent = similarity.train_ivf_centroids(
+            base, emb_col="emb", n_centroids=nlist
+        )
+        enc = similarity.ivf_encode(
+            base, cent, emb_col="emb", id_col="vec_id"
+        ).select("neighbor_id", "list_id")
+        store = enc.join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("cand_label"),
+                F.col("emb").alias("cand_emb"),
+            ),
+            "neighbor_id",
+        )
+        return store, {
+            "_model.npy": _np_bytes(cent),
+            "_params.json": _json.dumps(
+                {"n_base": n, "n_centroids": nlist}
+            ).encode(),
+        }
+
+    base_path = ensure_store(
+        spark, sf_dir, "knn_ivf_label_index_base", build_base
+    )
+    import io
+
+    import numpy as np
+
+    cent = np.load(io.BytesIO(store_sidecar(base_path, "_model.npy")))
+    params = _json.loads(store_sidecar(base_path, "_params.json"))
+
+    def build_delta(s):
+        batch = _knn_planted_corpus_df(s, sf_dir).where("vec_id % 7 = 0")
+        enc = similarity.ivf_encode(
+            batch, cent, emb_col="emb", id_col="vec_id"
+        ).select("neighbor_id", "list_id")
+        store = enc.join(
+            batch.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("cand_label"),
+                F.col("emb").alias("cand_emb"),
+            ),
+            "neighbor_id",
+        )
+        return store, None
+
+    delta_path = ensure_store(
+        spark, sf_dir, "knn_ivf_label_index_delta", build_delta
+    )
+    store = spark.read.parquet(base_path).unionByName(
+        spark.read.parquet(delta_path)
+    )
+    if similarity.ivf_needs_retrain(
+        store.select("list_id"), params["n_centroids"], IVF_SKEW_RETRAIN_BOUND
+    ):
+        return q_knn_label_noise_indexed_df(spark, sf_dir)
+    return _route_ivf_label_flags(spark, sf_dir, cent, store)
 
 
 def q_kmeans_lloyd_df(spark, sf_dir: str):
@@ -907,6 +1031,13 @@ PIPELINE_DF_QUERIES = {
     # the index-routed scale path; its oracle IS the exhaustive twin
     "knn_label_noise_indexed": (
         q_knn_label_noise_indexed_df,
+        q_knn_label_noise("duckdb"),
+    ),
+    # append-batch index maintenance: routed through base ∪ delta stores,
+    # same exhaustive oracle — a match proves the maintained index equals
+    # a full rebuild's recall
+    "knn_label_noise_ivf_delta": (
+        q_knn_label_noise_ivf_delta_df,
         q_knn_label_noise("duckdb"),
     ),
 }

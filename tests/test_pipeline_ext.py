@@ -466,3 +466,51 @@ def test_ivf_cogroup_scores_matches_bruteforce(spark):
             for (q1, n1, s1), (q2, n2, s2) in zip(want, have):
                 assert (q1, n1) == (q2, n2)
                 assert abs(s1 - s2) < 1e-12
+
+
+def test_ivf_delta_equals_rebuild_and_exhaustive(spark):
+    """The append-maintained index (base on vec_id%7!=0, batch assigned to
+    existing lists) must flag the IDENTICAL rows as both the full-rebuild
+    index and the exhaustive twin — zero recall lost to maintenance."""
+    rows = lambda name: {
+        tuple(r) for r in run(spark, name).collect()
+    }
+    delta = rows("knn_label_noise_ivf_delta")
+    rebuilt = rows("knn_label_noise_indexed")
+    exhaustive = rows("knn_label_noise")
+    assert delta == rebuilt == exhaustive
+    assert delta, "vacuous: the planted corpus must contain flags"
+
+
+def test_ivf_skew_trigger(spark):
+    """ivf_list_skew / ivf_needs_retrain: a uniform inverted file stays
+    under the bound; a batch piling into one list trips it; empty lists
+    count toward the mean (drained quantizer also shows skew)."""
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.functions.similarity import (
+        ivf_list_skew,
+        ivf_needs_retrain,
+    )
+
+    nlist = 16
+    uniform = spark.range(1600).select(
+        (F.col("id") % nlist).cast("int").alias("list_id")
+    )
+    mx, mean, ratio = ivf_list_skew(uniform, nlist)
+    assert (mx, mean) == (100, 100.0) and ratio == 1.0
+    assert not ivf_needs_retrain(uniform, nlist, bound=8.0)
+
+    # planted drift: 1600 base uniform + 1500 batch rows all in list 0
+    skewed = uniform.unionByName(
+        spark.range(1500).select(F.lit(0).cast("int").alias("list_id"))
+    )
+    assert ivf_needs_retrain(skewed, nlist, bound=8.0)
+
+    # drained file: all mass in 2 of 16 lists -> ratio 8 exactly (not >)
+    drained = spark.range(200).select(
+        (F.col("id") % 2).cast("int").alias("list_id")
+    )
+    assert ivf_list_skew(drained, nlist)[2] == 8.0
+    assert not ivf_needs_retrain(drained, nlist, bound=8.0)
+    assert ivf_needs_retrain(drained, nlist, bound=7.9)
