@@ -2851,6 +2851,95 @@ DF_QUERIES["dedup_containment_delta"] = (
 )
 
 
+_WEIGHTED_JACCARD_T = 0.2
+
+
+def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED (multiplicity-aware) near-dup pairs: same-block pairs with
+    weighted Jaccard Σ_g min(c_a, c_b) / Σ_g max(c_a, c_b) >= 0.2 over
+    3-gram occurrence counts — the boilerplate regime duplicate detector
+    (navigation chrome, templated headers) where SET Jaccard overcounts:
+    a doc that repeats one shared paragraph 10x is weighted-similar only
+    if the other doc repeats it too.
+
+    Generation is CONSISTENT WEIGHTED SAMPLING specialized to integer
+    weights (Ioffe, ICDM 2010 reduces to this exactly for integral
+    multiplicities): each gram with count c expands to c distinct
+    elements (g, 1)..(g, c), and plain MinHash over the expanded sets
+    has collision probability = |∩exp| / |∪exp| = Σmin / Σmax, the
+    weighted Jaccard.  That lets the proven r=1 banded builder
+    (functions/dedup.banded_jaccard_pairs — hot-bucket guard, rep
+    collapse, 1e-6 per-pair miss bound) run UNCHANGED over the expanded
+    relation, and its exact set verify IS the exact weighted verify.
+    Expansion cost is Σc = total gram occurrences = corpus token volume
+    — linear, never quadratic.
+
+    The oracle is the exhaustive same-block Σmin/Σmax join, so a
+    hash-match proves generation recall exactly as for
+    dedup_pairs_banded.  Emits (doc_a, doc_b, wjaccard round-6; the
+    quotient of identical exact integers in both engines)."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+    from summarydb_spark.plans.llm_sql import ngram_multiset_blocks_sql
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    g = spark.sql(ngram_multiset_blocks_sql("spark"))
+    cnt = (
+        g.select("doc_id", "lang", "len_bucket", F.explode("gh").alias("g"))
+        .groupBy("doc_id", "lang", "len_bucket", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    expd = cnt.withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.col("c")))
+    ).select(
+        "doc_id", "lang", "len_bucket", F.xxhash64("g", "j").alias("e")
+    )
+    # sort for a deterministic content digest (collect_list order is
+    # partition-dependent; identical multisets must collapse together)
+    wsets = expd.groupBy("doc_id", "lang", "len_bucket").agg(
+        F.sort_array(F.collect_list("e")).alias("sh")
+    )
+    return banded_jaccard_pairs(wsets, _WEIGHTED_JACCARD_T).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("jaccard").alias("wjaccard"),
+    )
+
+
+def _oracle_weighted_minhash() -> str:
+    from summarydb_spark.plans.llm_sql import ngram_multiset_blocks_sql
+
+    return f"""
+WITH m AS ({ngram_multiset_blocks_sql("duckdb")}),
+g AS (SELECT doc_id, lang, len_bucket, unnest(gh) AS g FROM m),
+c AS (
+  SELECT doc_id, lang, len_bucket, g, count(*) AS c
+  FROM g GROUP BY doc_id, lang, len_bucket, g
+),
+tot AS (SELECT doc_id, sum(c) AS t FROM c GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(least(a.c, b.c)) AS smin
+  FROM c a
+  JOIN c b ON b.lang = a.lang AND b.len_bucket = a.len_bucket
+          AND b.g = a.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.smin * 1.0 / (ta.t + tb.t - i.smin), 6) AS wjaccard
+FROM inter i
+JOIN tot ta ON ta.doc_id = i.doc_a
+JOIN tot tb ON tb.doc_id = i.doc_b
+WHERE i.smin * 1.0 / (ta.t + tb.t - i.smin) >= {_WEIGHTED_JACCARD_T}
+ORDER BY doc_a, doc_b"""
+
+
+DF_QUERIES["dedup_weighted_minhash"] = (
+    q_dedup_weighted_minhash,
+    _oracle_weighted_minhash(),
+)
+
+
 # -- Pareto frontier (skyline) ------------------------------------------------
 
 

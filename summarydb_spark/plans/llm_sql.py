@@ -247,6 +247,37 @@ FROM (
 )"""
 
 
+def ngram_multiset_blocks_sql(dialect: str) -> str:
+    """MULTISET twin of :func:`ngram_blocks_sql`: the same blocked 3-gram
+    relation WITHOUT the distinct — one hash per gram OCCURRENCE — for
+    the weighted (multiplicity-aware) dedup family.  Emits (doc_id,
+    lang, len_bucket, gh: array<int64> with repeats)."""
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        grams = (
+            "CASE WHEN size(toks) >= 3 THEN "
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3)))) "
+            "ELSE array(xxhash64(concat_ws(' ', toks))) END"
+        )
+    else:
+        toks = "string_split(text, ' ')"
+        grams = (
+            "CASE WHEN len(toks) >= 3 THEN "
+            "[hash(array_to_string(toks[i+1:i+3], ' ')) "
+            "for i in range(0, len(toks) - 2)] "
+            "ELSE [hash(array_to_string(toks, ' '))] END"
+        )
+    return f"""
+SELECT doc_id, lang,
+       CAST(floor(n_chars_t / 100.0) AS BIGINT) AS len_bucket,
+       {grams} AS gh
+FROM (
+  SELECT doc_id, lang, length(text) AS n_chars_t, {toks} AS toks
+  FROM documents
+)"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------

