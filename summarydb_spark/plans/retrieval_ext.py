@@ -229,6 +229,43 @@ FROM g CROSS JOIN (VALUES {vals}) AS t(k_min) CROSS JOIN tot
 GROUP BY t.k_min"""
 
 
+L_DIV_THRESHOLDS = (2, 3, 5, 10)
+
+
+def q_l_diversity_profile(dialect: str) -> str:
+    """l-diversity audit — the companion governance check to
+    :func:`q_k_anonymity_profile` (Machanavajjhala et al., TKDD 2007):
+    a k-anonymous class is still attribute-disclosing when everyone in
+    it shares the SENSITIVE value, so each (nation, market-segment)
+    equivalence class is scored by the number of DISTINCT sensitive
+    values it contains (account-balance k$-bucket as the sensitive
+    attribute), and the profile reports, per threshold l, the classes
+    and rows below it.  Pure integer counting over one hash aggregate;
+    the threshold spine cross-joins the O(#classes) output."""
+    vals = ", ".join(f"({l})" for l in L_DIV_THRESHOLDS)
+    return f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS k,
+         count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0)
+                             AS BIGINT)) AS l
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+tot AS (
+  SELECT count(*) AS n_groups, sum(k) AS n_rows FROM g
+)
+SELECT t.l_min,
+       CAST(sum(CASE WHEN g.l < t.l_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below,
+       CAST(sum(CASE WHEN g.l < t.l_min THEN g.k ELSE 0 END) AS BIGINT)
+         AS rows_below,
+       CAST(max(tot.n_groups) AS BIGINT) AS n_groups,
+       CAST(CAST(sum(CASE WHEN g.l < t.l_min THEN g.k ELSE 0 END) * 1000000
+                 AS BIGINT) / max(tot.n_rows) AS BIGINT)
+         AS rows_below_ppm
+FROM g CROSS JOIN (VALUES {vals}) AS t(l_min) CROSS JOIN tot
+GROUP BY t.l_min"""
+
+
 ACF_LAGS = (1, 2, 3, 4, 5, 6, 7)
 
 
@@ -563,6 +600,7 @@ RETRIEVAL_EXT_QUERIES = {
     "decontam_exact_match": q_decontam_exact_match,
     "quality_classifier_hashed": q_quality_classifier_hashed,
     "k_anonymity_profile": q_k_anonymity_profile,
+    "l_diversity_profile": q_l_diversity_profile,
     "acf_value_lags": q_acf_value_lags,
     # zorder_locality moved to a DataFrame builder (q_zorder_locality_df,
     # registered in plans.dataframe_queries) — the spark-dialect SQL form
