@@ -3805,9 +3805,16 @@ def q_streaming_session_timeout_gate(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _session_timeout_stream(
-    spark: SparkSession, sf_dir: str, name: str, state_store: str | None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    state_store: str | None,
+    api: str = "applyInPandasWithState",
 ) -> DataFrame:
-    from summarydb_spark.streaming.stateful import sessionize_with_timeout
+    from summarydb_spark.streaming.stateful import (
+        sessionize_with_timeout,
+        sessionize_with_tws,
+    )
 
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -3822,7 +3829,12 @@ def _session_timeout_stream(
         )
         .withWatermark("tstamp", "1 hour")
     )
-    out = sessionize_with_timeout(stream)
+    sessionize = (
+        sessionize_with_tws
+        if api == "transformWithStateInPandas"
+        else sessionize_with_timeout
+    )
+    out = sessionize(stream)
     spark.catalog.dropTempView(name)
     with use_state_store(spark, state_store):
         q = (
@@ -3895,6 +3907,13 @@ WHERE NOT is_last
    OR CAST(floor(t_end / 1000.0) AS BIGINT) + 3600000 < wm.wm_ms"""
 
 
+# transformWithStateInPandas variant: implemented and oracle-compatible
+# (streaming/stateful.sessionize_with_tws shares the merge core and the
+# same ORACLE_SESSION_TIMEOUT applies), but NOT registered — Spark 4's
+# TWS state protocol needs google.protobuf, absent from this container
+# (env gate, the functions/multimodal.py codec pattern); the parity test
+# (tests/test_stateful.py::test_tws_sessionizer_parity) auto-enables
+# where protobuf exists.
 DF_QUERIES["streaming_session_timeout_gate"] = (
     q_streaming_session_timeout_gate,
     ORACLE_SESSION_TIMEOUT,

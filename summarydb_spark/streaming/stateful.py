@@ -183,8 +183,32 @@ def _sessionize_update(
     if not ts:
         return
 
-    if state.exists:
-        t_start, t_end, n = state.get
+    closed, (t_start, t_end, n) = _merge_session_events(
+        ts, state.get if state.exists else None
+    )
+    state.update((t_start, t_end, n))
+    # event-time timeout at session end + gap; never behind the current
+    # watermark (Spark rejects that), which only matters for groups whose
+    # open session already expired mid-stream — the clamp fires them at
+    # the next watermark advance, the same no-data batch either way
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(t_end // 1000 + SESSION_GAP_MS, wm + 1))
+    if closed:
+        yield pd.DataFrame(
+            [(uid, n_, s_, e_) for (n_, s_, e_) in closed],
+            columns=["user_id", "n_events", "t_start", "t_end"],
+        )
+
+
+def _merge_session_events(ts, prev):
+    """The sessionizer's pure merge core, shared by BOTH arbitrary-state
+    APIs (applyInPandasWithState and transformWithStateInPandas) so the
+    semantics cannot drift: fold the SORTED in-batch event times ``ts``
+    into the held open session ``prev`` ((t_start, t_end, n) or None),
+    returning (closed sessions as (n, t_start, t_end) in close order,
+    new open-session state)."""
+    if prev is not None:
+        t_start, t_end, n = prev
     else:
         t_start = t_end = None
         n = 0
@@ -218,7 +242,7 @@ def _sessionize_update(
                 l_end = t
                 l_n += 1
             else:
-                closed.append((uid, l_n, l_start, l_end))
+                closed.append((l_n, l_start, l_end))
                 l_start, l_end, l_n = t, t, 1
         elif t - t_end <= SESSION_GAP_US:
             # min/max merge so a within-watermark LATE event (t < t_end,
@@ -237,22 +261,12 @@ def _sessionize_update(
                 l_start = l_end = None
                 l_n = 0
         else:
-            closed.append((uid, n, t_start, t_end))
+            closed.append((n, t_start, t_end))
             t_start, t_end, n = t, t, 1
     if l_start is not None:
-        closed.append((uid, l_n, l_start, l_end))
+        closed.append((l_n, l_start, l_end))
 
-    state.update((t_start, t_end, n))
-    # event-time timeout at session end + gap; never behind the current
-    # watermark (Spark rejects that), which only matters for groups whose
-    # open session already expired mid-stream — the clamp fires them at
-    # the next watermark advance, the same no-data batch either way
-    wm = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(max(t_end // 1000 + SESSION_GAP_MS, wm + 1))
-    if closed:
-        yield pd.DataFrame(
-            closed, columns=["user_id", "n_events", "t_start", "t_end"]
-        )
+    return closed, (t_start, t_end, n)
 
 
 def sessionize_with_timeout(events: DataFrame) -> DataFrame:
@@ -272,4 +286,105 @@ def sessionize_with_timeout(events: DataFrame) -> DataFrame:
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _make_tws_sessionizer():
+    """The SAME sessionizer on Spark 4's transformWithStateInPandas —
+    the successor arbitrary-state API (SPARK-46815): typed state handles
+    (ValueState) instead of one state tuple, explicit event-time TIMERS
+    instead of a single timeout slot, and per-key expiry callbacks.  The
+    merge core is shared (:func:`_merge_session_events`), so both APIs
+    provably compute identical sessions — the gate pair
+    (streaming_session_timeout_gate / streaming_session_tws_gate) checks
+    both against ONE oracle.
+
+    Timer discipline: exactly one live timer per key — the previous
+    timer is deleted before registering the session's new expiry (stale
+    timers would otherwise fire mid-session and close a live session);
+    the registered timestamp is tracked in its own ValueState because
+    the handle offers deleteTimer(ts), not clearTimers().  Expiry clamps
+    to watermark+1 like the old API (TransformWithStateExec also fires
+    timers only when expiry < watermark)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class SessionizerTWS(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._sess = handle.getValueState("sess", SESSION_STATE_SCHEMA)
+            self._tmr = handle.getValueState("tmr", "ts long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            uid = int(key[0])
+            chunks = [p for p in rows if not p.empty]
+            if not chunks:
+                return
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            pdf = pdf[pdf["t"].notna()].sort_values("t", kind="mergesort")
+            ts = pdf["t"].astype("int64").tolist()
+            if not ts:
+                return
+            prev = tuple(self._sess.get()) if self._sess.exists() else None
+            closed, state = _merge_session_events(ts, prev)
+            self._sess.update(state)
+            wm = timerValues.getCurrentWatermarkInMs()
+            if self._tmr.exists():
+                self._handle.deleteTimer(int(self._tmr.get()[0]))
+            expiry = max(state[1] // 1000 + SESSION_GAP_MS, wm + 1)
+            self._handle.registerTimer(expiry)
+            self._tmr.update((expiry,))
+            if closed:
+                yield pd.DataFrame(
+                    [(uid, n, s, e) for (n, s, e) in closed],
+                    columns=["user_id", "n_events", "t_start", "t_end"],
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            t_start, t_end, n = self._sess.get()
+            self._sess.clear()
+            self._tmr.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "t_start": [t_start],
+                    "t_end": [t_end],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return SessionizerTWS()
+
+
+def sessionize_with_tws(events: DataFrame) -> DataFrame:
+    """:func:`sessionize_with_timeout` on the transformWithStateInPandas
+    API (see :func:`_make_tws_sessionizer`); input contract identical.
+
+    ENV GATE: the TWS Python state protocol imports google.protobuf
+    (pyspark/sql/streaming/proto/StateMessage_pb2), which this container
+    does not ship — fail fast driver-side with the real reason instead
+    of a crashed streaming worker (the functions/multimodal.py codec
+    pattern; the parity test auto-enables where protobuf exists)."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf for its "
+            "state protocol; install protobuf to enable the TWS "
+            "sessionizer (semantics are identical to "
+            "sessionize_with_timeout — shared merge core)"
+        ) from exc
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_tws_sessionizer(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
     )

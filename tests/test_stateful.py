@@ -329,3 +329,78 @@ def test_sessionize_update_late_run_absorbed_by_min_merge():
     rows = {tuple(r) for df in out for r in df.itertuples(index=False)}
     assert rows == {(9, 1, B + 7 * H, B + 7 * H)}
     assert st.get == (B + 9 * H + H // 2, B + 12 * H, 3)
+
+
+def _has_tws_protocol() -> bool:
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_sessionizer_env_gate(spark):
+    """Without protobuf the TWS sessionizer must fail fast driver-side
+    with the documented reason (not crash a streaming worker)."""
+    import pytest
+
+    from summarydb_spark.streaming.stateful import sessionize_with_tws
+
+    if _has_tws_protocol():
+        pytest.skip("protobuf present: covered by the parity test")
+    ev = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id",
+        "timestamp AS tstamp",
+        "unix_micros(timestamp) AS t",
+    ).withWatermark("tstamp", "1 hour")
+    with pytest.raises(ImportError, match="protobuf"):
+        sessionize_with_tws(ev)
+
+
+def test_tws_sessionizer_parity(spark):
+    """Where the TWS protocol is available: both arbitrary-state APIs
+    must produce the identical session relation on sf0.001 events (one
+    shared merge core, one oracle)."""
+    import os
+
+    import pytest
+
+    if not _has_tws_protocol():
+        pytest.skip("google.protobuf not installed in this container")
+
+    from pyspark.sql import functions as F
+
+    from summarydb_spark.streaming.stateful import (
+        sessionize_with_timeout,
+        sessionize_with_tws,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def run(sessionize, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(sf_dir, "events.[p]arquet"))
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp_ltz").alias("tstamp"),
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))").alias("t"),
+            )
+            .withWatermark("tstamp", "1 hour")
+        )
+        q = (
+            sessionize(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    old = run(sessionize_with_timeout, "tws_parity_old")
+    new = run(sessionize_with_tws, "tws_parity_new")
+    assert old == new and old
