@@ -2724,7 +2724,22 @@ def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, and a prefix x postings equi-join whose volume is
     sum_over_prefix_tokens(df) — linear in occurrences of RARE
     shingles, never the block cross join; verify touches candidates
-    only.  Emits (doc_a, doc_b, containment_ppm)."""
+    only.  Emits (doc_a, doc_b, containment_ppm).
+
+    VOCABULARY BOUNDARY (round-10 measurement, BASELINE.md): in a
+    CLOSED shingle vocabulary even the rarest prefix tokens' df grows
+    linearly with the corpus, so the candidate volume grows ~n^2 —
+    measured on the synthetic decade: 41.6k -> 5.3M -> 653M join rows
+    at sf0.1/sf1/sf10 (max prefix df 5 -> 45 -> 409); the sf10 run
+    spills unboundedly.  This is the same boundary BASELINE.md round 6
+    established for low-threshold Jaccard: no exact prefix filter is
+    sub-quadratic once the vocabulary saturates.  In the OPEN-vocabulary
+    regime this operator is designed for (real web corpora; rare-shingle
+    df bounded), the same plan is LINEAR: planted open-vocab corpus,
+    50k -> 500k docs = join volume 610k -> 6.1M (exactly 10x), wall
+    9.3x at 10x (tools/measure_containment_openvocab.py).  Full-value
+    sf1 oracle check: tools/check_containment_sf1.py, 732/183 pairs
+    MATCH."""
     from summarydb_spark.sources.tables import register_tables
 
     register_tables(spark, sf_dir)
