@@ -2955,6 +2955,59 @@ DF_QUERIES["dedup_weighted_minhash"] = (
 )
 
 
+def q_dedup_weighted_minhash_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of the WEIGHTED pair store: the weighted
+    near-dup delta for an arriving batch (doc_id % 7 = 0) — only pairs
+    with >= 1 batch endpoint are expanded and verified, through the
+    banded builder's delta gating (bucket-expansion-time filter, the
+    same contract as dedup_pairs_banded_delta).  The oracle filters the
+    exhaustive weighted relation to batch-endpoint pairs, so a
+    hash-match proves the delta is exactly what a store rebuild would
+    add."""
+    from summarydb_spark.functions.dedup import banded_jaccard_pairs
+    from summarydb_spark.plans.llm_sql import ngram_multiset_blocks_sql
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    g = spark.sql(ngram_multiset_blocks_sql("spark"))
+    cnt = (
+        g.select("doc_id", "lang", "len_bucket", F.explode("gh").alias("g"))
+        .groupBy("doc_id", "lang", "len_bucket", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    expd = cnt.withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.col("c")))
+    ).select(
+        "doc_id", "lang", "len_bucket", F.xxhash64("g", "j").alias("e")
+    )
+    wsets = expd.groupBy("doc_id", "lang", "len_bucket").agg(
+        F.sort_array(F.collect_list("e")).alias("sh")
+    ).withColumn("is_new", F.col("doc_id") % 7 == 0)
+    return banded_jaccard_pairs(
+        wsets, _WEIGHTED_JACCARD_T, delta_col="is_new"
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("jaccard").alias("wjaccard"),
+    )
+
+
+def _oracle_weighted_minhash_delta() -> str:
+    return f"""
+WITH full_rel AS ({_oracle_weighted_minhash()})
+SELECT doc_a, doc_b, wjaccard FROM full_rel
+WHERE doc_a % 7 = 0 OR doc_b % 7 = 0
+ORDER BY doc_a, doc_b"""
+
+
+DF_QUERIES["dedup_weighted_minhash_delta"] = (
+    q_dedup_weighted_minhash_delta,
+    _oracle_weighted_minhash_delta(),
+)
+
+
 # -- Pareto frontier (skyline) ------------------------------------------------
 
 
