@@ -1244,6 +1244,57 @@ def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_wm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE production variant of streaming_dedup_gate:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the watermark passes (event_time + delay), so state is
+    O(keys within the horizon) instead of O(all keys ever) — the API a
+    real at-least-once ingest runs forever.  Duplicate delivery is the
+    same two-readers-union construction; the delay is sized to cover
+    the corpus's full event-time span (744 h > the 31-day synthetic
+    range), so no duplicate's state can expire between its deliveries
+    regardless of micro-batch split and the result provably equals the
+    batch relation (production sizes the delay to the max duplicate
+    lag instead — that is the entire point of the bounded variant).
+    Same oracle as the unbounded gate."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+
+    def src(glob: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(glob)
+            .select(
+                "event_id",
+                "event_type",
+                F.col("ts").cast("timestamp_ltz").alias("tstamp"),
+            )
+        )
+
+    stream = (
+        src(os.path.join(sf_dir, "events.[p]arquet"))
+        .unionByName(src(os.path.join(sf_dir, "events.[pq]arquet")))
+        .withWatermark("tstamp", "744 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "streaming_dedup_wm_gate_sink"
+    spark.catalog.dropTempView(name)
+    with use_state_store(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
 ORACLE_STREAMING_DEDUP = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type"""
@@ -2049,6 +2100,10 @@ DF_QUERIES = {
     ),
     "streaming_dedup_gate": (
         q_streaming_dedup_gate,
+        ORACLE_STREAMING_DEDUP,
+    ),
+    "streaming_dedup_wm_gate": (
+        q_streaming_dedup_wm_gate,
         ORACLE_STREAMING_DEDUP,
     ),
     "streaming_mixed_policy_gate": (
