@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from summarydb_spark.functions import dedup, similarity
-from summarydb_spark.streaming.state import use_state_store
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,18 +841,13 @@ def q_streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t").alias("t_end"),
         )
     )
-    name = "streaming_sessionize_gate_sink"
-    spark.catalog.dropTempView(name)
-    with use_state_store(spark):
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination()
-    return spark.table(name).select("user_id", "n_events", "t_start", "t_end")
+    return _run_stream_to_memory(
+        stream,
+        "streaming_sessionize_gate_sink",
+        spark,
+        sources=(path,),
+        output_mode="complete",
+    ).select("user_id", "n_events", "t_start", "t_end")
 
 
 def q_streaming_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,18 +875,12 @@ def q_streaming_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("tstamp", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = "streaming_watermark_gate_sink"
-    spark.catalog.dropTempView(name)
-    with use_state_store(spark):
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_stream_to_memory(
+        stream,
+        "streaming_watermark_gate_sink",
+        spark,
+        sources=(path,),
+    ).select(
         F.expr("unix_micros(w.start)").alias("w_start_us"),
         "event_type",
         F.col("n").cast("long").alias("n"),
@@ -1019,8 +1007,19 @@ def q_streaming_mixed_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         value_col="v",
         order_cols=("idx",),
     )
-    q = summ.start(source, os.path.join(work, "cp"), available_now=True)
-    q.awaitTermination()
+    from summarydb_spark.streaming.state import (
+        scoped_shuffle_partitions,
+        stream_shuffle_partitions,
+    )
+
+    # stream-sized partitions (scale-adaptive, streaming/state.py): the
+    # per-micro-batch fold aggregations and snapshot files at the session
+    # default (32) are pure fixed cost for a 512-event stream
+    with scoped_shuffle_partitions(
+        spark, stream_shuffle_partitions(spark, src)
+    ):
+        q = summ.start(source, os.path.join(work, "cp"), available_now=True)
+        q.awaitTermination()
     return summ.summary().select(
         "stream_id",
         F.col("window_id").cast("long").alias("window_id"),
@@ -1121,30 +1120,45 @@ def q_streaming_restart_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=("idx",),
         )
 
-    # phase 1 (the planted crash): fold batch 0 — the first file's rows,
-    # exactly what the streaming query's batch 0 will re-deliver — and
-    # commit its state version, but leave NO checkpoint offsets behind
-    summ = mk_summ()
-    summ.process_batch(
-        spark.read.schema("stream_id long, idx long, t long, v double")
-        .parquet(src)
-        .where(F.col("idx") < 128),
-        0,
+    from summarydb_spark.streaming.state import (
+        scoped_shuffle_partitions,
+        stream_shuffle_partitions,
     )
 
-    # phase 2 (the restart): fresh summarizer, FRESH checkpoint -> batch
-    # 0 replays the already-folded file (one file per trigger, mtime
-    # order) and must be skipped by the _COMMIT marker; batch 1 drains
-    # the rest
-    summ2 = mk_summ()
-    q2 = summ2.start(
-        spark.readStream.schema("stream_id long, idx long, t long, v double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src),
-        os.path.join(work, "cp"),
-        available_now=True,
-    )
-    q2.awaitTermination()
+    # the whole kill+restart sequence runs at the stream-sized partition
+    # count (scale-adaptive, streaming/state.py) — the summarizer's
+    # per-micro-batch fold aggregations and snapshot files at the
+    # session default (32) are pure fixed cost for a 384-event stream
+    with scoped_shuffle_partitions(
+        spark, stream_shuffle_partitions(spark, src)
+    ):
+        # phase 1 (the planted crash): fold batch 0 — the first file's
+        # rows, exactly what the streaming query's batch 0 will
+        # re-deliver — and commit its state version, but leave NO
+        # checkpoint offsets behind
+        summ = mk_summ()
+        summ.process_batch(
+            spark.read.schema("stream_id long, idx long, t long, v double")
+            .parquet(src)
+            .where(F.col("idx") < 128),
+            0,
+        )
+
+        # phase 2 (the restart): fresh summarizer, FRESH checkpoint ->
+        # batch 0 replays the already-folded file (one file per trigger,
+        # mtime order) and must be skipped by the _COMMIT marker; batch 1
+        # drains the rest
+        summ2 = mk_summ()
+        q2 = summ2.start(
+            spark.readStream.schema(
+                "stream_id long, idx long, t long, v double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            os.path.join(work, "cp"),
+            available_now=True,
+        )
+        q2.awaitTermination()
     return summ2.summary().select(
         "stream_id",
         F.col("window_id").cast("long").alias("window_id"),
@@ -1228,20 +1242,13 @@ def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = "streaming_dedup_gate_sink"
-    spark.catalog.dropTempView(name)
-    with use_state_store(spark):
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination()
-    return spark.table(name).select(
-        "event_type", F.col("n").cast("long").alias("n")
-    )
+    return _run_stream_to_memory(
+        stream,
+        "streaming_dedup_gate_sink",
+        spark,
+        sources=(path, path),
+        output_mode="complete",
+    ).select("event_type", F.col("n").cast("long").alias("n"))
 
 
 def q_streaming_dedup_wm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,20 +1286,13 @@ def q_streaming_dedup_wm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = "streaming_dedup_wm_gate_sink"
-    spark.catalog.dropTempView(name)
-    with use_state_store(spark):
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination()
-    return spark.table(name).select(
-        "event_type", F.col("n").cast("long").alias("n")
-    )
+    return _run_stream_to_memory(
+        stream,
+        "streaming_dedup_wm_gate_sink",
+        spark,
+        sources=(path, path),
+        output_mode="complete",
+    ).select("event_type", F.col("n").cast("long").alias("n"))
 
 
 ORACLE_STREAMING_DEDUP = """
@@ -3958,17 +3958,13 @@ def _session_timeout_stream(
         else sessionize_with_timeout
     )
     out = sessionize(stream)
-    spark.catalog.dropTempView(name)
-    with use_state_store(spark, state_store):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination()
-    return spark.table(name).select("user_id", "n_events", "t_start", "t_end")
+    return _run_stream_to_memory(
+        out,
+        name,
+        spark,
+        state_store=state_store,
+        sources=(path,),
+    ).select("user_id", "n_events", "t_start", "t_end")
 
 
 def q_streaming_session_rocksdb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4048,37 +4044,46 @@ DF_QUERIES["streaming_session_rocksdb_gate"] = (
 
 
 def _run_stream_to_memory(df, name: str, spark: SparkSession,
-                          state_partitions: int = 8,
-                          state_store: str | None = None) -> DataFrame:
-    """Start ``df`` as an availableNow append stream into a memory sink
-    and return the sink table.  Stateful streaming operators allocate
-    one state store PER shuffle partition per side; a fresh 2-source
+                          state_partitions: int | None = None,
+                          state_store: str | None = None,
+                          sources: tuple = (),
+                          output_mode: str = "append") -> DataFrame:
+    """Start ``df`` as an availableNow stream into a memory sink and
+    return the sink table.  Stateful streaming operators allocate one
+    state store PER shuffle partition per side; a fresh 2-source
     interval join at the session default (32) spins up ~128 stores of a
     few rows each, which is pure fixed cost at gate scale — so the gate
-    sizes ``spark.sql.shuffle.partitions`` to the stream for the
+    sizes ``spark.sql.shuffle.partitions`` to the STREAM for the
     duration of the run (the standard deployment practice: state
     partition count is fixed at a checkpoint's first run) and restores
-    the session default afterwards.  ``state_store`` (or the
-    SPARK_GRAFT_STATE_STORE env var) selects the state-store provider
-    for this query — "rocksdb" = off-heap, disk-bounded state, the
-    100 TB deployment default (streaming/state.py)."""
-    from summarydb_spark.streaming.state import use_state_store
+    the session default afterwards.  The count is scale-adaptive —
+    derived from the source volume via
+    ``streaming.state.stream_shuffle_partitions`` (``sources`` lists the
+    source files/dirs; an explicit ``state_partitions`` pins it) — NOT a
+    constant tuned to either gate scale or the local core count.
+    ``state_store`` (or the SPARK_GRAFT_STATE_STORE env var) selects the
+    state-store provider for this query — "rocksdb" = off-heap,
+    disk-bounded state, the 100 TB deployment default
+    (streaming/state.py)."""
+    from summarydb_spark.streaming.state import (
+        scoped_shuffle_partitions,
+        stream_shuffle_partitions,
+        use_state_store,
+    )
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is None:
+        state_partitions = stream_shuffle_partitions(spark, *sources)
     spark.catalog.dropTempView(name)
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    with scoped_shuffle_partitions(spark, state_partitions):
         with use_state_store(spark, state_store):
             q = (
                 df.writeStream.format("memory")
                 .queryName(name)
-                .outputMode("append")
+                .outputMode(output_mode)
                 .trigger(availableNow=True)
                 .start()
             )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
@@ -4126,7 +4131,9 @@ def q_streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFram
             "p_ts <= v_ts + INTERVAL 1 HOUR"
         ),
     )
-    return _run_stream_to_memory(j, "streaming_interval_join_gate_sink", spark).select(
+    return _run_stream_to_memory(
+        j, "streaming_interval_join_gate_sink", spark, sources=(path, path)
+    ).select(
         F.col("v_user").alias("user_id"),
         F.col("v_id").alias("view_id"),
         F.col("p_id").alias("purchase_id"),
@@ -4198,7 +4205,9 @@ def q_streaming_outer_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    return _run_stream_to_memory(j, "streaming_outer_join_gate_sink", spark).select(
+    return _run_stream_to_memory(
+        j, "streaming_outer_join_gate_sink", spark, sources=(path, path)
+    ).select(
         F.col("v_user").alias("user_id"),
         F.col("v_id").alias("view_id"),
         F.col("p_id").alias("purchase_id"),

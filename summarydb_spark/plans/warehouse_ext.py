@@ -34,6 +34,8 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+import os
+
 from summarydb_spark.plans.portable_sql import dsum, epoch_us
 
 DAY_US = 86_400_000_000
@@ -400,14 +402,39 @@ def q_bootstrap_mean_ci(dialect: str) -> str:
         f"WHEN u < {th[2]} THEN 2 WHEN u < {th[3]} THEN 3 "
         f"WHEN u < {th[4]} THEN 4 WHEN u < {th[5]} THEN 5 ELSE 6 END"
     )
+    # Spark side: the testdata events table is a single-row-group file,
+    # so the whole 32-way md5 fanout would run in ONE scan task (guide
+    # §2.5 input skew — measured 2.5 s of the query's 2.8 s wall in a
+    # single task at sf0.1).  Repartition the FILTERED purchases (two
+    # narrow columns) before the fanout so the hash work spreads across
+    # the cluster; the exchange moves kilobytes per thousand events.
+    # The count must be EXPLICIT: the bytes feeding the exchange are far
+    # below the AQE advisory size, so a keyed hint without a count is
+    # coalesced straight back to one partition — the fanout is
+    # compute-bound, not byte-bound, so it is sized to cluster width
+    # (the same env the session master uses), not to data volume.
+    # DuckDB text unchanged — its intra-file parallelism has no such
+    # cliff, and the oracle must stay byte-identical.
+    n_part = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    src = (
+        f"(SELECT /*+ REPARTITION({n_part}, event_id) */ value, event_id"
+        " FROM events"
+        " WHERE value IS NOT NULL AND event_type = 'purchase') e"
+        if dialect == "spark"
+        else "events e"
+    )
+    where = (
+        ""
+        if dialect == "spark"
+        else "\n  WHERE e.value IS NOT NULL AND e.event_type = 'purchase'"
+    )
     return f"""
 WITH sides AS (SELECT 0 AS i UNION ALL SELECT 1),
 hs AS (
   SELECT r, e.value,
          md5(concat('boot:', CAST(r AS {cast_s}), ':',
                     CAST(e.event_id AS {cast_s}))) AS h
-  FROM events e {fan32}
-  WHERE e.value IS NOT NULL AND e.event_type = 'purchase'
+  FROM {src} {fan32}{where}
 ),
 draws AS (
   -- one md5 yields two independent 60-bit uniforms (hex chars 1-15 and

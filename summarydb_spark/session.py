@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver-side overhead per job); profiling
+        # sessions opt in with SPARK_GRAFT_UI=1 to read per-stage metrics
+        # from the REST API (tools/profile_stages.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
+        .config("spark.ui.port", os.environ.get("SPARK_GRAFT_UI_PORT", "4050"))
         .getOrCreate()
     )

@@ -54,6 +54,101 @@ def provider_class(state_store: str | None) -> str | None:
     return _ALIASES.get(state_store.lower(), state_store)
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("8m", "64k", "1g", plain bytes)."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix + "b"):
+            s, mult = s[: -(len(suffix) + 1)], m
+            break
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
+def _source_bytes(*sources: str) -> int:
+    """Total on-disk bytes of the given source files/directories."""
+    total = 0
+    for src in sources:
+        if os.path.isdir(src):
+            for root, _dirs, files in os.walk(src):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.isfile(src):
+            total += os.path.getsize(src)
+    return total
+
+
+def stream_shuffle_partitions(
+    spark: SparkSession, *sources: str, floor: int | None = None,
+    cap: int | None = None,
+) -> int:
+    """Scale-adaptive shuffle/state partition count for a FRESH streaming
+    query over the given sources.
+
+    Stateful operators allocate one state store instance per shuffle
+    partition (per side, per operator); every micro-batch — including the
+    no-data watermark batch — pays an open+commit per instance, so at
+    small stream volume the partition count IS the gate's fixed cost
+    (measured at sf0.1: the pandas sessionizer gate 8.0 s at the session
+    default 32 -> 4.2 s at 8; dropDuplicatesWithinWatermark 7.5 -> 2.4 s).
+    A constant would be tuned to exactly one scale, so the count derives
+    from the source volume instead, using the SAME per-partition target
+    the batch side's AQE coalescing uses
+    (``spark.sql.adaptive.advisoryPartitionSizeInBytes``):
+
+        n = clamp(ceil(source_bytes / advisory), floor, cap)
+        floor = max(4, cores / 4)   -- parallelism floor: a big machine
+                                       should not serialize a small stream
+                                       (the pandas gate REGRESSES 4.2 ->
+                                       5.5 s at 4 partitions: python
+                                       workers want width)
+        cap   = 4 * cores           -- bounds state-instance count; a
+                                       checkpoint pins the count forever,
+                                       so production leaves headroom above
+                                       current core count
+
+    At sf0.1 (2 MB events) this lands on the floor (8 on 32 cores); at
+    sf10 (~200 MB) it gives ~25 — matching the round-9 sf10 measurement
+    that 32 beats 128 there; on a real multi-TB stream it caps at 4x the
+    cluster's cores.  SPARK_GRAFT_STREAM_SHUFFLE overrides the derived
+    value (the provider x shuffle matrix tooling sets it explicitly).
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return int(env)
+    cores = spark.sparkContext.defaultParallelism
+    if floor is None:
+        floor = max(4, cores // 4)
+    if cap is None:
+        cap = 4 * cores
+    try:
+        advisory = _parse_bytes(
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        )
+    except Exception:
+        advisory = 8 << 20
+    n = -(-_source_bytes(*sources) // max(advisory, 1))
+    return max(floor, min(cap, n))
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` for the streaming queries
+    STARTED inside the block and restore the session default after.  The
+    partition count of a stateful query is pinned into its checkpoint at
+    first run, so the scope only needs to cover query start."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @contextmanager
 def use_state_store(spark: SparkSession, state_store: str | None = None):
     """Scope a state-store provider to the streaming queries STARTED
