@@ -328,6 +328,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
+    built_here = sigs is None
     if sigs is None:
         sigs = minhash_signatures(
             df, text_col, num_hashes, shingle_k, seed
@@ -338,6 +339,14 @@ def minhash_lsh_pairs(
     # the all-identical init signature of empty sets cannot form a
     # quadratic band bucket.
     sigs = sigs.where(F.size("_shingles") > 0)
+    if built_here:
+        # freshly-signed relations feed the collapse, the banding, and
+        # the verify reattach as separate plan branches; without a
+        # persist each branch re-runs the shingle build (the signature
+        # fold itself is column-pruned out of the reattach, but the
+        # string shingling above it is not) — persisted-store callers
+        # skip this, their sigs are a plain parquet scan
+        sigs = _guard_persist(sigs)
     # Hot-bucket guard: collapse identical shingle SETS to one
     # representative per band bucket.  An exact-dup cluster of E
     # documents would otherwise put E ids into one bucket in every band
@@ -480,6 +489,13 @@ def minhash_lsh_join(
     # sides pre-collapse (see minhash_lsh_pairs)
     batch_sigs = batch_sigs.where(F.size("_shingles") > 0)
     corpus_sigs = corpus_sigs.where(F.size("_shingles") > 0)
+    # the batch side is signed FRESH at call time and feeds three plan
+    # branches (collapse, banding, verify reattach) — persist it so the
+    # per-ingest signing runs once (measured at sf0.1: the probe's wall
+    # was dominated by re-running the batch shingle+fold per branch);
+    # the corpus side stays unpersisted — it is a parquet scan of the
+    # persisted signature store, cheap to re-read
+    batch_sigs = _guard_persist(batch_sigs)
     # Hot-bucket guard (both sides): collapse identical shingle sets to
     # representatives per band bucket — a corpus-side exact-dup cluster
     # of E docs matched by one arriving batch doc would otherwise produce
@@ -651,6 +667,16 @@ def banded_jaccard_pairs(
     # jaccard-1.0 duplicates — pre-guard semantics emitted NO pair for
     # them, so they are dropped before the collapse (round-9 ADVICE).
     sigs = sigs.where(F.size("_sh") > 0)
+    # The input relation feeds THREE plan branches (collapse+banding, and
+    # the two verify-reattach legs) and is typically an expensive derived
+    # build — for the weighted-MinHash caller it is the full
+    # explode+count+expand+collect_list chain, measured at sf0.1 as three
+    # separate ~8-12 s recomputations (the reattach legs alias _id to
+    # id_a/id_b, so ReuseExchange never unifies them).  One persist makes
+    # it single-run; released with release_guard_caches() like the other
+    # guard caches (guide §3.3: materialize a multiply-consumed
+    # intermediate instead of letting the optimizer duplicate it).
+    sigs = _guard_persist(sigs)
     # Hot-bucket guard: collapse identical (block, shingle-set) contents
     # to representatives inside each band bucket.  An exact-dup cluster
     # of E docs would otherwise collect an E-length id array into a
