@@ -1245,6 +1245,14 @@ def label_propagation(
     connected_components/kcore (plan depth, not correctness, is the
     constraint)."""
     ckpt = rounds > checkpoint_depth
+    # NOTE (round-10, measured): do NOT persist the loop-invariant edge /
+    # node relations here.  The composed plan re-instantiates them per
+    # round (110+ Exchange nodes at the co-purchase gate), but runtime
+    # exchange-stage reuse already dedupes the identical shuffles, and an
+    # A/B with cold caches per rep measured persist STRICTLY WORSE
+    # (3.4-6.6 s -> 6.7-22.9 s at sf0.1): cache materialization +
+    # codegen-break cost more than the already-deduped recompute
+    # (guide §5 — cache only when recompute beats memory pressure).
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -1303,16 +1311,27 @@ def kcore(
     fits (``bcast_max`` rows = one long each) and fall back to hash
     joins beyond — measured 6.3 -> 4.0 s at sf0.1 with identical output,
     and the adaptive switch keeps the plan sound when the survivor set
-    is billions of nodes."""
+    is billions of nodes.
+
+    Per-round driver-action shape (this is the wall at gate scale, where
+    each action is a scheduling floor): the first peel runs straight off
+    the raw symmetric edge set — the initial alive set is every endpoint
+    BY CONSTRUCTION, so the restrict joins and the |V| distinct+count
+    the old code paid up front were no-ops (connected_components' fused
+    first round, applied to peeling) — and each round's survivor set is
+    localCheckpoint'ed LAZILY with the convergence count() materializing
+    it, one action per round instead of eager-checkpoint + count (two).
+    Convergence is certified by two successive equal counts (or an empty
+    set), so a graph that is ALREADY a k-core needs a second confirming
+    peel; max_rounds must be >= 1 and budgets >= 2 behave exactly as
+    before."""
+    if max_rounds < 1:
+        raise ValueError("kcore: max_rounds must be >= 1")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=True)
     )
-    alive = und.select(F.col("a").alias("n")).distinct().localCheckpoint(
-        eager=True
-    )
-    prev = alive.count()
 
     def restrict(al: DataFrame, n_alive: int) -> DataFrame:
         side_a = F.broadcast(al) if n_alive <= bcast_max else al
@@ -1321,21 +1340,22 @@ def kcore(
             side_b.withColumnRenamed("n", "b"), "b"
         )
 
-    converged = prev == 0
+    alive: DataFrame | None = None
+    prev: int | None = None
+    converged = False
     for _ in range(max_rounds):
-        if converged:
-            break
-        deg = restrict(alive, prev).groupBy("a").agg(
-            F.count(F.lit(1)).alias("deg")
-        )
+        base = und if alive is None else restrict(alive, prev)
+        deg = base.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         alive = (
             deg.where(F.col("deg") >= k)
             .select(F.col("a").alias("n"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        cur = alive.count()
-        if cur == prev or cur == 0:
+        cur = alive.count()  # materializes the lazy checkpoint
+        if cur == 0 or cur == prev:
             converged = True  # monotone shrink: equal count == identical set
+            prev = cur
+            break
         prev = cur
     if not converged:
         raise RuntimeError(
