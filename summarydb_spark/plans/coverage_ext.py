@@ -301,6 +301,108 @@ FROM (
 ) t WHERE n_docs > 0"""
 
 
+def q_curation_pipeline_df(spark, sf_dir: str):
+    """Spark-side curation pipeline (oracle: :func:`q_curation_pipeline`,
+    DuckDB rendering — result-identical by construction: every stage
+    reuses the oracle's expression text verbatim).
+
+    The one-statement template scans ``documents`` THREE times in the
+    physical plan (annot leg + both sides of the near-dup self-join),
+    and each scan repeats the md5 dedup window and — on the two join
+    legs — the 3-gram shingle build, the dominant per-row cost.  The
+    self-join legs are aliased (a/b) and one sits under a
+    BroadcastExchange, so AQE exchange reuse cannot dedupe them (same
+    mechanism as the banded-dedup verify legs, guide §5).  Fix: compute
+    ONE enriched relation (scan -> quality flags -> md5 keeper window ->
+    survivor shingles) and share it across all three consumers via a
+    lazy ``localCheckpoint`` — an RDD-identity share, chosen over
+    ``persist()`` because CacheManager's canonicalized-plan matching
+    silently fails to substitute this relation under the view's
+    projection (0 InMemoryTableScan, verified empirically; the RDD share
+    cannot miss).  Lazy, so the compute lands inside the timed action;
+    the block-manager copy is freed when the RDD is GC'd at query end."""
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    toks = "split(text, ' ')"
+    ntoks = "size(split(text, ' '))"
+    nalpha = "length(regexp_replace(text, '[^A-Za-z]', ''))"
+    shingles = (
+        "CASE WHEN size(toks) >= 3 THEN "
+        "array_distinct(transform(sequence(0, size(toks) - 3), "
+        "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))) "
+        "ELSE array(xxhash64(concat_ws(' ', toks))) END"
+    )
+    enriched = spark.sql(f"""
+WITH base AS (
+  SELECT doc_id, lang, text, length(text) AS n_chars,
+         CAST({ntoks} AS BIGINT) AS n_tok,
+         CASE WHEN CAST({ntoks} AS BIGINT) >= 10
+               AND CAST({nalpha} AS DOUBLE) / length(text) >= 0.5
+              THEN 1 ELSE 0 END AS q_ok
+  FROM documents
+),
+keepers AS (
+  SELECT *, min(CASE WHEN q_ok = 1 THEN doc_id END)
+              OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+  FROM base
+)
+SELECT doc_id, lang, n_tok, q_ok, exact_ok, len_bucket,
+       CASE WHEN exact_ok = 1 THEN {shingles} END AS sh
+FROM (
+  SELECT doc_id, lang, n_tok, q_ok,
+         CASE WHEN q_ok = 1 AND doc_id = keeper THEN 1 ELSE 0 END AS exact_ok,
+         CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+         {toks} AS toks
+  FROM keepers
+) t""")
+    enriched = enriched.localCheckpoint(eager=False)
+    enriched.createOrReplaceTempView("curation_enriched_v")
+    inter = "size(array_intersect(a.sh, b.sh))"
+    uni = "size(array_union(a.sh, b.sh))"
+    sz_a, sz_b = "size(a.sh)", "size(b.sh)"
+    return spark.sql(f"""
+WITH sh AS (
+  SELECT /*+ REPARTITION(32) */ doc_id, lang, len_bucket, sh
+  FROM curation_enriched_v WHERE exact_ok = 1
+),
+pairs AS (
+  SELECT /*+ BROADCAST(b) */ a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  WHERE {sz_a} * 5 >= {sz_b} * 4 AND {sz_b} * 5 >= {sz_a} * 4
+    AND CAST({inter} AS DOUBLE) / {uni} >= 0.8
+),
+dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+annot AS (
+  SELECT k.lang, k.doc_id, k.n_tok, k.q_ok, k.exact_ok,
+         CASE WHEN k.exact_ok = 1 AND d.doc_id IS NULL
+              THEN 1 ELSE 0 END AS final_ok
+  FROM curation_enriched_v k LEFT JOIN dropped d ON d.doc_id = k.doc_id
+),
+per_lang AS (
+  SELECT lang,
+         sum(final_ok) AS n_docs,
+         {dsum('CASE WHEN final_ok = 1 THEN CAST(n_tok AS DOUBLE) ELSE 0.0 END', 0)} AS n_tokens,
+         min(CASE WHEN final_ok = 1 THEN doc_id END) AS first_doc,
+         count(*) AS lang_input,
+         sum(q_ok) AS lang_quality,
+         sum(exact_ok) AS lang_exact
+  FROM annot GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, first_doc, n_input, n_quality, n_exact, n_final
+FROM (
+  SELECT lang,
+         CAST(n_docs AS BIGINT) AS n_docs, n_tokens, first_doc,
+         CAST(sum(lang_input) OVER () AS BIGINT) AS n_input,
+         CAST(sum(lang_quality) OVER () AS BIGINT) AS n_quality,
+         CAST(sum(lang_exact) OVER () AS BIGINT) AS n_exact,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS n_final
+  FROM per_lang
+) t WHERE n_docs > 0""")
+
+
 SUBSTR_K = 8  # minimum duplicated run length, in tokens
 
 
@@ -421,7 +523,10 @@ COVERAGE_EXT_QUERIES = {
     # registered in plans.dataframe_queries) — the window cumsum would
     # single-task each language shard (skew hazard on real corpora)
     "text_repetition": q_text_repetition,
-    "curation_pipeline": q_curation_pipeline,
+    # curation_pipeline moved to a DataFrame builder
+    # (q_curation_pipeline_df, registered in plans.dataframe_queries) —
+    # the inlined CTE re-scanned documents 3x with the shingle build
+    # duplicated across aliased self-join legs
     "substring_dedup": q_substring_dedup,
     "quality_weighted_sample": q_quality_weighted_sample,
 }

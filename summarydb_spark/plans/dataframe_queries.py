@@ -2646,6 +2646,18 @@ def _seq_packing_entry():
 
 DF_QUERIES["seq_packing"] = _seq_packing_entry()
 
+
+def _curation_pipeline_entry():
+    from summarydb_spark.plans.coverage_ext import (
+        q_curation_pipeline,
+        q_curation_pipeline_df,
+    )
+
+    return q_curation_pipeline_df, q_curation_pipeline("duckdb")
+
+
+DF_QUERIES["curation_pipeline"] = _curation_pipeline_entry()
+
 DF_QUERIES["heavy_hitters_misra_gries"] = (
     q_heavy_hitters_mg,
     ORACLE_HEAVY_HITTERS_MG,
