@@ -2026,31 +2026,45 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idempotent), so it reads the pre-distinct relation and skips that
     # exchange on its critical path
     bench = bench_raw.distinct()
-    corpus = shingled.where("doc_id % 37 != 0").select(
-        "doc_id", F.explode("sh").alias("s")
-    )
     # densify the single merged bloom before broadcasting: the benchmark
     # bloom is well-filled, and probing its sparse MAP costs a linear scan
     # of ~m/64 entries per element_at — O(1) array indexing instead
     bloom = sketch.bloom_aggregate(
         bench_raw.withColumn("g", F.lit(1)), ["g"], "s", m_bits=m_bits, k=k
     ).select(sketch.bloom_to_dense(F.col("bloom"), m_bits).alias("bits"))
-    # per-doc totals are size(sh) — pure column math on the un-exploded
-    # arrays, no second explode+aggregate pass over every shingle
-    totals = shingled.where("doc_id % 37 != 0").select(
-        "doc_id", F.size("sh").cast("long").alias("n_shingles")
+    # phase 1 probe as an array filter on the UN-exploded shingle arrays,
+    # carrying the per-doc total (size(sh)) through the explode: the old
+    # shape exploded every corpus shingle before probing and re-scanned
+    # the store for a separate totals leg, then stitched the two with a
+    # left join.  explode_outer keeps zero-survivor docs as one NULL row,
+    # so the LEFT verify join + count over matches yields n_hit = 0 for
+    # them — totals leg and its join gone, one store scan instead of two
+    cand = (
+        shingled.where("doc_id % 37 != 0")
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.explode_outer(
+                F.filter(
+                    "sh",
+                    lambda s: sketch.bloom_contains_dense(
+                        F.col("bits"), s, m_bits=m_bits, k=k
+                    ),
+                )
+            ).alias("s"),
+        )
     )
-    cand = corpus.crossJoin(F.broadcast(bloom)).where(
-        sketch.bloom_contains_dense(F.col("bits"), F.col("s"), m_bits=m_bits, k=k)
-    )
-    hits = (
-        cand.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
+    # phase 2: exact verify of ONLY the surviving shingles (true hits +
+    # ~0.1% FPs) against the distinct benchmark relation; count(m) skips
+    # NULLs, so bloom FPs and zero-survivor docs contribute 0
     final = (
-        totals.join(hits, "doc_id", "left")
-        .na.fill({"n_hit": 0})
+        cand.join(F.broadcast(bench.withColumn("m", F.lit(1))), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count("m").alias("n_hit"),
+        )
         .select(
             "doc_id",
             "n_shingles",

@@ -238,6 +238,20 @@ def test_curation_pipeline_broadcast_verify_join(spark):
     assert "REPARTITION_BY_NUM" in plan
 
 
+def test_decontam_bloom_single_corpus_pass(spark):
+    """The bloom prefilter probes the UN-exploded shingle arrays with the
+    per-doc total carried through explode_outer: one corpus-side store
+    scan (plus the two benchmark-side broadcast legs), no separate totals
+    leg stitched back with a sort-merge left join."""
+    import re
+
+    plan = plan_of(spark, "decontam_bloom_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # 3 scans total: corpus pass + bloom-build + verify-bench broadcast legs
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+
+
 def test_semantic_dedup_bucketed_equi_join(spark):
     """Candidate generation must be an equi-join on the cluster key —
     quadratic work only inside buckets, never a cartesian over the corpus;
