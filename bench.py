@@ -46,6 +46,30 @@ def main() -> None:
 
     qs = entrymod.queries()
 
+    # Between-query cache hygiene (round-10 measurement fix, documented
+    # in OPTIMIZATION_r10.md): the dedup/rank operators guard-persist
+    # narrow internal relations that are load-bearing WITHIN one query's
+    # reps but were never released between queries, so the suite
+    # accumulated hundreds of CacheManager entries + block-manager blocks
+    # and LATE-position queries absorbed the GC/lookup cost (measured:
+    # sketch_range_batched 7.05 s at suite position 195 vs 2.5 s
+    # isolated, same code).  Releasing AFTER each query's reps keeps
+    # every rep as warm as before (reps share the entry) and keeps the
+    # summary-store session views untouched; it only stops cross-query
+    # accumulation.  gc.collect() drops the py4j refs that pin
+    # localCheckpoint RDDs so ContextCleaner can reclaim them.
+    def release_transient_caches():
+        import gc
+
+        from summarydb_spark.functions.dedup import release_guard_caches
+        from summarydb_spark.operators.shuffle_tools import (
+            release_rank_caches,
+        )
+
+        release_guard_caches()
+        release_rank_caches()
+        gc.collect()
+
     # JIT/codegen warmup: run every query once at the smallest SF.  The
     # generated code is structure-keyed, so the sf0.001 run compiles the
     # same classes the measured run reuses — the numbers then reflect
@@ -57,6 +81,7 @@ def main() -> None:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass
+            release_transient_caches()
 
     # best-of-N per query: single runs are noisy (GC, AQE re-planning);
     # the minimum is the engine's steady-state cost
@@ -69,6 +94,7 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+        release_transient_caches()
         return round(best, 3)
 
     # VM-drift canary (round-8 VERDICT item 8): this machine's absolute
