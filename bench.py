@@ -58,6 +58,12 @@ def main() -> None:
     # summary-store session views untouched; it only stops cross-query
     # accumulation.  gc.collect() drops the py4j refs that pin
     # localCheckpoint RDDs so ContextCleaner can reclaim them.
+    # gc.collect() every Nth query, not every query: the collect itself
+    # is cheap, but promptly detaching hundreds of py4j refs queues
+    # block-cleanup RPCs on the JVM ContextCleaner thread, which
+    # contends with the NEXT queries' driver work
+    _release_tick = {"n": 0}
+
     def release_transient_caches():
         import gc
 
@@ -68,7 +74,9 @@ def main() -> None:
 
         release_guard_caches()
         release_rank_caches()
-        gc.collect()
+        _release_tick["n"] += 1
+        if _release_tick["n"] % 16 == 0:
+            gc.collect()
 
     # JIT/codegen warmup: run every query once at the smallest SF.  The
     # generated code is structure-keyed, so the sf0.001 run compiles the
