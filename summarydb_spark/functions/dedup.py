@@ -1161,7 +1161,11 @@ def connected_components(
     tiny cliques (diameter ~2-4), so this runs 3-5 rounds of
     shuffle-on-node-id hash joins — each round is one `groupBy(node).min`,
     AQE-coalesced; no driver-side graph state.  `localCheckpoint`
-    truncates the growing lineage each round so the plan stays O(1).
+    truncates the growing lineage each round so the plan stays O(1);
+    the checkpoint is LAZY and the convergence sum's job materializes
+    it, so each round costs ONE driver action instead of
+    eager-checkpoint + sum (two) — the same fusion kcore's peel loop
+    uses (round 10).
     Replaces the reference's absent clustering (its bloom/dedup surface
     stops at membership, README.md:27-28).
     """
@@ -1197,11 +1201,12 @@ def connected_components(
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # exact decimal sum: int64 node ids near 2^62 overflow a long sum
         # (ANSI throw, or silent wraparound breaking the monotone-decrease
-        # invariant); decimal(38,0) is exact past 1e37
+        # invariant); decimal(38,0) is exact past 1e37.  This action also
+        # materializes the lazy checkpoint above — one job per round.
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
