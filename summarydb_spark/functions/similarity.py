@@ -469,6 +469,7 @@ def ivf_cogroup_scores(
     m: int = 16,
     emb_col: str = "cv",
     id_col: str = "neighbor_id",
+    carry: tuple = (),
 ) -> DataFrame:
     """Candidate SCORING half of IVF search as a cogrouped Arrow matmul:
     join-free — probes (query_id, qv, list_id from
@@ -487,12 +488,23 @@ def ivf_cogroup_scores(
     ulps): consumers needing oracle-exact values re-rank the survivors
     with the exact expression — the top-m margin makes displacement of
     a true top-k candidate require >= m-k ulp-ties, impossible in
-    practice and pinned by the oracle gates."""
+    practice and pinned by the oracle gates.
+
+    ``carry``: optional ((name, ddl_type), ...) of ``encoded`` columns to
+    pass through onto each emitted candidate row (e.g. the member's label
+    and raw embedding).  The member row already crosses Arrow INTO the
+    scorer; carrying its payload back out on the <= m survivors per
+    (probe, list) lets the consumer skip a re-join of the full inverted
+    file against the top-m ids — one join and one store scan fewer."""
+    carry_names = [c[0] for c in carry]
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
+            # carried cols must be OBJECT dtype when empty: a default
+            # float64 empty column cannot Arrow-convert to list<double>
             return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "score": []}
+                {"query_id": [], "neighbor_id": [], "score": [],
+                 **{c: pd.Series([], dtype=object) for c in carry_names}}
             ).astype({"query_id": "int64", "neighbor_id": "int64",
                       "score": "float64"})
         Q = np.array(left["qv"].tolist(), dtype=np.float64)
@@ -502,7 +514,7 @@ def ivf_cogroup_scores(
         S = Q @ (M / nrm[:, None]).T  # qv is already L2-normalized
         qids = left["query_id"].to_numpy()
         nids = right[id_col].to_numpy()
-        out_q, out_n, out_s = [], [], []
+        out_q, out_n, out_s, out_sel = [], [], [], []
         k = min(m + 1, S.shape[1])  # +1 headroom for self-exclusion
         for i in range(S.shape[0]):
             row = S[i]
@@ -515,17 +527,25 @@ def ivf_cogroup_scores(
             out_q.extend([qids[i]] * len(sel))
             out_n.extend(nids[sel])
             out_s.extend(row[sel])
-        return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
-        )
+            out_sel.append(sel)
+        out = {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+        if carry_names:
+            all_sel = (
+                np.concatenate(out_sel)
+                if out_sel
+                else np.array([], dtype=np.int64)
+            )
+            for c in carry_names:
+                out[c] = right[c].to_numpy()[all_sel]
+        return pd.DataFrame(out)
 
+    schema = "query_id long, neighbor_id long, score double"
+    if carry:
+        schema += ", " + ", ".join(f"{n} {t}" for n, t in carry)
     return (
         probe_lists.groupBy("list_id")
         .cogroup(encoded.groupBy("list_id"))
-        .applyInPandas(
-            lambda l, r: score(l, r),
-            schema="query_id long, neighbor_id long, score double",
-        )
+        .applyInPandas(lambda l, r: score(l, r), schema=schema)
     )
 
 

@@ -404,9 +404,18 @@ def _route_ivf_label_flags(spark, sf_dir: str, cent, store):
     # wall at 10x data), approximate top-16 per (probe, list), then
     # global top-16 per probe.  16 >> the 5 the vote needs, so ulp-order
     # differences vs the exact fold cannot evict a true top-5 candidate.
+    # The member's (label, raw embedding) rides through the scorer on
+    # the <= 16 survivors per (probe, list) — the candidate payload is
+    # already executor-resident there, so re-joining the full inverted
+    # file against the survivor ids would only re-read the store and pay
+    # one more join wave (round 10; values identical — the store holds
+    # one row per neighbor_id, so join-by-id and carry agree rowwise).
     approx = similarity.ivf_cogroup_scores(
-        lists, store.select("list_id", "neighbor_id", "cand_emb"),
-        m=16, emb_col="cand_emb",
+        lists,
+        store.select("list_id", "neighbor_id", "cand_label", "cand_emb"),
+        m=16,
+        emb_col="cand_emb",
+        carry=(("cand_label", "long"), ("cand_emb", "array<double>")),
     )
     w16 = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -414,15 +423,9 @@ def _route_ivf_label_flags(spark, sf_dir: str, cent, store):
     top16 = (
         approx.withColumn("ar", F.row_number().over(w16))
         .where(F.col("ar") <= 16)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "cand_label", "cand_emb")
     )
-    cand = (
-        top16.join(
-            store.select("neighbor_id", "cand_label", "cand_emb"),
-            "neighbor_id",
-        )
-        .join(probes, "query_id")
-    )
+    cand = top16.join(probes, "query_id")
     # Stage 2 — EXACT oracle cosine over the raw constructed doubles (the
     # identical sequential fold the exhaustive twin computes), round-6,
     # on <= 16 survivors per probe

@@ -468,6 +468,52 @@ def test_ivf_cogroup_scores_matches_bruteforce(spark):
                 assert abs(s1 - s2) < 1e-12
 
 
+def test_ivf_cogroup_scores_carries_member_payload(spark):
+    """With ``carry``, the scorer must pass the member row's payload
+    columns through onto every emitted candidate row, byte-identical to
+    a join-by-neighbor_id against the inverted file (the re-join the
+    routed knn tail dropped in round 10) — including the empty-group
+    guard (lists with members but no probes hit the empty branch, which
+    must emit object-dtype carried columns for Arrow)."""
+    import numpy as np
+
+    from summarydb_spark.functions import similarity
+
+    rng = np.random.RandomState(7)
+    M = rng.standard_normal((40, 8))
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(x) for x in M[i]], int(i % 3), int(i * 7))
+            for i in range(40)
+        ],
+        "neighbor_id long, cand_emb array<double>, list_id int, tag long",
+    )
+    probes = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(0, 40, 10)],
+        "query_id long, emb array<double>",
+    )
+    cent = np.vstack(
+        [M[assign].mean(0) / np.linalg.norm(M[assign].mean(0))
+         for assign in ([0, 3], [1, 4], [2, 5])]
+    )
+    lists = similarity.ivf_probe_lists(
+        probes, cent, n_probe=2, emb_col="emb", id_col="query_id"
+    )
+    got = similarity.ivf_cogroup_scores(
+        lists, corpus, m=3, emb_col="cand_emb",
+        carry=(("tag", "long"), ("cand_emb", "array<double>")),
+    ).collect()
+    assert got, "vacuous: the probes must emit candidates"
+    for r in got:
+        assert r.tag == r.neighbor_id * 7
+        assert r.cand_emb == [float(x) for x in M[r.neighbor_id]]
+    # the plain call (no carry) keeps its original 3-column schema
+    plain = similarity.ivf_cogroup_scores(
+        lists, corpus, m=3, emb_col="cand_emb"
+    )
+    assert plain.columns == ["query_id", "neighbor_id", "score"]
+
+
 def test_ivf_delta_equals_rebuild_and_exhaustive(spark):
     """The append-maintained index (base on vec_id%7!=0, batch assigned to
     existing lists) must flag the IDENTICAL rows as both the full-rebuild
