@@ -1903,6 +1903,12 @@ FROM j
 GROUP BY component_id"""
 
 
+#: (applicationId, sf_dir) of the currently-built sdb_bench_qr view —
+#: see _q_sql_surface: the ranges input view is rebuilt only when the
+#: session or scale directory changes
+_SQL_SURFACE_QR_SLOT: dict = {}
+
+
 def _q_sql_surface(op: str):
     """Approx range queries through the SQL-registered function surface
     (plans/sql_surface.py): ``SELECT ... FROM qr, LATERAL d{op}(...)`` —
@@ -1936,14 +1942,29 @@ def _q_sql_surface(op: str):
         # aggregates + union) THREE times: once as the outer relation and
         # twice as inner-domain joins; cached, all three copies read the
         # in-memory rows and the optimizer sees a leaf, not a 12-scan tree.
-        spark.sql(
-            f"""WITH sb AS (
+        # Built once per (session, sf_dir) — a repeat call re-parsed and
+        # re-cached the identical ~120-row plan (~0.1-0.6 s of driver
+        # work and one leaked CacheManager entry per call); the slot
+        # rebuilds whenever sf_dir changes, so the cached rows can never
+        # go stale (the underlying summary views are themselves keyed on
+        # sf_dir by ensure_summary_views).
+        from summarydb_spark.sources.tables import _source_fingerprint
+
+        app_sig = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            _source_fingerprint(sf_dir),
+        )
+        if _SQL_SURFACE_QR_SLOT.get("sig") != app_sig:
+            spark.sql(
+                f"""WITH sb AS (
   SELECT stream_id, min(time_start) AS tmin, max(time_end) AS tmax
   FROM {SW_FULL_VIEW} WHERE stream_id % 50 = 0 GROUP BY stream_id
 ),
 {_query_ranges()}
 SELECT * FROM qr"""
-        ).cache().createOrReplaceTempView("sdb_bench_qr")
+            ).cache().createOrReplaceTempView("sdb_bench_qr")
+            _SQL_SURFACE_QR_SLOT["sig"] = app_sig
         if op in ("count", "sum"):
             select = """
        round(f.value, 6) AS estimate,

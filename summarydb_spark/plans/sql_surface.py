@@ -342,6 +342,12 @@ SELECT {sign}greatest(base.best, lpts.lbest) AS value,
 FROM base, lpts"""
 
 
+#: last registration signature per SparkSession applicationId — see
+#: register_approx_functions: identical re-registrations are skipped,
+#: any different signature re-registers (late-bound view names make the
+#: skip always safe)
+_LAST_REGISTRATION: dict = {}
+
 EMPTY_LANDMARK_WINDOWS_SCHEMA = (
     "stream_id long, window_id long, time_start long, time_end long, "
     "next_start long, prev_start long"
@@ -374,7 +380,25 @@ def register_approx_functions(
     landmark-free specialized bodies are registered instead — same
     numerics, half the per-call stage waves (see _estimator_body_nolmk).
     If exactly one is given, empty stand-ins fill the other.
+
+    Idempotent re-registrations are SKIPPED (round 10): the ~7
+    ``CREATE OR REPLACE TEMPORARY FUNCTION`` statements cost ~0.6 s of
+    driver parse/analysis per call, and a repeat call with the identical
+    argument signature re-creates byte-identical function bodies.  One
+    last-signature slot per SparkSession is kept, and ANY caller with a
+    different signature re-registers (so interleaving the engine's
+    ``register_sql`` with the bench surface stays correct); the function
+    bodies late-bind their view names (verified: a swapped temp view is
+    picked up by the already-registered function), so skipping an
+    identical re-registration can never pin stale data.
     """
+    sig = (
+        summary_view, count_col, sum_col, max_col, min_col,
+        landmark_windows_view, landmark_points_view,
+    )
+    app_id = spark.sparkContext.applicationId
+    if _LAST_REGISTRATION.get(app_id) == sig:
+        return
     lwv = landmark_windows_view
     lpv = landmark_points_view
     no_landmarks = lwv is None and lpv is None
@@ -428,3 +452,4 @@ def register_approx_functions(
     )
     for name, body in mm.items():
         spark.sql(mm_head.format(name=name) + body)
+    _LAST_REGISTRATION[app_id] = sig
