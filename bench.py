@@ -21,6 +21,7 @@ means) so decade comparisons can be spliced.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -28,6 +29,52 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Printed-slice determinism (round-10 VERDICT item 2): the driver keeps
+# only the LAST ~2000 chars of stdout, so the one-line JSON can carry
+# ~30 of the 247 per-query walls.  Selecting them by THIS run's timings
+# made the printed key-set rotate with per-window noise, and the
+# driver's cross-round diff then fabricated "dropped"/"newly passing"
+# lists every round.  The slice is now FROZEN: the queries below (the
+# top of the register by median wall over the six most recent full
+# sf0.1 runs in BENCH_HISTORY.jsonl, frozen 2026-08-18) are printed in
+# this fixed order every run, so two consecutive runs produce identical
+# printed key-sets.  Queries may be APPENDED here when the register
+# grows; never removed or reordered.  The complete per-query map for
+# every run is in BENCH_LATEST.json / BENCH_HISTORY.jsonl, and
+# ``register_sha`` on the printed line fingerprints the full register.
+PRINTED_SLICE = (
+    "streaming_session_rocksdb_gate",
+    "streaming_mixed_policy_gate",
+    "streaming_session_timeout_gate",
+    "kcore_copurchase",
+    "label_propagation_communities",
+    "streaming_interval_join_gate",
+    "streaming_outer_join_gate",
+    "link_prediction_ra",
+    "knn_label_noise_ivf_delta",
+    "copurchase_similarity_topk",
+    "streaming_restart_gate",
+    "association_rules_lift",
+    "dedup_incremental_probe",
+    "sketch_range_batched",
+    "dedup_pairs_banded",
+    "knn_label_noise_indexed",
+    "dedup_weighted_minhash_delta",
+    "streaming_dedup_wm_gate",
+    "decontam_bloom_prefilter",
+    "dedup_weighted_minhash",
+    "hybrid_rrf_fusion",
+    "mmr_diversified_topk",
+    "dedup_minhash_lsh",
+    "curation_pipeline",
+    "dedup_simhash",
+    "weighted_quantiles_by_flag",
+    "hll_set_ops_bound",
+    "streaming_sessionize_gate",
+    "streaming_dedup_gate",
+    "streaming_watermark_gate",
+)
 
 
 def main() -> None:
@@ -221,6 +268,9 @@ def main() -> None:
             "failed": sorted(failed),
         }
 
+    register_sha = hashlib.sha256(
+        "\n".join(sorted(times)).encode()
+    ).hexdigest()[:12]
     full = {
         "metric": "headline_suite_wall",
         "value": total,
@@ -228,6 +278,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "n_queries": len(times),
+        "register_sha": register_sha,
         "suite_wall_incl_reps": suite_wall,
         "suite_mode": suite_mode,
         "canary": canary,
@@ -281,15 +332,24 @@ def main() -> None:
 
     compact = dict(full)
     compact["queries_full"] = "BENCH_LATEST.json + BENCH_HISTORY.jsonl"
-    by_cost = sorted(times.items(), key=lambda kv: -kv[1])
-    k = len(by_cost)
+    # the printed line drops the canary's per-query sub-dicts (full
+    # detail stays in BENCH_LATEST.json) to make room for the frozen
+    # query slice; the drift scalars the cross-round comparison needs
+    # stay on the line
+    compact["canary"] = {
+        k: v for k, v in canary.items() if not isinstance(v, dict)
+    }
+    # FROZEN slice, fixed order (see PRINTED_SLICE): the key-set is a
+    # pure function of the register, never of this run's walls
+    frozen = [n for n in PRINTED_SLICE if n in times]
+    k = len(frozen)
     while k > 0:
-        compact["queries"] = dict(by_cost[:k])
+        compact["queries"] = {n: times[n] for n in frozen[:k]}
         compact["queries_omitted"] = len(times) - k
         line = json.dumps(compact)
         if len(line) <= 1900:
             break
-        k -= 5
+        k -= 1
     print(line)
 
 
