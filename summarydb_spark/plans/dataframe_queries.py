@@ -965,6 +965,45 @@ def _write_ordered_chunks(prep: DataFrame, src: str, ranges) -> None:
         prev_mtime = batch_mtime
 
 
+# per-(prefix) work dirs issued by _gate_workdir, reclaimed on the NEXT
+# call with the same prefix and at interpreter exit — the returned gate
+# DataFrame reads the state dir lazily, so the dir must outlive the
+# caller's action and cannot be deleted inside the gate itself
+_GATE_WORKDIRS: dict = {}
+
+
+def _gate_workdir(prefix: str) -> str:
+    """Per-run state+checkpoint dir for the summarizer gates, on tmpfs
+    where available: both die with the query, and the checkpoint WAL
+    fsyncs per micro-batch (streaming/state.ephemeral_checkpoint_base
+    rationale).  The PREVIOUS run's dir for the same gate is reclaimed
+    here (its lazy readers are gone by the time the gate re-runs), and
+    an atexit hook sweeps whatever the process end leaves behind —
+    tmpfs is RAM, so unlike the old /tmp mkdtemp the dirs must not
+    accumulate."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from summarydb_spark.streaming.state import ephemeral_checkpoint_base
+
+    old = _GATE_WORKDIRS.pop(prefix, None)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    base = ephemeral_checkpoint_base()
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if not _GATE_WORKDIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in _GATE_WORKDIRS.values()
+            ]
+        )
+    _GATE_WORKDIRS[prefix] = work
+    return work
+
+
 def q_streaming_mixed_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO windowing policies in ONE Structured-Streaming summarizer job:
     the first 512 events (ordered by ts, event_id) split into stream 0
@@ -993,7 +1032,7 @@ def q_streaming_mixed_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     src = _ordered_event_source(
         spark, sf_dir, _MIXED_N, ((0, 192), (192, _MIXED_N))
     )
-    work = tempfile.mkdtemp(prefix="mixed_policy_gate_")
+    work = _gate_workdir("mixed_policy_gate_")
     source = (
         spark.readStream.schema("stream_id long, idx long, t long, v double")
         .option("maxFilesPerTrigger", 1)
@@ -1108,7 +1147,11 @@ def q_streaming_restart_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _ordered_event_source(
         spark, sf_dir, _RESTART_N, ((0, 128), (128, _RESTART_N))
     )
-    work = tempfile.mkdtemp(prefix="restart_gate_")
+    # same tmpfs-backed per-run dir as the mixed-policy gate; the
+    # kill+restart sequence is contained in this one call, so nothing
+    # here weakens the recovery semantics under test (the _COMMIT
+    # marker protocol is filesystem-agnostic)
+    work = _gate_workdir("restart_gate_")
 
     def mk_summ() -> StreamingSummarizer:
         return StreamingSummarizer(
@@ -1292,6 +1335,10 @@ def q_streaming_dedup_wm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sources=(path, path),
         output_mode="complete",
+        # COMPLETE-mode aggregate: the no-data batch rewrites the sink
+        # with the identical result (it exists to evict dedup state the
+        # terminating query discards) — sink provably unchanged
+        no_data_batch=False,
     ).select("event_type", F.col("n").cast("long").alias("n"))
 
 
@@ -4094,7 +4141,8 @@ def _run_stream_to_memory(df, name: str, spark: SparkSession,
                           state_partitions: int | None = None,
                           state_store: str | None = None,
                           sources: tuple = (),
-                          output_mode: str = "append") -> DataFrame:
+                          output_mode: str = "append",
+                          no_data_batch: bool = True) -> DataFrame:
     """Start ``df`` as an availableNow stream into a memory sink and
     return the sink table.  Stateful streaming operators allocate one
     state store PER shuffle partition per side; a fresh 2-source
@@ -4111,8 +4159,27 @@ def _run_stream_to_memory(df, name: str, spark: SparkSession,
     ``state_store`` (or the SPARK_GRAFT_STATE_STORE env var) selects the
     state-store provider for this query — "rocksdb" = off-heap,
     disk-bounded state, the 100 TB deployment default
-    (streaming/state.py)."""
+    (streaming/state.py).
+
+    ``no_data_batch=False`` skips the trailing no-data micro-batch.
+    availableNow runs one extra batch after the data drains solely to
+    advance the watermark (evicting state and firing watermark-gated
+    output); for a query whose SINK content cannot change in that batch
+    — an INNER stream-stream join (matches are emitted in the data
+    batch; the no-data batch only evicts) or a COMPLETE-mode aggregate
+    (the no-data batch rewrites the sink with the identical result) —
+    it is a full state-store open/commit wave plus a plan execution for
+    nothing, a measured 0.6-1.3 s per gate at sf0.1.  State eviction is
+    moot here: the query terminates and its ephemeral checkpoint is
+    deleted.  Callers that NEED the no-data batch (append-mode
+    watermarked aggregates, outer joins, event-time timeouts) keep the
+    default.  The checkpoint itself is an ephemeral per-run directory
+    on tmpfs where available (streaming/state.ephemeral_checkpoint):
+    every state commit and offset/commit-log write fsyncs, pure fixed
+    cost per batch on a disk-backed temp dir."""
     from summarydb_spark.streaming.state import (
+        ephemeral_checkpoint,
+        scoped_conf,
         scoped_shuffle_partitions,
         stream_shuffle_partitions,
         use_state_store,
@@ -4122,15 +4189,21 @@ def _run_stream_to_memory(df, name: str, spark: SparkSession,
         state_partitions = stream_shuffle_partitions(spark, *sources)
     spark.catalog.dropTempView(name)
     with scoped_shuffle_partitions(spark, state_partitions):
-        with use_state_store(spark, state_store):
-            q = (
-                df.writeStream.format("memory")
-                .queryName(name)
-                .outputMode(output_mode)
-                .trigger(availableNow=True)
-                .start()
-            )
-        q.awaitTermination()
+        with ephemeral_checkpoint() as ckpt, scoped_conf(
+            spark,
+            "spark.sql.streaming.noDataMicroBatches.enabled",
+            None if no_data_batch else "false",
+        ):
+            with use_state_store(spark, state_store):
+                q = (
+                    df.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode(output_mode)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            q.awaitTermination()
     return spark.table(name)
 
 
@@ -4179,7 +4252,14 @@ def q_streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFram
         ),
     )
     return _run_stream_to_memory(
-        j, "streaming_interval_join_gate_sink", spark, sources=(path, path)
+        j,
+        "streaming_interval_join_gate_sink",
+        spark,
+        sources=(path, path),
+        # INNER join: every match is emitted by the data batch itself;
+        # the no-data batch only evicts state the terminating query
+        # discards anyway (sink provably unchanged — oracle MATCH)
+        no_data_batch=False,
     ).select(
         F.col("v_user").alias("user_id"),
         F.col("v_id").alias("view_id"),

@@ -261,6 +261,10 @@ class StreamingSummarizer:
             value_col=self.value_col,
             order_cols=self.order_cols,
             buffer_size=self.buffer_size,
+            # the counts come from load_state_df, i.e. are derived from
+            # old_summary itself and cover every stream in it — the
+            # merge can provably skip its carried-counts repair join
+            counts_cover_state=True,
         )
         new_sketches = None
         if self.sketch_ops:

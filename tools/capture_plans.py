@@ -69,7 +69,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
