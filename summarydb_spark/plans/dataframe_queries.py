@@ -2740,6 +2740,21 @@ def _curation_pipeline_entry():
 
 DF_QUERIES["curation_pipeline"] = _curation_pipeline_entry()
 
+
+def _mining_df_entries():
+    from summarydb_spark.plans.mining_ext import MINING_EXT_DF_QUERIES
+
+    return {
+        name: (builder, oracle_fn())
+        for name, (builder, oracle_fn) in MINING_EXT_DF_QUERIES.items()
+    }
+
+
+# association_rules_lift / link_prediction_ra: Spark side moves to a DF
+# builder that localCheckpoint-shares the multiply-consumed CTE base
+# relation (round-11 item 6); oracle text unchanged.
+DF_QUERIES.update(_mining_df_entries())
+
 DF_QUERIES["heavy_hitters_misra_gries"] = (
     q_heavy_hitters_mg,
     ORACLE_HEAVY_HITTERS_MG,

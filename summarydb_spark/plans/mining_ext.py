@@ -24,7 +24,7 @@ Scale notes (100 TB discipline):
 from __future__ import annotations
 
 
-def q_association_rules(dialect: str) -> str:
+def q_association_rules(dialect: str, basket_source: str | None = None) -> str:
     """Directed association rules A -> B over order baskets (distinct
     parts per order), support >= 2 co-occurrences (the same pruning
     copurchase_similarity_topk uses — the part keyspace grows with the
@@ -39,10 +39,18 @@ def q_association_rules(dialect: str) -> str:
     Overflow bound: lift's numerator nab*nb*1e6 stays in int64 while
     nab*nb < 9.2e12 — safe through ~15M baskets unless one pair
     co-occurs in > 0.6M of them; past that, cast the product to
-    DECIMAL(38,0) (both engines) before the division."""
+    DECIMAL(38,0) (both engines) before the division.
+
+    ``basket_source`` overrides the basket CTE body (the Spark DF
+    builder points it at a localCheckpoint-shared view; the DuckDB
+    oracle text never passes it)."""
     idiv = "div" if dialect == "spark" else "//"
+    basket = (
+        basket_source
+        or "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem"
+    )
     return f"""
-WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH b AS ({basket}),
 n AS (SELECT count(DISTINCT o) AS nb FROM b),
 item AS (SELECT p, count(*) AS np FROM b GROUP BY p),
 pair AS (
@@ -73,11 +81,29 @@ LIMIT 20"""
 RA_HUB_CAP = 100_000
 
 
-def _ra_cte(dialect: str, hub_cap: int) -> str:
+#: body of the support>=2 co-purchase edge CTE, shared by the template
+#: and the Spark DF builder that pre-materializes it
+RA_EDGE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS a, b.l_partkey AS b
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= 2"""
+
+
+def _ra_cte(dialect: str, hub_cap: int, edge_source: str | None = None) -> str:
     """Shared CTE prefix of the RA link-prediction family: support>=2
     co-purchase edges, symmetric adjacency, degrees, cap-filtered
-    middles, two-hop paths, and the existing-edge anti-join."""
-    return f"""
+    middles, two-hop paths, and the existing-edge anti-join.
+    ``edge_source`` overrides the edge CTE body (the Spark DF builder
+    points it at a localCheckpoint-shared view; the oracle never passes
+    it — its rendered text is byte-identical to every prior round)."""
+    if edge_source is not None:
+        head = f"""
+WITH e AS ({edge_source}),"""
+    else:
+        head = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
   SELECT a.l_partkey AS a, b.l_partkey AS b
@@ -85,7 +111,8 @@ e AS (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
   HAVING count(*) >= 2
-),
+),"""
+    return f"""{head}
 u AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
 deg AS (SELECT a AS nd, count(*) AS d FROM u GROUP BY a),
 mid AS (SELECT nd FROM deg WHERE d <= {hub_cap}),
@@ -103,7 +130,10 @@ cand AS (
 
 
 def q_link_prediction_ra(
-    dialect: str, hub_cap: int = RA_HUB_CAP, limit: int = 20
+    dialect: str,
+    hub_cap: int = RA_HUB_CAP,
+    limit: int = 20,
+    edge_source: str | None = None,
 ) -> str:
     """Resource-allocation link prediction (Zhou/Lu/Zhang 2009) on the
     support>=2 co-purchase graph: for NON-adjacent part pairs reachable
@@ -119,7 +149,7 @@ def q_link_prediction_ra(
     neighbor; no gate-scale node comes near the cap, so gate results
     are the uncapped relation — tests plant a super-cap hub and pin
     both the hop2 bound and the score-error bound)."""
-    return f"""{_ra_cte(dialect, hub_cap)}
+    return f"""{_ra_cte(dialect, hub_cap, edge_source)}
 SELECT c.x AS part_a, c.y AS part_b,
        CAST(count(*) AS BIGINT) AS common_neighbors,
        CAST(sum(1000000000 {{idiv}} d.d) AS BIGINT) AS ra_ppb
@@ -294,10 +324,69 @@ WHERE r = least(n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))
 ORDER BY event_type"""
 
 
+def q_association_rules_df(spark, sf_dir: str):
+    """Spark-side association rules with the distinct-basket relation
+    computed ONCE and shared across its four plan legs (pair self-join
+    x/y, item marginals, basket count) via a lazy ``localCheckpoint``
+    view — the curation-pipeline RDD-identity share (round 10 item 7).
+    AQE exchange reuse already dedupes the identical shuffles inside
+    the composed template plan (round-10 item 6 measured CacheManager
+    persist a wash), but the checkpoint additionally collapses the
+    repeated lineitem scan + distinct STAGE WAVES into one
+    materialization: measured same-window interleaved A/B at sf0.1,
+    2.56->1.88 s and 3.25->2.33 s across two order-reversed rounds
+    (guide §5; round-11 item 6).  The rendered SQL downstream of the
+    view is the oracle template verbatim, so results are identical by
+    construction (also proven by collect-equality and the oracle gate
+    at both SFs)."""
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    b = spark.sql(
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem"
+    ).localCheckpoint(eager=False)
+    b.createOrReplaceTempView("ar_baskets_v")
+    return spark.sql(
+        q_association_rules("spark", basket_source="SELECT o, p FROM ar_baskets_v")
+    )
+
+
+def q_link_prediction_ra_df(spark, sf_dir: str):
+    """Spark-side RA link prediction with the support>=2 edge relation
+    (the most expensive CTE: distinct + self-join + agg) materialized
+    once behind a lazy ``localCheckpoint`` view; it feeds both UNION
+    legs of the symmetric adjacency AND the existing-edge anti-join.
+    Measured same-window interleaved A/B at sf0.1: 2.55->2.29 s and
+    2.76->2.33 s (order-reversed rounds).  Downstream SQL is the oracle
+    template verbatim (see q_association_rules_df)."""
+    from summarydb_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    e = spark.sql(RA_EDGE_SQL).localCheckpoint(eager=False)
+    e.createOrReplaceTempView("ra_edges_v")
+    return spark.sql(
+        q_link_prediction_ra("spark", edge_source="SELECT a, b FROM ra_edges_v")
+    )
+
+
 MINING_EXT_QUERIES = {
     "association_rules_lift": q_association_rules,
     "link_prediction_ra": q_link_prediction_ra,
     "chunk_overlap_windows": q_chunk_overlap_windows,
     "stl_lite_decomposition": q_stl_lite_decomposition,
     "conformal_interval_width": q_conformal_interval_width,
+}
+
+#: Spark sides overridden by DataFrame builders (registered into
+#: DF_QUERIES by plans.dataframe_queries); the oracle stays the
+#: template's DuckDB rendering, byte-identical to prior rounds.
+MINING_EXT_DF_QUERIES = {
+    "association_rules_lift": (
+        q_association_rules_df,
+        lambda: q_association_rules("duckdb"),
+    ),
+    "link_prediction_ra": (
+        q_link_prediction_ra_df,
+        lambda: q_link_prediction_ra("duckdb"),
+    ),
 }
