@@ -143,12 +143,21 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def measure(name):
+        # transient_cache_scope releases guard/rank persists created by
+        # this query's reps on exit (the library-level lifecycle API,
+        # round 11); the explicit release below remains as a no-op
+        # safety net and keeps the gc cadence
+        from summarydb_spark.operators.cache_scope import (
+            transient_cache_scope,
+        )
+
         best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+        with transient_cache_scope():
+            for _ in range(reps):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
         release_transient_caches()
         return round(best, 3)
 
